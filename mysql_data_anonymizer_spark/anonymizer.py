@@ -1,0 +1,94 @@
+"""Engine facade: table registry + plan execution + key propagation.
+
+Reference flow (src/Anonymizer.php:152-195): per table, install AFTER UPDATE
+triggers for synchronized columns, stream SELECT rows, emit one UPDATE per
+row over an async pool, drop triggers. Here:
+
+  - tables are DataFrames (parquet/csv/json/JDBC via sources/);
+  - each blueprint compiles to one declarative plan (plans/compiler.py);
+  - trigger-based cascading (src/Anonymizer.php:403-424) becomes an explicit
+    broadcast-hash-join remap: mapping(old_key, new_key) joined into every
+    referencing table, ``coalesce(new, fk)``. The mapping side is small
+    (distinct keys of one table) -> broadcast, no shuffle of the fact table;
+  - FK-check suppression (src/Anonymizer.php:157) is unnecessary: writes are
+    staged functionally and can be ordered/verified before commit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_data_anonymizer_spark.blueprint import Blueprint
+from mysql_data_anonymizer_spark.plans.compiler import compile_plan
+from mysql_data_anonymizer_spark.session import EngineConfig
+
+TABLE_NAMES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+class Anonymizer:
+    def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.sources: dict[str, DataFrame] = {}
+        self.blueprints: dict[str, Blueprint] = {}
+
+    # -- registry ----------------------------------------------------------
+    def register(self, name: str, df: DataFrame) -> "Anonymizer":
+        self.sources[name] = df
+        return self
+
+    def register_parquet_dir(self, sf_dir: str, names: list[str] | None = None) -> "Anonymizer":
+        """Register every fixture table under ``sf_dir`` (TESTDATA layout)."""
+        for name in names or TABLE_NAMES:
+            self.sources[name] = self.spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return self
+
+    def table(self, name: str, callback: Callable[[Blueprint], None]) -> "Anonymizer":
+        """Declare a masking blueprint (reference src/Anonymizer.php:205-210)."""
+        self.blueprints[name] = Blueprint(name, callback)
+        return self
+
+    # -- execution ----------------------------------------------------------
+    def run(self) -> dict[str, DataFrame]:
+        """Execute all blueprints in declaration order; returns the full
+        post-state (masked tables + remapped referencing tables + untouched
+        registered tables)."""
+        state = dict(self.sources)
+        for name, bp in self.blueprints.items():
+            if name not in state:
+                raise KeyError(f"table {name!r} not registered")
+            compiled = compile_plan(state[name], bp.plan, seed=self.config.seed)
+            state[name] = compiled.df
+            for src_col, target in bp.plan.synchro_targets():
+                mapping = compiled.key_mappings[src_col]
+                if target.table not in state:
+                    raise KeyError(
+                        f"synchronizeColumn target table {target.table!r} not registered"
+                    )
+                state[target.table] = remap_keys(state[target.table], target.field, mapping)
+        return state
+
+    def write_parquet(self, state: dict[str, DataFrame], out_dir: str) -> None:
+        for name, df in state.items():
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def remap_keys(ref: DataFrame, fk_col: str, mapping: DataFrame) -> DataFrame:
+    """Replace ``ref.fk_col`` values per mapping(__old, __new) — the Spark
+    equivalent of the reference's AFTER UPDATE trigger
+    ``UPDATE ref SET fk = NEW.col WHERE fk = OLD.col``
+    (reference src/Anonymizer.php:416-418).
+
+    The mapping (distinct keys of the masked table) is broadcast, so the
+    referencing fact table is never shuffled — at 100 TB this is a map-side
+    hash join per referencing table.
+    """
+    cols = ref.columns
+    out = ref.join(F.broadcast(mapping), ref[fk_col] == mapping["__old"], "left")
+    out = out.withColumn(fk_col, F.coalesce(F.col("__new"), F.col(fk_col)))
+    return out.select(*cols)

@@ -1,0 +1,227 @@
+"""Deterministic fake-data generators.
+
+The reference delegates fake values to fzaninotto/Faker closures evaluated
+client-side once per row (reference src/Anonymizer.php:53-58, 250-261), with
+``unique()`` doing retry-until-distinct on process-global state
+(reference src/Blueprint.php:165-168) — neither distributable nor
+reproducible. This engine replaces that with **hash-based construction**:
+
+    value = formatter(md5(seed ':' salt '|' primary_key))
+
+which is (a) embarrassingly parallel, (b) reproducible across runs and
+cluster sizes, (c) unique by construction when the pk is embedded in the
+value, and (d) expressible both as a Spark ``Column`` (JVM-side, codegen'd)
+and as ANSI SQL for the DuckDB oracle.
+
+``DeterministicGenerator`` builds Column expressions (the hot path — no
+Python in the loop). ``PyRowGenerator`` computes the *same* values with
+hashlib for arbitrary user closures running inside a pandas UDF; both paths
+hash-agree, so a closure mask and an expression mask are interchangeable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+# 16-entry pick tables (size 16 => one hex digit indexes them, which keeps
+# the DuckDB-oracle SQL a single strpos() expression).
+FIRST_NAMES = [
+    "alice", "bruno", "carla", "david", "elena", "felix", "grace", "hugo",
+    "irene", "jonas", "karim", "laura", "mateo", "nadia", "oscar", "paula",
+]
+LAST_NAMES = [
+    "smith", "garcia", "mueller", "rossi", "tanaka", "kumar", "chen", "silva",
+    "novak", "dubois", "haram", "olsen", "papas", "quinn", "reyes", "sato",
+]
+DOMAINS = [
+    "example.com", "example.org", "example.net", "mail.test", "post.test",
+    "corp.test", "web.test", "data.test", "acme.test", "globo.test",
+    "umbra.test", "vertex.test", "nimbus.test", "quartz.test", "zephyr.test",
+    "onyx.test",
+]
+STREETS = [
+    "oak st", "elm ave", "pine rd", "maple dr", "cedar ln", "birch way",
+    "walnut ct", "ash blvd", "spruce pl", "willow ter", "poplar row",
+    "laurel pass", "hazel loop", "alder gate", "rowan path", "linden sq",
+]
+
+
+def _digest_col(seed: int, salt: str, key: Column) -> Column:
+    return F.md5(F.concat(F.lit(f"{seed}:{salt}|"), key.cast("string")))
+
+
+def _hex_val(d: Column, pos: int) -> Column:
+    """Value 0..15 of the hex digit at 1-based ``pos`` of digest ``d``."""
+    return F.instr(F.lit(HEX), F.substring(d, pos, 1)) - F.lit(1)
+
+
+class DeterministicGenerator:
+    """Column-expression fake-data generator bound to a row-key expression.
+
+    Mask closures receive an instance of this class (the engine's analogue
+    of the reference's ``$generator``) and call formatters; each formatter
+    returns a ``pyspark.sql.Column``. ``unique()`` returns a view whose
+    formatters embed the primary key into the value, giving global
+    uniqueness without coordination.
+    """
+
+    def __init__(self, seed: int, key: Column, column: str, unique: bool = False):
+        self.seed = seed
+        self.key = key
+        self.column = column  # salt: distinct masked columns get distinct values
+        self._unique = unique
+
+    # -- plumbing ---------------------------------------------------------
+    def unique(self) -> "DeterministicGenerator":
+        return DeterministicGenerator(self.seed, self.key, self.column, unique=True)
+
+    def digest(self, extra_salt: str = "") -> Column:
+        return _digest_col(self.seed, f"{self.column}{extra_salt}", self.key)
+
+    def _key_part(self) -> Column:
+        return self.key.cast("string")
+
+    # -- formatters -------------------------------------------------------
+    @property
+    def email(self) -> Column:
+        d = self.digest()
+        local = F.concat(F.lit("user_"), F.substring(d, 1, 10))
+        if self._unique:
+            local = F.concat(local, F.lit("."), self._key_part())
+        domain = _pick(DOMAINS, _hex_val(d, 11))
+        return F.concat(local, F.lit("@"), domain)
+
+    @property
+    def name(self) -> Column:
+        d = self.digest()
+        out = F.concat(
+            _pick(FIRST_NAMES, _hex_val(d, 1)), F.lit(" "), _pick(LAST_NAMES, _hex_val(d, 2))
+        )
+        if self._unique:
+            out = F.concat(out, F.lit(" "), self._key_part())
+        return out
+
+    @property
+    def uuid(self) -> Column:
+        d = self.digest()
+        if self._unique:
+            # splice the pk hash in so distinct keys can't collide even on
+            # a (vanishingly unlikely) md5 collision of the salted digest
+            d = F.md5(F.concat(d, self._key_part()))
+        return F.concat_ws(
+            "-",
+            F.substring(d, 1, 8),
+            F.substring(d, 9, 4),
+            F.substring(d, 13, 4),
+            F.substring(d, 17, 4),
+            F.substring(d, 21, 12),
+        )
+
+    @property
+    def phone_number(self) -> Column:
+        d = self.digest()
+        n = _hex_int(d, 1, 8)  # 0 .. 16^8-1
+        return F.concat(F.lit("+1-555-"), F.lpad((n % F.lit(10000000)).cast("string"), 7, "0"))
+
+    @property
+    def address(self) -> Column:
+        d = self.digest()
+        num = (_hex_int(d, 1, 3) % F.lit(9999) + F.lit(1)).cast("string")
+        return F.concat(num, F.lit(" "), _pick(STREETS, _hex_val(d, 4)))
+
+    def number_between(self, lo: int, hi: int) -> Column:
+        """Uniform-ish integer in [lo, hi]."""
+        d = self.digest(f":nb:{lo}:{hi}")
+        return (_hex_int(d, 1, 8) % F.lit(hi - lo + 1) + F.lit(lo)).cast("long")
+
+    def random_element(self, choices: list) -> Column:
+        d = self.digest(f":re:{len(choices)}")
+        idx = _hex_int(d, 1, 4) % F.lit(len(choices))
+        return F.element_at(F.array(*[F.lit(c) for c in choices]), idx.cast("int") + F.lit(1))
+
+    def hex_token(self, length: int = 16) -> Column:
+        return F.substring(self.digest(f":tok:{length}"), 1, length)
+
+
+def _pick(table: list[str], idx: Column) -> Column:
+    return F.element_at(F.array(*[F.lit(x) for x in table]), idx.cast("int") + F.lit(1))
+
+
+def _hex_int(d: Column, pos: int, ndigits: int) -> Column:
+    """Integer value of digest hex digits [pos, pos+ndigits) — built from
+    per-digit strpos arithmetic so the same formula is writable in the
+    DuckDB oracle (no conv() dependency)."""
+    # accumulate in long: 8 hex digits overflow int32 under ANSI mode
+    out = F.lit(0).cast("long")
+    for i in range(ndigits):
+        out = out * F.lit(16) + _hex_val(d, pos + i).cast("long")
+    return out
+
+
+class PyRowGenerator:
+    """Python twin of ``DeterministicGenerator`` for arbitrary user closures
+    running inside a pandas UDF (the reference's client-side closure path,
+    src/Anonymizer.php:250-261). Same md5 construction => identical values.
+    """
+
+    def __init__(self, seed: int, key: str, column: str, unique: bool = False):
+        self.seed = seed
+        self.key = str(key)
+        self.column = column
+        self._unique = unique
+
+    def unique(self) -> "PyRowGenerator":
+        return PyRowGenerator(self.seed, self.key, self.column, unique=True)
+
+    def digest(self, extra_salt: str = "") -> str:
+        raw = f"{self.seed}:{self.column}{extra_salt}|{self.key}"
+        return hashlib.md5(raw.encode("utf-8")).hexdigest()
+
+    @property
+    def email(self) -> str:
+        d = self.digest()
+        local = "user_" + d[:10]
+        if self._unique:
+            local += "." + self.key
+        return f"{local}@{DOMAINS[HEX.index(d[10])]}"
+
+    @property
+    def name(self) -> str:
+        d = self.digest()
+        out = f"{FIRST_NAMES[HEX.index(d[0])]} {LAST_NAMES[HEX.index(d[1])]}"
+        if self._unique:
+            out += " " + self.key
+        return out
+
+    @property
+    def uuid(self) -> str:
+        d = self.digest()
+        if self._unique:
+            d = hashlib.md5((d + self.key).encode("utf-8")).hexdigest()
+        return f"{d[0:8]}-{d[8:12]}-{d[12:16]}-{d[16:20]}-{d[20:32]}"
+
+    @property
+    def phone_number(self) -> str:
+        n = int(self.digest()[:8], 16)
+        return "+1-555-" + str(n % 10000000).zfill(7)
+
+    @property
+    def address(self) -> str:
+        d = self.digest()
+        return f"{int(d[:3], 16) % 9999 + 1} {STREETS[HEX.index(d[3])]}"
+
+    def number_between(self, lo: int, hi: int) -> int:
+        d = self.digest(f":nb:{lo}:{hi}")
+        return int(d[:8], 16) % (hi - lo + 1) + lo
+
+    def random_element(self, choices: list):
+        d = self.digest(f":re:{len(choices)}")
+        return choices[int(d[:4], 16) % len(choices)]
+
+    def hex_token(self, length: int = 16) -> str:
+        return self.digest(f":tok:{length}")[:length]
