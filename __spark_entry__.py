@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship masking pipeline at sf0.001;
+``queries()``/``oracle_sql()`` expose the full operator inventory
+(SURVEY.md §2 + north-star extensions) with DuckDB oracles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mysql_data_anonymizer_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference example.php masking scenario (static, #row#,
+    generator, guarded+unique, row-derived chain, key synchro) on the
+    sf0.001 customer/orders tables."""
+    from pyspark.sql import functions as F
+
+    from mysql_data_anonymizer_spark import Anonymizer
+
+    sf_dir = "/root/testdata/sf0.001"
+    anon = Anonymizer(spark)
+    anon.register("customer", spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    anon.register("orders", spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+    def bp(t):
+        t.primary("c_custkey")
+        t.globalWhere("c_acctbal > -900")
+        t.column("c_name").replaceWith(lambda g: g.unique().email)
+        t.column("c_mktsegment").where("c_acctbal < 0").replaceWith("RISK_#row#")
+        t.column("c_custkey").replaceWith(F.col("c_custkey") + F.lit(10**9)).synchronizeColumn(
+            ["o_custkey", "orders"]
+        )
+
+    anon.table("customer", bp)
+    state = anon.run()
+    return state["customer"].join(
+        state["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLES)

@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+  - exact dedup is one hash-aggregate (map-side partial agg) on the dedup
+    key — no sort, no window;
+  - near-dup pipelines never do an all-pairs shuffle: candidates come from
+    equi-joins on shingle / band / LSH-bucket keys, so the shuffle is keyed
+    and AQE can split skewed buckets. Stop-shingles (document frequency cap)
+    bound the worst hot key;
+  - everything is Column expressions (md5 / array ops) — no Python in the
+    loop; MinHash signatures are lexicographic minima of salted md5 hex
+    strings, reproducible in plain SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per duplicate group.
+
+    One hash aggregate: partial min per map task, final min after a keyed
+    shuffle — the cheapest possible distributed dedup."""
+    survivors = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return survivors.select(id_col, *key_cols)
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+def shingle_expr(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles over a *materialized* token-array column.
+
+    Pass a column reference, not the split() expression itself: a lambda
+    body re-evaluates captured expressions per array element, turning the
+    tokenization into O(len^2) work (measured ~100x slowdown). Documents
+    shorter than n tokens yield an empty array (guard needed:
+    sequence(0, negative) would generate a DESCENDING sequence).
+    Per-shingle access is O(1) element_at, not an O(len) slice."""
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    toks_df = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    return (
+        toks_df.select("__id", F.explode(shingle_expr(F.col("__toks"), n)).alias("sh"))
+        .where(F.col("sh") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with Jaccard(shingle sets) >= threshold.
+
+    Candidates = docs sharing >= 1 shingle (equi-join on the shingle key);
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (stop-shingles) — at corpus scale a handful of boilerplate shingles would
+    otherwise create quadratic hot keys. Returns (id_a, id_b, jaccard)."""
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df")).where(
+            F.col("__df") <= max_shingle_df
+        )
+        sh = sh.join(rare.select("sh"), "sh")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    a = sh.select(F.col("__id").alias("id_a"), "sh")
+    b = sh.select(F.col("__id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .withColumn(
+            # raw double of an int/int division: bit-identical in any IEEE
+            # engine, so the DuckDB oracle hash-matches without rounding
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: for hash i, min over shingles of
+    md5(i ':' shingle) — lexicographic min of hex strings is a uniform
+    min-hash, and (unlike murmur) is reproducible in DuckDB SQL."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("__id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, Jaccard-verified.
+
+    shingle -> minhash signature -> band keys -> bucket equi-join for
+    candidates -> exact Jaccard verify on candidates only. The all-pairs
+    explosion never happens: candidate generation is |bands| keyed joins and
+    verification touches only bucket collisions."""
+    assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
+    rows_per_band = num_hashes // bands
+    # shingles feed signature, sizes and the verify join — compute once
+    sh = shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, num_hashes)
+
+    band_frames = []
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_frames.append(
+            sig.select(
+                "__id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+            )
+        )
+    banded = band_frames[0]
+    for f in band_frames[1:]:
+        banded = banded.unionByName(f)
+
+    a = banded.select(F.col("__id").alias("id_a"), "band", "bkey")
+    b2 = banded.select(F.col("__id").alias("id_b"), "band", "bkey")
+    cand = (
+        a.join(b2, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact Jaccard verification restricted to candidates
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sa = sh.select(F.col("__id").alias("id_a"), "sh")
+    sb = sh.select(F.col("__id").alias("id_b"), "sh")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .withColumn(
+            # raw double of an int/int division: bit-identical in any IEEE
+            # engine, so the DuckDB oracle hash-matches without rounding
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: bit j of the fingerprint is the sign of
+    sum over tokens of (2*bit_j(xxhash64(token)) - 1), token-frequency
+    weighted. All JVM expressions; one explode + one keyed aggregate."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = toks.withColumn("__h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = h.groupBy("__id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(bits - 1):  # bit 63 kept clear: keeps fingerprints non-negative
+        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (2**j)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col("__id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidates via banding (pigeonhole: distance <= k pairs share at least
+    one of k+1 bands; 64/16 = 4 bands covers max_hamming 3) then exact
+    popcount verify. bit_count is a JVM builtin — no UDF."""
+    fp = simhash(df, id_col, text_col).cache()
+    nbands = 64 // band_bits
+    frames = []
+    for b in range(nbands):
+        key = F.shiftrightunsigned(F.col("simhash"), b * band_bits).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+        frames.append(fp.select(F.col(id_col).alias("__id"), "simhash", F.lit(b).alias("band"), key.alias("bkey")))
+    banded = frames[0]
+    for f in frames[1:]:
+        banded = banded.unionByName(f)
+    a = banded.select(F.col("__id").alias("id_a"), F.col("simhash").alias("__sa"), "band", "bkey")
+    b2 = banded.select(F.col("__id").alias("id_b"), F.col("simhash").alias("__sb"), "band", "bkey")
+    cand = (
+        a.join(b2, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+    out = cand.withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))))
+    return out.where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold (exact, all-pairs).
+
+    This is the O(n^2) baseline kept for oracle checking; the scale path is
+    ``similarity.lsh_bucketed_pairs`` (random-hyperplane buckets)."""
+    from mysql_data_anonymizer_spark.operators.similarity import dot_expr, norm_expr
+
+    # norms are per-row: compute once per side, not once per pair
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), norm_expr(vec_col).alias("__na")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), norm_expr(vec_col).alias("__nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn(
+        "cosine", F.round(dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb")), 4)
+    )
+    return out.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -1,0 +1,861 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry pairs a PySpark implementation (the engine) with an equivalent
+DuckDB SQL oracle over the same parquet fixtures. Numeric discipline, so the
+driver's value-hash comparison is meaningful:
+
+  - additive aggregates over 2-dp money columns go through DECIMAL casts
+    (exact in both engines, no FP summation-order drift) and are returned as
+    fixed-scale DECIMAL;
+  - per-row floating point (quality scores, ratios) is written as the same
+    operation sequence in both engines -> bit-identical doubles, returned
+    UNROUNDED (rounding doubles is itself engine-divergent at tie points);
+  - cosine similarities are rounded to 4 dp only for *ranking* stability;
+    ties then break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_data_anonymizer_spark.blueprint import Blueprint
+from mysql_data_anonymizer_spark.functions.generator import DOMAINS
+from mysql_data_anonymizer_spark.operators import dedup, similarity, text
+from mysql_data_anonymizer_spark.plans.compiler import compile_plan
+
+SEED = 42
+HEXD = "0123456789abcdef"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read nanos as long and truncate to microseconds — the
+        # same ns->us truncation DuckDB's parquet reader applies, so oracle
+        # timestamps agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# SQL fragment: DuckDB list literal for the generator's domain pick
+_SQL_DOMAINS = "[" + ", ".join(f"'{d}'" for d in DOMAINS) + "]"
+
+
+def _sql_digest(column: str, key_sql: str, seed: int = SEED) -> str:
+    return f"md5('{seed}:{column}|' || CAST({key_sql} AS VARCHAR))"
+
+
+# ===========================================================================
+# masking queries (route through the real engine: Blueprint -> compile_plan)
+# ===========================================================================
+def mask_static(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    bp = Blueprint(
+        "customer",
+        lambda t: t.primary("c_custkey").column("c_name").replaceWith("john@example.com"),
+    )
+    return compile_plan(cust, bp.plan, seed=SEED).df
+
+
+MASK_STATIC_SQL = """
+SELECT c_custkey, 'john@example.com' AS c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+def mask_row_template(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    bp = Blueprint(
+        "customer",
+        lambda t: t.primary("c_custkey").column("c_name").replaceWith("anon_#row#@example.com"),
+    )
+    return compile_plan(cust, bp.plan, seed=SEED).df
+
+
+MASK_ROW_TEMPLATE_SQL = """
+SELECT c_custkey,
+       'anon_' || CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS VARCHAR)
+               || '@example.com' AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+def mask_generator_email(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    bp = Blueprint(
+        "customer",
+        lambda t: t.primary("c_custkey").column("c_name").replaceWith(lambda g: g.email),
+    )
+    return compile_plan(cust, bp.plan, seed=SEED).df
+
+
+MASK_GENERATOR_EMAIL_SQL = f"""
+SELECT c_custkey,
+       'user_' || substr({_sql_digest('c_name', 'c_custkey')}, 1, 10) || '@' ||
+       ({_SQL_DOMAINS})[strpos('{HEXD}', substr({_sql_digest('c_name', 'c_custkey')}, 11, 1))]
+         AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+def mask_guarded(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    bp = Blueprint(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_name")
+        .where("c_acctbal < 0")
+        .replaceWith("NEGATIVE_BALANCE"),
+    )
+    return compile_plan(cust, bp.plan, seed=SEED).df
+
+
+MASK_GUARDED_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'NEGATIVE_BALANCE' ELSE c_name END AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+def mask_global_where(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+
+    def fn(t):
+        t.primary("c_custkey")
+        t.globalWhere("c_acctbal > 1000")
+        t.column("c_name").replaceWith("masked_#row#")
+
+    return compile_plan(cust, Blueprint("customer", fn).plan, seed=SEED).df
+
+
+MASK_GLOBAL_WHERE_SQL = """
+WITH numbered AS (
+  SELECT c_custkey,
+         row_number() OVER (ORDER BY c_custkey) - 1 AS rn
+  FROM customer WHERE c_acctbal > 1000
+)
+SELECT c.c_custkey,
+       CASE WHEN n.rn IS NOT NULL THEN 'masked_' || CAST(n.rn AS VARCHAR)
+            ELSE c.c_name END AS c_name,
+       c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c LEFT JOIN numbered n ON c.c_custkey = n.c_custkey
+"""
+
+
+def mask_chain_fields(spark, sf_dir):
+    """Left-to-right intra-row visibility: the second mask reads the first
+    mask's output (reference src/Anonymizer.php:345-371)."""
+    cust = _t(spark, sf_dir, "customer")
+
+    def fn(t):
+        t.primary("c_custkey")
+        t.column("c_name").replaceWith(lambda g: g.email)
+        t.column("c_mktsegment").replaceWith(F.expr("upper(substring(c_name, 1, 6))"))
+
+    return compile_plan(cust, Blueprint("customer", fn).plan, seed=SEED).df
+
+
+MASK_CHAIN_FIELDS_SQL = f"""
+WITH masked AS (
+  SELECT c_custkey,
+         'user_' || substr({_sql_digest('c_name', 'c_custkey')}, 1, 10) || '@' ||
+         ({_SQL_DOMAINS})[strpos('{HEXD}', substr({_sql_digest('c_name', 'c_custkey')}, 11, 1))]
+           AS c_name,
+         c_nationkey, c_acctbal
+  FROM customer
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+       upper(substr(c_name, 1, 6)) AS c_mktsegment
+FROM masked
+"""
+
+
+def mask_unique_uuid(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    bp = Blueprint(
+        "customer",
+        lambda t: t.primary("c_custkey").column("c_name").replaceWith(lambda g: g.unique().uuid),
+    )
+    return compile_plan(cust, bp.plan, seed=SEED).df
+
+
+_UUID_D = f"md5({_sql_digest('c_name', 'c_custkey')} || CAST(c_custkey AS VARCHAR))"
+MASK_UNIQUE_UUID_SQL = f"""
+SELECT c_custkey,
+       substr({_UUID_D}, 1, 8) || '-' || substr({_UUID_D}, 9, 4) || '-' ||
+       substr({_UUID_D}, 13, 4) || '-' || substr({_UUID_D}, 17, 4) || '-' ||
+       substr({_UUID_D}, 21, 12) AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+def mask_synchro_remap(spark, sf_dir):
+    """Key remap + FK propagation: customer.c_custkey shifts by 10^9 and
+    orders.o_custkey follows (the reference's trigger cascade as a
+    broadcast-join remap)."""
+    from mysql_data_anonymizer_spark.anonymizer import Anonymizer
+
+    anon = Anonymizer(spark)
+    anon.register("customer", _t(spark, sf_dir, "customer"))
+    anon.register("orders", _t(spark, sf_dir, "orders"))
+    anon.table(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_custkey")
+        .replaceWith(F.col("c_custkey") + F.lit(1000000000))
+        .synchronizeColumn(["o_custkey", "orders"]),
+    )
+    state = anon.run()
+    return state["orders"].select("o_orderkey", "o_custkey")
+
+
+MASK_SYNCHRO_REMAP_SQL = """
+SELECT o.o_orderkey,
+       COALESCE(m.new_key, o.o_custkey) AS o_custkey
+FROM orders o
+LEFT JOIN (SELECT c_custkey AS old_key, c_custkey + 1000000000 AS new_key
+           FROM customer) m
+  ON o.o_custkey = m.old_key
+"""
+
+
+# ===========================================================================
+# relational queries
+# ===========================================================================
+def q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount", 6, 4)
+    tax = _dec("l_tax", 6, 4)
+    price = _dec("l_extendedprice", 14, 2)
+    out = (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", 8, 2)).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc))
+            .cast("decimal(30,6)")
+            .alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast("decimal(6,4)") - disc) * (F.lit(1).cast("decimal(6,4)") + tax))
+            .cast("decimal(38,10)")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
+    out = (
+        l.join(orders, l.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.cast("decimal(30,6)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = F.sum(_dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
+    out = (
+        l.join(orders, l.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(revenue.cast("decimal(30,6)").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return out
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def topk_customers_per_segment(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+TOPK_SEGMENT_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+"""
+
+
+def rollup_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14, 2)).cast("decimal(18,2)").alias("total"),
+        )
+    )
+
+
+ROLLUP_ORDERS_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def except_rich_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return rich.subtract(with_orders)  # EXCEPT (distinct) semantics
+
+
+EXCEPT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+def anti_join_customers_no_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def semi_join_parts_ordered(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return part.join(l, part.p_partkey == l.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+def distinct_nations_per_segment(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def json_events_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+JSON_EVENTS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def running_total_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec("o_totalprice", 14, 2)).over(w).cast("decimal(18,2)").alias("running_total"),
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+FROM orders
+"""
+
+
+def events_hourly_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", 12, 2)).cast("decimal(18,2)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize_events(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the batch
+    twin of streaming/session_window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    sess_w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(sess_w).cast("long"))
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_no
+"""
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+def text_profile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.analyze(docs)
+
+
+def text_lang_source_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(text.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+
+
+LANG_SOURCE_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang, source
+"""
+
+
+def text_fingerprint_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(
+         regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fp,
+       MIN(doc_id) AS survivor_id, COUNT(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+# ===========================================================================
+# dedup
+# ===========================================================================
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+
+
+DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+def knn_brute_force(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def knn_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mask_static": mask_static,
+    "mask_row_template": mask_row_template,
+    "mask_generator_email": mask_generator_email,
+    "mask_guarded": mask_guarded,
+    "mask_global_where": mask_global_where,
+    "mask_chain_fields": mask_chain_fields,
+    "mask_unique_uuid": mask_unique_uuid,
+    "mask_synchro_remap": mask_synchro_remap,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "topk_customers_per_segment": topk_customers_per_segment,
+    "rollup_orders": rollup_orders,
+    "except_rich_customers_without_orders": except_rich_customers_without_orders,
+    "anti_join_customers_no_orders": anti_join_customers_no_orders,
+    "semi_join_parts_ordered": semi_join_parts_ordered,
+    "distinct_nations_per_segment": distinct_nations_per_segment,
+    "json_events_agg": json_events_agg,
+    "running_total_per_customer": running_total_per_customer,
+    "events_hourly_window": events_hourly_window,
+    "sessionize_events": sessionize_events,
+    "text_profile": text_profile,
+    "text_lang_source_stats": text_lang_source_stats,
+    "text_fingerprint_groups": text_fingerprint_groups,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "knn_brute_force": knn_brute_force,
+    "knn_lsh": knn_lsh,
+}
+
+ORACLES: dict[str, str] = {
+    "mask_static": MASK_STATIC_SQL,
+    "mask_row_template": MASK_ROW_TEMPLATE_SQL,
+    "mask_generator_email": MASK_GENERATOR_EMAIL_SQL,
+    "mask_guarded": MASK_GUARDED_SQL,
+    "mask_global_where": MASK_GLOBAL_WHERE_SQL,
+    "mask_chain_fields": MASK_CHAIN_FIELDS_SQL,
+    "mask_unique_uuid": MASK_UNIQUE_UUID_SQL,
+    "mask_synchro_remap": MASK_SYNCHRO_REMAP_SQL,
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_revenue_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "topk_customers_per_segment": TOPK_SEGMENT_SQL,
+    "rollup_orders": ROLLUP_ORDERS_SQL,
+    "except_rich_customers_without_orders": EXCEPT_SQL,
+    "anti_join_customers_no_orders": ANTI_JOIN_SQL,
+    "semi_join_parts_ordered": SEMI_JOIN_SQL,
+    "distinct_nations_per_segment": DISTINCT_AGG_SQL,
+    "json_events_agg": JSON_EVENTS_SQL,
+    "running_total_per_customer": RUNNING_TOTAL_SQL,
+    "events_hourly_window": EVENTS_HOURLY_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "text_lang_source_stats": LANG_SOURCE_SQL,
+    "text_fingerprint_groups": FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    # text_profile / dedup_* / knn oracles generated programmatically below
+}
+
+
+# ===========================================================================
+# programmatic oracles (long SQL mirrors)
+# ===========================================================================
+def _gen_text_profile_sql() -> str:
+    """Mirror of operators.text.analyze — identical op sequence so the raw
+    doubles hash-match."""
+    lang_score = {
+        lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(m)})\b'))"
+        for lang, m in text.LANG_MARKERS.items()
+    }
+    langs = list(text.LANG_MARKERS)
+    # argmax with first-language-wins tie resolution
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{rest}" for rest in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case = (
+        "CASE WHEN "
+        + " AND ".join(f"s_{lang} = 0" for lang in langs)
+        + " THEN 'und' "
+        + " ".join(cases)
+        + f" ELSE '{langs[-1]}' END"
+    )
+    sw_pat = r"\b(" + "|".join(text.EN_STOPWORDS) + r")\b"
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_subword,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+      / GREATEST(length(text), 1) AS punct_ratio,
+    len(regexp_extract_all(lower(text), '{sw_pat}')) AS n_stop,
+    {", ".join(f"{expr} AS s_{lang}" for lang, expr in lang_score.items())},
+    md5(array_to_string(list_sort(list_distinct(
+        regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_subword AS BIGINT) AS n_subword_tokens,
+  punct_ratio,
+  GREATEST(LEAST(
+    0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+    + 0.5 * LEAST(CAST(n_stop AS DOUBLE) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)
+    - 0.25 * LEAST(punct_ratio * 4.0, 1.0), 1.0), 0.0) AS quality,
+  {lang_case} AS lang_pred,
+  fingerprint
+FROM feat
+"""
+
+
+_SHINGLE_CTE = """
+docs AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM docs
+),
+sh AS (SELECT doc_id, sh FROM sh0 WHERE sh <> ''),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _gen_ngram_jaccard_sql(threshold: float = 0.6) -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {threshold}
+"""
+
+
+def _gen_minhash_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    mh_aggs = ", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(num_hashes))
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{i}" for i in range(b * r, (b + 1) * r))
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {mh_aggs} FROM sh GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {threshold}
+"""
+
+
+# sequential double dot product over list position — mirrors
+# similarity.dot_expr's zip_with + ordered aggregate
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _gen_embedding_dedup_sql(threshold: float = 0.4) -> str:
+    # norms precomputed per row (CTE), mirroring the engine — same values,
+    # and keeps the oracle itself tractable at larger sf
+    cos = f"ROUND({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def _gen_knn_sql(k: int = 5) -> str:
+    cos = f"ROUND({_sql_dot('q.qe', 'c.ce')} / (q.qn * c.cn), 4)"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  sqrt({_sql_dot('embedding', 'embedding')}) AS qn
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+ORACLES["text_profile"] = _gen_text_profile_sql()
+ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
+ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
+ORACLES["dedup_embedding_cosine"] = _gen_embedding_dedup_sql(0.4)
+ORACLES["knn_brute_force"] = _gen_knn_sql(5)
+# dedup_simhash (xxhash64 not in DuckDB) and knn_lsh (approximate by design)
+# intentionally have no oracle -> driver does the rows-only check
