@@ -1,0 +1,88 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql_data_anonymizer_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # masking engine
+    "mask_static",
+    "mask_row_template",
+    "mask_generator_email",
+    "mask_global_where",
+    "mask_chain_fields",
+    "mask_unique_uuid",
+    "mask_synchro_remap",
+    # relational
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "topk_customers_per_segment",
+    "rollup_orders",
+    "semi_join_parts_ordered",
+    "json_events_agg",
+    "running_total_per_customer",
+    "events_hourly_window",
+    "sessionize_events",
+    # text / dedup / similarity
+    "text_profile",
+    "text_fingerprint_groups",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "knn_brute_force",
+    "knn_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("mda-bench", master=f"local[{cpus}]")
+    import mysql_data_anonymizer_spark.queries as Q
+
+    # warm the JVM + parquet footers so per-query times measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (engine ops + relational + dedup/similarity/text)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

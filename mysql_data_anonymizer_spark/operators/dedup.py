@@ -278,7 +278,11 @@ def embedding_near_dup_pairs(
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), norm_expr(vec_col).alias("__nb")
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    # the theta-join (id_a < id_b) is a broadcast nested-loop join; spread
+    # the streaming side so the O(n^2) pair evaluation parallelizes instead
+    # of landing in one task (a small parquet file reads as one partition)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pairs = a.repartition(par).join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     out = pairs.withColumn(
         "cosine", F.round(dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb")), 4)
     )

@@ -1,0 +1,45 @@
+"""File sources: parquet / csv / json with schema normalization.
+
+The reference reads only from MySQL (src/Anonymizer.php:298-317); file
+sources are an engine extension so the same masking plans run over data-lake
+inputs. Handles the fixtures' quirks (nanosecond parquet timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# fixture columns stored as TIMESTAMP(NANOS), unreadable by Spark directly
+NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    table_name: str | None = None,
+    **options,
+) -> DataFrame:
+    """Read one table; normalizes nanosecond timestamps to microseconds
+    (truncation — matching DuckDB's parquet ns->us conversion, so oracle
+    comparisons agree)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "parquet":
+        nanos_cols = NANOS_TS_COLUMNS.get(table_name or "", [])
+        if nanos_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = reader.options(**options).parquet(path)
+        for c in nanos_cols:
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        return df
+    if fmt == "csv":
+        return reader.options(header="true", inferSchema=schema is None, **options).csv(path)
+    if fmt == "json":
+        return reader.options(**options).json(path)
+    raise ValueError(f"unsupported format: {fmt}")

@@ -1,0 +1,112 @@
+"""Writeback sinks — the reference's keyed UPDATE path, re-architected.
+
+The reference emits one ``UPDATE t SET .. WHERE pk=..`` per row over an
+async pool (reference src/Anonymizer.php:274-288, 326-334). Spark's JDBC
+writer has no UPDATE, so the engine offers three strategies:
+
+1. ``write_parquet`` / ``write_files`` — lake sinks: plain distributed
+   overwrite; the default for fixture/test runs.
+2. ``updates_via_foreach_partition`` — true in-place parity: each partition
+   opens its own DBAPI connection and executes batched parameterized
+   UPDATEs (``executemany``), giving the reference's semantics with
+   partition-level parallelism instead of an event loop. Idempotent: each
+   row is keyed by PK, so retried tasks re-apply the same values.
+3. ``staging_swap_sql`` — bulk path for full-table masking: append the
+   masked table to a staging table (Spark's native JDBC INSERT path, fully
+   parallel), then atomically swap. At 100 TB this is the only strategy
+   whose write side scales linearly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def build_update_sql(table: str, set_cols: list[str], pk_cols: list[str]) -> str:
+    """Parameterized UPDATE (the reference builds these per-row with string
+    interpolation and addslashes — src/Anonymizer.php:345-371; we bind
+    parameters instead, closing its escaping bug on the replaceByFields
+    path, SURVEY §4.2 item 4)."""
+    sets = ", ".join(f"{c} = %s" for c in set_cols)
+    wheres = " AND ".join(f"{c} = %s" for c in pk_cols)
+    return f"UPDATE {table} SET {sets} WHERE {wheres}"
+
+
+def updates_via_foreach_partition(
+    df: DataFrame,
+    table: str,
+    set_cols: list[str],
+    pk_cols: list[str],
+    connection_factory: Callable[[], object],
+    batch_size: int = 1000,
+    paramstyle: str = "%s",
+) -> None:
+    """Execute batched keyed UPDATEs from every partition in parallel.
+
+    ``connection_factory`` runs on the executor and must return a DBAPI
+    connection (e.g. a mysql-connector ``connect`` closure). ``batch_size``
+    plays the role of NB_MAX_PROMISE_IN_LOOP (reference README.md:36)."""
+    sql = build_update_sql(table, set_cols, pk_cols)
+    if paramstyle != "%s":
+        sql = sql.replace("%s", paramstyle)
+    cols = list(set_cols) + list(pk_cols)
+
+    def handle_partition(rows: Iterable) -> None:
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in cols))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    conn.commit()
+                    batch.clear()
+            if batch:
+                cur.executemany(sql, batch)
+                conn.commit()
+        finally:
+            conn.close()
+
+    df.select(*cols).foreachPartition(handle_partition)
+
+
+def staging_swap_sql(table: str, staging: str | None = None) -> list[str]:
+    """DDL sequence for the staging-table swap strategy: write the masked
+    DataFrame to ``staging`` with Spark's parallel JDBC INSERT
+    (``df.write.format('jdbc').option('dbtable', staging).save()``), then
+    run these statements on one control connection."""
+    staging = staging or f"{table}__mda_staging"
+    old = f"{table}__mda_old"
+    return [
+        f"RENAME TABLE {table} TO {old}, {staging} TO {table}",
+        f"DROP TABLE {old}",
+    ]
+
+
+def write_jdbc_staging(
+    df: DataFrame,
+    url: str,
+    table: str,
+    options: dict[str, str],
+    staging: str | None = None,
+) -> list[str]:
+    """Parallel-append the masked table to staging; returns the swap DDL the
+    caller executes on a control connection (kept separate so tests can
+    exercise the write without a live MySQL)."""
+    staging = staging or f"{table}__mda_staging"
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .options(**options)
+        .mode("overwrite")
+        .save()
+    )
+    return staging_swap_sql(table, staging)

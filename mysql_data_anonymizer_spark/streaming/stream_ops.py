@@ -1,0 +1,120 @@
+"""Structured Streaming extension: streaming anonymization + event-time
+analytics over the events stream.
+
+The reference is batch-only (one SELECT per table, src/Anonymizer.php:165);
+this module runs the same compiled masking plans over an unbounded stream:
+the mask chain is stateless column algebra, so it applies 1:1 to a streaming
+DataFrame. Event-time aggregations use watermarks so state is bounded and
+late events beyond the watermark are dropped — the streaming analogue of
+"every row touched exactly once".
+
+Constraints honored:
+  - ``#row#`` templating needs a global row order -> rejected for streams
+    (no total order exists on an unbounded source); use generator masks
+    keyed by PK instead.
+  - sinks go through ``foreachBatch`` so every micro-batch can reuse the
+    batch writeback strategies in sources/sinks.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mysql_data_anonymizer_spark.plans.compiler import compile_plan
+from mysql_data_anonymizer_spark.plans.plan import MaskingPlan
+
+
+def mask_stream(stream: DataFrame, plan: MaskingPlan, seed: int = 42) -> DataFrame:
+    """Apply a masking plan to a streaming DataFrame.
+
+    globalWhere split/union and the ordered mask chain compile exactly as in
+    batch; only ``#row#`` is rejected (needs a total order)."""
+    if not stream.isStreaming:
+        raise ValueError("mask_stream expects a streaming DataFrame")
+    if plan.needs_row_number():
+        raise ValueError(
+            "#row# templating is undefined on unbounded streams; "
+            "use a generator mask keyed by the primary key instead"
+        )
+    return compile_plan(stream, plan, seed=seed).df
+
+
+def tumbling_aggregates(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling-window counts/sums with bounded state."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window event counts (overlapping windows)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_aggregates(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-user session windows (dynamic gap-based windows): the streaming
+    twin of queries.sessionize_events' gaps-and-islands batch query."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
+    """Drive a (bounded replay) stream to completion into a memory sink —
+    the test harness path: availableNow processes all existing files then
+    stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if _has_aggregate(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
+    return "Aggregate" in plan

@@ -43,4 +43,6 @@ def embeddings(spark, sf_dir):
 
 @pytest.fixture(scope="session")
 def events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from mysql_data_anonymizer_spark.sources import files
+
+    return files.read_table(spark, f"{sf_dir}/events.parquet", table_name="events")

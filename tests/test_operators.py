@@ -1,0 +1,142 @@
+"""Property tests for dedup / similarity / text operators (SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_data_anonymizer_spark.operators import dedup, similarity, text
+
+
+# ---------------------------------------------------------------- dedup
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in dedup.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {1, 3, 5}
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "one two three")], "doc_id long, text string")
+    sh = dedup.shingles(df, "doc_id", "text", n=3)
+    rows = sh.collect()
+    assert {r["__id"] for r in rows} == {2}
+    assert [r.sh for r in rows] == ["one two three"]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_finds_near_dups(spark, documents):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(documents, "doc_id", "text", threshold=0.7).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(documents, "doc_id", "text", threshold=0.7).collect()
+    }
+    assert lsh <= exact  # verification guarantees no false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5  # banding recall on fixture
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota kappa unrelated")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_simhash_deterministic(spark, documents):
+    a = dedup.simhash(documents.limit(50), "doc_id", "text").collect()
+    b = dedup.simhash(documents.limit(50), "doc_id", "text").collect()
+    assert {(r.doc_id, r.simhash) for r in a} == {(r.doc_id, r.simhash) for r in b}
+    assert all(r.simhash >= 0 for r in a)
+
+
+def test_embedding_near_dup_symmetric_threshold(spark, embeddings):
+    pairs = dedup.embedding_near_dup_pairs(embeddings, threshold=0.4).collect()
+    assert all(p.cosine >= 0.4 for p in pairs)
+    assert all(p.id_a < p.id_b for p in pairs)
+
+
+# ------------------------------------------------------------ similarity
+def test_brute_force_topk_self_excluded(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(embeddings, q, k=4).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert [r.rank for r in sorted(rows, key=lambda x: x.rank)] == [1, 2, 3, 4]
+        cosines = [r.cosine for r in sorted(rows, key=lambda x: x.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(embeddings, q, k=5).collect()}
+    ls = {(r.query_id, r.neighbor_id) for r in similarity.lsh_topk(embeddings, q, k=5).collect()}
+    assert len(bf & ls) / len(bf) >= 0.5
+
+
+def test_matmul_topk_matches_brute_force(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5)
+    bf = sorted((r.query_id, r.neighbor_id, r.rank) for r in similarity.brute_force_topk(embeddings, q, k=5).collect())
+    mm = sorted((r.query_id, r.neighbor_id, r.rank) for r in similarity.matmul_topk(embeddings, q, k=5).collect())
+    assert bf == mm
+
+
+def test_dot_expr_unrolled_matches_hof(spark, embeddings):
+    two = embeddings.limit(32).select(
+        similarity.dot_expr("embedding", "embedding", dim=64).alias("u"),
+        similarity.dot_expr("embedding", "embedding", dim=None).alias("h"),
+    )
+    assert all(r.u == r.h for r in two.collect())  # bit-identical
+
+
+# ----------------------------------------------------------------- text
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("one",), ("one two  three",)], "text string")
+    out = [r.n for r in df.select(text.token_count(F.col("text")).alias("n")).collect()]
+    assert out == [0, 0, 1, 3]
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame([("b a c",), ("c b a",), ("a b d",)], "text string")
+    fps = [r.fp for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_quality_bounds_and_determinism(spark, documents):
+    out = text.analyze(documents)
+    rows = out.collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(0.0 <= r.punct_ratio <= 1.0 for r in rows)
+    rows2 = text.analyze(documents).collect()
+    assert {(r.doc_id, r.quality, r.lang_pred) for r in rows} == {
+        (r.doc_id, r.quality, r.lang_pred) for r in rows2
+    }
+
+
+def test_lang_id_obvious_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here of course"),
+         (2, "der hund und die katze nicht hier"),
+         (3, "xyzzy plugh qwerty")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.p for r in df.select("doc_id", text.lang_id(F.col("text")).alias("p")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
