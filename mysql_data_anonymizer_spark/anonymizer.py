@@ -78,6 +78,28 @@ class Anonymizer:
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
+def verify_referential_integrity(
+    state: dict[str, DataFrame],
+    fk_specs: list[tuple[str, str, str, str]],
+) -> dict[str, int]:
+    """Post-run FK check — replaces the reference's FK-check *suppression*
+    (``SET FOREIGN_KEY_CHECKS=0``, src/Anonymizer.php:157, never re-enabled)
+    with explicit verification: for each (child_table, fk_col, parent_table,
+    pk_col) spec, count child rows whose fk has no parent (left-anti join).
+    Returns {child.fk: orphan_count}; all zeros == integrity holds."""
+    out: dict[str, int] = {}
+    for child, fk, parent, pk in fk_specs:
+        orphans = (
+            state[child]
+            .select(F.col(fk).alias("__fk"))
+            .where(F.col("__fk").isNotNull())
+            .join(state[parent].select(F.col(pk).alias("__fk")), "__fk", "left_anti")
+            .count()
+        )
+        out[f"{child}.{fk}"] = orphans
+    return out
+
+
 def remap_keys(ref: DataFrame, fk_col: str, mapping: DataFrame) -> DataFrame:
     """Replace ``ref.fk_col`` values per mapping(__old, __new) — the Spark
     equivalent of the reference's AFTER UPDATE trigger

@@ -70,11 +70,23 @@ class DeterministicGenerator:
     uniqueness without coordination.
     """
 
+    # custom formatters added via functions.registry.register_provider
+    _providers: dict = {}
+
     def __init__(self, seed: int, key: Column, column: str, unique: bool = False):
         self.seed = seed
         self.key = key
         self.column = column  # salt: distinct masked columns get distinct values
         self._unique = unique
+
+    def __getattr__(self, name: str):
+        providers = type(self)._providers
+        if name in providers:
+            return providers[name](self)
+        raise AttributeError(
+            f"generator has no formatter {name!r} (register custom providers "
+            f"via functions.registry.register_provider)"
+        )
 
     # -- plumbing ---------------------------------------------------------
     def unique(self) -> "DeterministicGenerator":
@@ -169,11 +181,20 @@ class PyRowGenerator:
     src/Anonymizer.php:250-261). Same md5 construction => identical values.
     """
 
+    # python twins of custom formatters (functions.registry.register_provider)
+    _providers: dict = {}
+
     def __init__(self, seed: int, key: str, column: str, unique: bool = False):
         self.seed = seed
         self.key = str(key)
         self.column = column
         self._unique = unique
+
+    def __getattr__(self, name: str):
+        providers = type(self)._providers
+        if name in providers:
+            return providers[name](self)
+        raise AttributeError(f"generator has no formatter {name!r}")
 
     def unique(self) -> "PyRowGenerator":
         return PyRowGenerator(self.seed, self.key, self.column, unique=True)

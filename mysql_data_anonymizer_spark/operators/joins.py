@@ -1,0 +1,86 @@
+"""Join extensions beyond Catalyst's built-ins: as-of and banded range joins.
+
+The reference has no user-facing joins (its only join-like op is the trigger
+key cascade, reference src/Anonymizer.php:416-418); these cover the SURVEY
+§2.3 join rows (semi/anti/theta are plain ``how=`` arguments; as-of and
+range need composition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``key`` (time-series as-of).
+
+    Implementation is the union-window pattern, not a range join: tag both
+    inputs, union, then ``last_value(right_col) IGNORE NULLS`` over a window
+    ordered by (ts, right-first tiebreak) per key. One keyed shuffle total,
+    no per-row range probe — at 100 TB this is a single sort-merge-shaped
+    pass, where a naive l.ts >= r.ts theta-join would be quadratic.
+    Right rows that tie on (key, right_ts) must be pre-deduplicated for a
+    deterministic result."""
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = (
+        right.select(
+            F.col(key), F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    # align schemas for the union (typed nulls: unionByName rejects NullType)
+    l_types = dict(left.dtypes)
+    r_types = dict(right.dtypes)
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(l_types[c]))
+    for c in right_cols:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None).cast(r_types[c]))
+    cols = [key, "__ts", "__side", *[c for c in left.columns if c != key], *right_cols]
+    u = lt.select(*cols).unionByName(rt.select(*cols))
+
+    # right rows (side=0) sort before left rows at equal ts => a right row
+    # AT the left timestamp is visible (ASOF >= semantics)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in right_cols:
+        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return u.where(F.col("__side") == 1).drop("__side", "__ts")
+
+
+def range_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    max_distance: float,
+    band_width: float | None = None,
+) -> DataFrame:
+    """Pure inequality join |left_val - right_val| <= max_distance without an
+    equi key, made scalable by banding: each side buckets its value into
+    bands of ``band_width`` (default = max_distance), the left side probes
+    its own and both neighbor bands, and the exact predicate filters the
+    equi-joined candidates. Turns an O(n*m) nested loop into a keyed join
+    whose fan-out is bounded by band occupancy."""
+    bw = band_width or max_distance
+    lb = left.withColumn("__band", F.floor(F.col(left_val) / F.lit(bw)).cast("long"))
+    rb = right.withColumn("__band", F.floor(F.col(right_val) / F.lit(bw)).cast("long"))
+    probes = F.array(F.col("__band") - 1, F.col("__band"), F.col("__band") + 1)
+    lb = lb.withColumn("__band", F.explode(probes))
+    out = lb.join(rb, "__band").where(
+        F.abs(F.col(left_val) - F.col(right_val)) <= max_distance
+    )
+    return out.drop("__band").distinct()

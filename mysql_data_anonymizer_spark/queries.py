@@ -496,6 +496,86 @@ FROM events GROUP BY 1, 2
 """
 
 
+def cube_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice", 14, 2)).cast("decimal(18,2)").alias("total"),
+    )
+
+
+CUBE_ORDERS_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def intersect_rich_customers_with_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return rich.intersect(with_orders)
+
+
+INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+def asof_last_order_per_event(spark, sf_dir):
+    """As-of join: for each event, the user's most recent order at event
+    time (union-window implementation, operators/joins.py)."""
+    from mysql_data_anonymizer_spark.operators.joins import as_of_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # deterministic right side: one row per (custkey, orderdate)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = as_of_join(
+        ev, orders.withColumnRenamed("o_orderdate", "__rts"), "user_id", "ts", "__rts",
+        ["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.o_orderkey
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+def range_join_close_prices(spark, sf_dir):
+    """Banded range join: part pairs priced within 0.02 of each other
+    (no equi key — banding bounds the fan-out; operators/joins.py)."""
+    from mysql_data_anonymizer_spark.operators.joins import range_join_banded
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("id_a"), F.col("p_retailprice").alias("price_a"))
+    b = part.select(F.col("p_partkey").alias("id_b"), F.col("p_retailprice").alias("price_b"))
+    out = range_join_banded(a, b, "price_a", "price_b", max_distance=0.02)
+    return out.where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+RANGE_JOIN_SQL = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey AND abs(a.p_retailprice - b.p_retailprice) <= 0.02
+"""
+
+
 def sessionize_events(spark, sf_dir):
     """Gaps-and-islands sessionization (30-min inactivity gap) — the batch
     twin of streaming/session_window."""
@@ -643,6 +723,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_nation_revenue": q5_nation_revenue,
     "topk_customers_per_segment": topk_customers_per_segment,
     "rollup_orders": rollup_orders,
+    "cube_orders": cube_orders,
+    "intersect_rich_customers_with_orders": intersect_rich_customers_with_orders,
+    "asof_last_order_per_event": asof_last_order_per_event,
+    "range_join_close_prices": range_join_close_prices,
     "except_rich_customers_without_orders": except_rich_customers_without_orders,
     "anti_join_customers_no_orders": anti_join_customers_no_orders,
     "semi_join_parts_ordered": semi_join_parts_ordered,
@@ -677,6 +761,10 @@ ORACLES: dict[str, str] = {
     "q5_nation_revenue": Q5_SQL,
     "topk_customers_per_segment": TOPK_SEGMENT_SQL,
     "rollup_orders": ROLLUP_ORDERS_SQL,
+    "cube_orders": CUBE_ORDERS_SQL,
+    "intersect_rich_customers_with_orders": INTERSECT_SQL,
+    "asof_last_order_per_event": ASOF_SQL,
+    "range_join_close_prices": RANGE_JOIN_SQL,
     "except_rich_customers_without_orders": EXCEPT_SQL,
     "anti_join_customers_no_orders": ANTI_JOIN_SQL,
     "semi_join_parts_ordered": SEMI_JOIN_SQL,

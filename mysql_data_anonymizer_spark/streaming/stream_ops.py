@@ -101,6 +101,33 @@ def session_aggregates(
     )
 
 
+def stateful_user_totals(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals maintained across micro-batches (the escape hatch for
+    semantics windowed aggregates can't express — cross-batch accumulators,
+    custom eviction, etc.). State is one (count, total) pair per key, so
+    state size is O(distinct keys), not O(events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_value": [total]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
     """Drive a (bounded replay) stream to completion into a memory sink —
     the test harness path: availableNow processes all existing files then

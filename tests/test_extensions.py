@@ -1,0 +1,149 @@
+"""Join extensions, provider/helper registries, integrity verification,
+stateful streaming."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_data_anonymizer_spark import Anonymizer
+from mysql_data_anonymizer_spark.anonymizer import verify_referential_integrity
+from mysql_data_anonymizer_spark.blueprint import Blueprint
+from mysql_data_anonymizer_spark.functions import registry
+from mysql_data_anonymizer_spark.operators import joins
+from mysql_data_anonymizer_spark.plans.compiler import compile_plan
+
+
+# ------------------------------------------------------------------ joins
+def test_as_of_join_basic(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 150)], "trade_id long, sym long, ts long"
+    )
+    quotes = spark.createDataFrame(
+        [(10, 90, 1.0), (10, 100, 2.0), (10, 200, 3.0), (20, 400, 9.9)],
+        "sym long, qts long, px double",
+    )
+    out = {
+        r.trade_id: r.px
+        for r in joins.as_of_join(trades, quotes, "sym", "ts", "qts", ["px"]).collect()
+    }
+    # trade 1 at ts=100 sees the quote AT 100 (>= semantics); trade 3 has no
+    # quote at or before 150 -> NULL (left join)
+    assert out == {1: 2.0, 2: 3.0, 3: None}
+
+
+def test_range_join_banded_matches_naive(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = part.select(F.col("p_partkey").alias("id_a"), F.col("p_retailprice").alias("pa"))
+    b = part.select(F.col("p_partkey").alias("id_b"), F.col("p_retailprice").alias("pb"))
+    banded = {
+        (r.id_a, r.id_b)
+        for r in joins.range_join_banded(a, b, "pa", "pb", 0.5).where("id_a < id_b").collect()
+    }
+    naive = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, (F.col("id_a") < F.col("id_b")) & (F.abs(F.col("pa") - F.col("pb")) <= 0.5)).collect()
+    }
+    assert banded == naive and banded
+
+
+# ------------------------------------------------------- provider registry
+def test_custom_provider_both_paths(spark, customer):
+    registry.register_provider(
+        "employee_code",
+        lambda g: F.concat(F.lit("EMP-"), F.upper(g.hex_token(6))),
+        lambda g: "EMP-" + g.hex_token(6).upper(),
+    )
+    try:
+        bp = Blueprint(
+            "customer",
+            lambda t: t.primary("c_custkey").column("c_name").replaceWith(
+                lambda g: g.employee_code
+            ),
+        )
+        out = compile_plan(customer, bp.plan, seed=9).df.collect()
+        assert all(r.c_name.startswith("EMP-") and len(r.c_name) == 10 for r in out)
+        # python twin produces identical values
+        from mysql_data_anonymizer_spark.functions.generator import PyRowGenerator
+
+        for r in out[:10]:
+            assert r.c_name == PyRowGenerator(9, str(r.c_custkey), "c_name").employee_code
+    finally:
+        registry.unregister_provider("employee_code")
+
+
+def test_unknown_formatter_raises(spark, customer):
+    bp = Blueprint(
+        "customer",
+        lambda t: t.primary("c_custkey").column("c_name").replaceWith(lambda g: g.nope_fmt),
+    )
+    with pytest.raises(Exception, match="nope_fmt"):
+        compile_plan(customer, bp.plan).df.collect()
+
+
+def test_register_helpers_sql_callable(spark, customer):
+    registry.register_helpers(spark, {"mda_is_vip": lambda bal: bal is not None and bal > 9000}, "boolean")
+    bp = Blueprint(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_name")
+        .where("mda_is_vip(c_acctbal)")
+        .replaceWith("VIP"),
+    )
+    out = compile_plan(customer, bp.plan).df.collect()
+    for r in out:
+        assert (r.c_name == "VIP") == (r.c_acctbal > 9000)
+
+
+# ------------------------------------------------- referential integrity
+def test_verify_referential_integrity_after_remap(spark, customer, orders):
+    anon = Anonymizer(spark)
+    anon.register("customer", customer).register("orders", orders)
+    anon.table(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_custkey")
+        .replaceWith(F.col("c_custkey") * 7 + 13)
+        .synchronizeColumn(["o_custkey", "orders"]),
+    )
+    state = anon.run()
+    report = verify_referential_integrity(
+        state, [("orders", "o_custkey", "customer", "c_custkey")]
+    )
+    assert report == {"orders.o_custkey": 0}
+    # negative control: without remap, integrity breaks
+    broken = dict(state)
+    broken["orders"] = orders  # original fks vs remapped pks
+    report2 = verify_referential_integrity(
+        broken, [("orders", "o_custkey", "customer", "c_custkey")]
+    )
+    assert report2["orders.o_custkey"] > 0
+
+
+# ------------------------------------------------------ stateful streaming
+def test_stateful_user_totals(spark, events, tmp_path):
+    import mysql_data_anonymizer_spark.streaming.stream_ops as ms
+
+    path = str(tmp_path / "ev")
+    events.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    q = (
+        ms.stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM user_totals"
+        ).collect()
+    }
+    expected = {
+        r.user_id: (r.n, round(r.tv, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == expected
