@@ -33,6 +33,9 @@ HEADLINE = [
     "q5_nation_revenue",
     "topk_customers_per_segment",
     "rollup_orders",
+    "cube_orders",
+    "asof_last_order_per_event",
+    "range_join_close_prices",
     "semi_join_parts_ordered",
     "json_events_agg",
     "running_total_per_customer",
@@ -47,6 +50,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "knn_brute_force",
     "knn_lsh",
+    "knn_ivf",
 ]
 
 

@@ -10,7 +10,7 @@ Every operator here has a DuckDB-SQL twin in ``__spark_entry__.oracle_sql``
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker stopwords per language for the n-gram/stopword language heuristic;
@@ -114,6 +114,55 @@ def fingerprint(text: Column) -> Column:
     near-identical documents that differ only in token order/duplication."""
     toks = F.array_sort(F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+")))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al.): hash every k-gram shingle,
+    slide a window of ``window`` consecutive shingle hashes, keep each
+    window's minimum — the distinct minima are the document's fingerprint
+    set. Robust to local edits (an edit only perturbs nearby windows), the
+    standard scheme behind plagiarism/near-dup detection at corpus scale.
+
+    All JVM-side: shingle positions come from posexplode, window minima from
+    a (doc, position)-ordered sliding frame — partitioned by doc, so the
+    window parallelizes across documents. Hashes are md5-hex (lexicographic
+    min == uniform min), reproducible in the DuckDB oracle."""
+    toks_df = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    pos = toks_df.select(
+        "__id", F.posexplode(_ordered_shingles(F.col("__toks"), k)).alias("pos", "sh")
+    )
+    hashed = pos.select("__id", "pos", F.md5(F.col("sh")).alias("h"))
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    mins = hashed.select(
+        "__id",
+        F.min("h").over(w).alias("fp"),
+        F.col("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n_sh"),
+    ).where(F.col("pos") <= F.col("__n_sh") - window)  # only full windows
+    return mins.select(F.col("__id").alias(id_col), "fp").distinct()
+
+
+def _ordered_shingles(toks, n: int):
+    """Positional (non-distinct) n-gram shingles of a token-array column."""
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)])
+    )
 
 
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -641,6 +641,37 @@ FROM documents GROUP BY lang, source
 """
 
 
+def text_winnowing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(docs, k=3, window=4)
+
+
+TEXT_WINNOWING_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 3
+           THEN range(1, len(toks) - 1) ELSE CAST([] AS BIGINT[]) END) AS i
+  FROM docs
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+  FROM idx
+),
+mins AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM sh
+)
+SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n_sh - 4
+"""
+
+
 def text_fingerprint_groups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -706,6 +737,12 @@ def knn_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5)
 
 
+def knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=5)
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -738,6 +775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_profile": text_profile,
     "text_lang_source_stats": text_lang_source_stats,
     "text_fingerprint_groups": text_fingerprint_groups,
+    "text_winnowing": text_winnowing,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -745,6 +783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
 }
 
 ORACLES: dict[str, str] = {
@@ -775,6 +814,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": SESSIONIZE_SQL,
     "text_lang_source_stats": LANG_SOURCE_SQL,
     "text_fingerprint_groups": FINGERPRINT_SQL,
+    "text_winnowing": TEXT_WINNOWING_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     # text_profile / dedup_* / knn oracles generated programmatically below
 }

@@ -140,3 +140,17 @@ def test_lang_id_obvious_cases(spark):
     )
     out = {r.doc_id: r.p for r in df.select("doc_id", text.lang_id(F.col("text")).alias("p")).collect()}
     assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(embeddings, q, k=5).collect()}
+    iv = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(embeddings, q, k=5, nprobe=4).collect()}
+    assert len(bf & iv) / len(bf) >= 0.5
+
+
+def test_ivf_centroids_deterministic(spark, embeddings):
+    a = similarity.train_ivf_centroids(embeddings, n_cells=8, seed=7)
+    b = similarity.train_ivf_centroids(embeddings, n_cells=8, seed=7)
+    import numpy as np
+    assert np.array_equal(a, b)
