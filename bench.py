@@ -31,6 +31,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "pivot_orders_status",
+    "order_gaps_lag_lead",
+    "grouping_sets_orders",
+    "quantiles_acctbal_per_segment",
     "topk_customers_per_segment",
     "rollup_orders",
     "cube_orders",
@@ -44,9 +51,12 @@ HEADLINE = [
     # text / dedup / similarity
     "text_profile",
     "text_fingerprint_groups",
+    "text_winnowing",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "knn_brute_force",
     "knn_lsh",

@@ -204,24 +204,38 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: bit j of the fingerprint is the sign of
     sum over tokens of (2*bit_j(xxhash64(token)) - 1), token-frequency
-    weighted. All JVM expressions; one explode + one keyed aggregate."""
-    toks = df.select(
+    weighted (bit 63 kept clear so fingerprints stay non-negative).
+
+    Computed entirely per row with array higher-order functions — hash each
+    token once, fold the per-bit sign contributions into a 64-long
+    accumulator, then pack the signs into one long. ZERO shuffle: simhash is
+    embarrassingly parallel per document, so at 100 TB this is a pure map
+    stage. (A previous explode + 64-column groupBy version shuffled every
+    token AND blew up whole-stage codegen with a 63-deep Add tree — minutes
+    per 500 docs; this form is sub-second.)"""
+    assert bits == 64, "packed-long simhash is fixed at 64 bits"
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).where(F.col("tok") != "")
-    h = toks.withColumn("__h", F.xxhash64("tok"))
-    aggs = [
-        F.sum(
-            (F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1))
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    sums = h.groupBy("__id").agg(*aggs)
-    fp = F.lit(0).cast("long")
-    for j in range(bits - 1):  # bit 63 kept clear: keeps fingerprints non-negative
-        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (2**j)).otherwise(
-            F.lit(0).cast("long")
-        )
+        F.expr(
+            f"transform(filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != ''),"
+            " t -> xxhash64(t))"
+        ).alias("__hashes"),
+    )
+    sums = hashed.select(
+        "__id",
+        F.expr(
+            "aggregate(__hashes, array_repeat(0L, 64),"
+            " (acc, h) -> zip_with(acc,"
+            "   transform(sequence(0, 63), j -> cast(shiftright(h, j) & 1 as long) * 2L - 1L),"
+            "   (a, b) -> a + b))"
+        ).alias("__sums"),
+    )
+    fp = F.expr(
+        "aggregate(zip_with(slice(__sums, 1, 63),"
+        "   transform(sequence(0, 62), j -> shiftleft(1L, j)),"
+        "   (s, p) -> if(s > 0, p, 0L)),"
+        " 0L, (a, x) -> a + x)"
+    )
     return sums.select(F.col("__id").alias(id_col), fp.alias("simhash"))
 
 
@@ -287,3 +301,58 @@ def embedding_near_dup_pairs(
         "cosine", F.round(dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb")), 4)
     )
     return out.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by min-label
+    propagation: every node's label converges to the smallest node id in its
+    component. Returns (node, component).
+
+    This turns pairwise near-dup output (Jaccard / MinHash / SimHash /
+    cosine pairs) into dedup *clusters*: keep component == node as the
+    survivor, drop the rest.
+
+    Scale design: one keyed shuffle (join + min-aggregate) per round,
+    O(component diameter) rounds — near-dup clusters are shallow (chains of
+    overlapping docs), so a handful of rounds suffices. Each round is
+    ``localCheckpoint``-ed: iterative self-joins otherwise stack lineage and
+    re-execute the whole history every round. Convergence is detected with a
+    ``limit(1)`` existence probe, not a full count. For adversarial
+    planet-scale graphs (long chains), swap in the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce") — same
+    interface, O(log^2 n) rounds.
+    """
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "component"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        improved = (
+            new.join(labels.withColumnRenamed("component", "__old"), "node")
+            .where(F.col("component") < F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if improved == 0:
+            break
+    return labels

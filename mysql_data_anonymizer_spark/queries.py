@@ -744,6 +744,276 @@ def knn_ivf(spark, sf_dir):
 
 
 # ===========================================================================
+# additional relational coverage (TPC-H-style + pivot/lag/grouping sets)
+# ===========================================================================
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global agg — every predicate reaches
+    the parquet scan (PushedFilters), zero joins, one partial+final agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount", 6, 4)
+    out = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (disc >= F.lit("0.02").cast("decimal(6,4)"))
+            & (disc <= F.lit("0.08").cast("decimal(6,4)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice", 14, 2) * disc).cast("decimal(30,6)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(6,4)) BETWEEN CAST(0.02 AS DECIMAL(6,4)) AND CAST(0.08 AS DECIMAL(6,4))
+  AND l_quantity < 24
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact-to-dim broadcast join + conditional aggregate.
+    Returned as (promo, total) decimal sums — the division is left to the
+    caller because decimal-division scale rules are engine-specific."""
+    l = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
+    out = (
+        l.join(F.broadcast(part), l.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev))
+            .cast("decimal(30,6)")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("decimal(30,6)").alias("total_revenue"),
+        )
+    )
+    return out
+
+
+Q14_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) END) AS DECIMAL(30,6)) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING on a grouped fact, then join back to dims.
+    The heavy groupBy runs FIRST and the >200 filter shrinks it to a sliver
+    before any join — the join inputs are small, so AQE broadcasts them."""
+    l = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", 8, 2)).cast("decimal(18,2)").alias("total_qty"))
+        .where(F.col("total_qty") > 200)
+    )
+    out = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey"),
+            "o_orderdate",
+            _dec("o_totalprice", 14, 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+    return out
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(18,2)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 200
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def pivot_orders_status(spark, sf_dir):
+    """Pivot (crosstab): order counts per priority x status. Explicit value
+    list => single-pass conditional aggregation, no extra distinct job."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("n_f"),
+        F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"),
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def order_gaps_lag_lead(spark, sf_dir):
+    """lag/lead window pair: seconds since a customer's previous order and
+    the next order's key. One shuffle on o_custkey serves both functions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("__prev", F.lag("o_orderdate").over(w))
+        .withColumn("next_orderkey", F.lead("o_orderkey").over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            # timestampdiff works on TIMESTAMP_NTZ (a plain cast-to-long does
+            # not in Spark 4) and is timezone-independent
+            F.expr("timestampdiff(SECOND, __prev, o_orderdate)").alias("gap_secs"),
+            "next_orderkey",
+        )
+    )
+
+
+ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       date_diff('second', lag(o_orderdate) OVER w, o_orderdate) AS gap_secs,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def grouping_sets_orders(spark, sf_dir):
+    """GROUPING SETS: priority-only, status-only, and grand-total rollups in
+    one pass (single shuffle, Expand node feeds each set)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def top_supplier_per_nation(spark, sf_dir):
+    """Ranking window over supplier + broadcast dim join."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    top = supplier.withColumn("rnk", F.row_number().over(w).cast("long")).where(F.col("rnk") == 1)
+    return top.join(F.broadcast(nation), top.s_nationkey == nation.n_nationkey).select(
+        "n_name", "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+TOP_SUPPLIER_SQL = """
+SELECT n_name, s_suppkey, s_name, s_acctbal FROM (
+  SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+         row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+  FROM supplier
+) s JOIN nation ON s_nationkey = n_nationkey
+WHERE rnk = 1
+"""
+
+
+def quantiles_acctbal_per_segment(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`: same (n-1)*p rank + lerp on doubles)."""
+    cust = _t(spark, sf_dir, "customer")
+    q = F.expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(q.alias("__q"), F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "c_mktsegment",
+            F.col("__q")[0].alias("p25"),
+            F.col("__q")[1].alias("p50"),
+            F.col("__q")[2].alias("p75"),
+            "n_customers",
+        )
+    )
+
+
+QUANTILES_SQL = """
+SELECT c_mktsegment,
+       quantile_cont(c_acctbal, 0.25) AS p25,
+       quantile_cont(c_acctbal, 0.50) AS p50,
+       quantile_cont(c_acctbal, 0.75) AS p75,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def approx_distinct_users_daily(spark, sf_dir):
+    """HyperLogLog++ sketch aggregate — THE 100 TB cardinality operator
+    (mergeable partial sketches, no exact-distinct shuffle of raw values).
+    No value oracle: sketch estimates are engine-specific (rows-only check);
+    the exact twin `distinct_nations_per_segment` is value-checked."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> cluster assignment
+    (doc_id, cluster_id). The oracle replays label propagation as a
+    recursive CTE fixpoint: min reachable id == component min."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+def _gen_dedup_clusters_sql(threshold: float = 0.6) -> str:
+    pairs_sql = _gen_ngram_jaccard_sql(threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -758,6 +1028,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "pivot_orders_status": pivot_orders_status,
+    "order_gaps_lag_lead": order_gaps_lag_lead,
+    "grouping_sets_orders": grouping_sets_orders,
+    "top_supplier_per_nation": top_supplier_per_nation,
+    "quantiles_acctbal_per_segment": quantiles_acctbal_per_segment,
+    "approx_distinct_users_daily": approx_distinct_users_daily,
     "topk_customers_per_segment": topk_customers_per_segment,
     "rollup_orders": rollup_orders,
     "cube_orders": cube_orders,
@@ -781,6 +1060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
@@ -798,6 +1078,14 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "pivot_orders_status": PIVOT_SQL,
+    "order_gaps_lag_lead": ORDER_GAPS_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
+    "top_supplier_per_nation": TOP_SUPPLIER_SQL,
+    "quantiles_acctbal_per_segment": QUANTILES_SQL,
     "topk_customers_per_segment": TOPK_SEGMENT_SQL,
     "rollup_orders": ROLLUP_ORDERS_SQL,
     "cube_orders": CUBE_ORDERS_SQL,
@@ -985,5 +1273,6 @@ ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
 ORACLES["dedup_embedding_cosine"] = _gen_embedding_dedup_sql(0.4)
 ORACLES["knn_brute_force"] = _gen_knn_sql(5)
+ORACLES["dedup_clusters"] = _gen_dedup_clusters_sql(0.6)
 # dedup_simhash (xxhash64 not in DuckDB) and knn_lsh (approximate by design)
 # intentionally have no oracle -> driver does the rows-only check

@@ -154,3 +154,32 @@ def test_ivf_centroids_deterministic(spark, embeddings):
     b = similarity.train_ivf_centroids(embeddings, n_cells=8, seed=7)
     import numpy as np
     assert np.array_equal(a, b)
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4 plus island 10-11: labels collapse to component minima
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.node: r.component for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_long_chain(spark):
+    # a 20-node path needs multiple propagation rounds; must still converge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    out = {r.component for r in dedup.connected_components(edges).collect()}
+    assert out == {0}
+
+
+def test_winnowing_robust_to_local_edit(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi"
+    edited = base.replace("theta", "CHANGED")  # one-token edit
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    fps = text.winnowing_fingerprints(df, k=3, window=4).collect()
+    s1 = {r.fp for r in fps if r.doc_id == 1}
+    s2 = {r.fp for r in fps if r.doc_id == 2}
+    # most fingerprints survive a single-token edit
+    assert len(s1 & s2) / len(s1) >= 0.5
