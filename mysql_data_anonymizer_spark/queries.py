@@ -30,6 +30,23 @@ SEED = 42
 HEXD = "0123456789abcdef"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IFF the scan has fewer partitions than the
+    session's parallelism.
+
+    The fixtures are single-file single-row-group parquet, so the scan is ONE
+    task and every per-row map (shingling, simhash, masking expressions)
+    would otherwise run serially on one core. On a real 100 TB table the
+    scan yields thousands of splits and this is a no-op — the condition makes
+    the remedy apply only to the small-file case, never adding a shuffle at
+    scale. Catalyst still pushes filters/pruning through the Repartition node
+    to the scan."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(par, 8):
+        return df.repartition(par)
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
@@ -38,8 +55,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timestamps agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _spread(df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    return _spread(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _dec(col: str, prec: int = 12, scale: int = 2):
