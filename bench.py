@@ -34,6 +34,10 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q4_order_priority",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    "zscore_acctbal_per_segment",
     "pivot_orders_status",
     "order_gaps_lag_lead",
     "grouping_sets_orders",
@@ -61,6 +65,7 @@ HEADLINE = [
     "knn_brute_force",
     "knn_lsh",
     "knn_ivf",
+    "multimodal_featurize",
 ]
 
 

@@ -150,19 +150,24 @@ def minhash_lsh_pairs(
     sh = shingles(df, id_col, text_col, n).cache()
     sig = minhash_signatures(sh, num_hashes)
 
-    band_frames = []
-    for b in range(bands):
-        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_frames.append(
-            sig.select(
-                "__id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
-            )
+    # all band keys in ONE pass over the signature: a union of per-band
+    # frames would re-execute the signature aggregation once per band
+    # (bands x the most expensive stage); explode multiplies rows AFTER the
+    # single aggregate instead
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                )
+            ).alias("bkey"),
         )
-    banded = band_frames[0]
-    for f in band_frames[1:]:
-        banded = banded.unionByName(f)
+        for b in range(bands)
+    ]
+    banded = sig.select("__id", F.explode(F.array(*band_structs)).alias("__b")).select(
+        "__id", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey")
+    )
 
     a = banded.select(F.col("__id").alias("id_a"), "band", "bkey")
     b2 = banded.select(F.col("__id").alias("id_b"), "band", "bkey")
@@ -247,17 +252,22 @@ def simhash_pairs(
     Candidates via banding (pigeonhole: distance <= k pairs share at least
     one of k+1 bands; 64/16 = 4 bands covers max_hamming 3) then exact
     popcount verify. bit_count is a JVM builtin — no UDF."""
-    fp = simhash(df, id_col, text_col).cache()
+    fp = simhash(df, id_col, text_col)
     nbands = 64 // band_bits
-    frames = []
-    for b in range(nbands):
-        key = F.shiftrightunsigned(F.col("simhash"), b * band_bits).bitwiseAND(
-            F.lit((1 << band_bits) - 1)
+    # one pass: explode band keys from the fingerprint instead of a union of
+    # per-band frames (which would recompute the simhash fold per band)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("bkey"),
         )
-        frames.append(fp.select(F.col(id_col).alias("__id"), "simhash", F.lit(b).alias("band"), key.alias("bkey")))
-    banded = frames[0]
-    for f in frames[1:]:
-        banded = banded.unionByName(f)
+        for b in range(nbands)
+    ]
+    banded = fp.select(
+        F.col(id_col).alias("__id"), "simhash", F.explode(F.array(*band_structs)).alias("__b")
+    ).select("__id", "simhash", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))
     a = banded.select(F.col("__id").alias("id_a"), F.col("simhash").alias("__sa"), "band", "bkey")
     b2 = banded.select(F.col("__id").alias("id_b"), F.col("simhash").alias("__sb"), "band", "bkey")
     cand = (

@@ -1030,6 +1030,169 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS subquery (late-shipped orders per
+    priority). Expressed in SQL so Catalyst's RewritePredicateSubquery turns
+    the correlated EXISTS into a shuffle-free-on-the-probe-side left
+    semi-join — no per-row subquery execution at any scale."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q4_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM __q4_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM __q4_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar aggregate subquery (revenue from
+    orders below 20% of the part's average quantity). Catalyst decorrelates
+    the per-part AVG into one aggregate + join — a single keyed shuffle
+    instead of |lineitem| subquery executions. The avg is exact (integral
+    quantities sum exactly in doubles), so the predicate is engine-stable;
+    the final division runs in double on an exact decimal sum."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q17_part")
+    return spark.sql(
+        """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+                    AS DOUBLE) AS avg_yearly
+        FROM __q17_lineitem l JOIN __q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 10
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM __q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+Q17_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+            AS DOUBLE) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 10
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average) +
+    NOT EXISTS anti-join, per-nation rollup. The scalar subquery becomes a
+    broadcast single-row plan; NOT EXISTS becomes a left anti-join."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__q22_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q22_orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS totacctbal
+        FROM __q22_customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __q22_customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM __q22_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        GROUP BY c_nationkey
+        """
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+GROUP BY c_nationkey
+"""
+
+
+def zscore_acctbal_per_segment(spark, sf_dir):
+    """Grouped-map UDAF surface (`applyInPandas`): per-segment z-score of
+    account balance. Each group ships to a Python worker as ONE Arrow batch
+    and returns a same-length frame — the custom-aggregation escape hatch for
+    logic Spark SQL can't express (here it can, which is what makes the
+    DuckDB window-function oracle possible). Scale: one keyed shuffle;
+    per-task memory is bounded by the largest group, so group by a
+    well-distributed key (5 segments here is the demo shape, not the 100 TB
+    shape — salt or pre-aggregate for giant groups)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+
+    def z(pdf):
+        m = pdf["c_acctbal"].mean()
+        s = pdf["c_acctbal"].std(ddof=1)
+        return pdf.assign(zscore=((pdf["c_acctbal"] - m) / s).round(4))[
+            ["c_custkey", "c_mktsegment", "zscore"]
+        ]
+
+    return cust.groupBy("c_mktsegment").applyInPandas(
+        z, "c_custkey long, c_mktsegment string, zscore double"
+    )
+
+
+ZSCORE_SQL = """
+SELECT c_custkey, c_mktsegment,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER w) / STDDEV_SAMP(c_acctbal) OVER w, 4) AS zscore
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment)
+"""
+
+
+def multimodal_featurize(spark, sf_dir):
+    """Multimodal plumbing, value-checked: documents become opaque binary
+    payloads (utf-8 bytes) with a deterministic kind tag; the Arrow-batched
+    decode/featurize pipeline (multimodal.decode_and_featurize, codec layer
+    stubbed per README) runs end-to-end. The oracle checks the metadata the
+    pipeline must preserve (id, kind, byte length, feature width) — feature
+    VALUES are covered by tests/test_multimodal.py since the fake codec has
+    no SQL twin."""
+    from mysql_data_anonymizer_spark.multimodal.media import decode_and_featurize
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = decode_and_featurize(media)
+    return out.select(
+        "media_id", "kind", "n_bytes", F.size("features").cast("long").alias("n_features")
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(16 AS BIGINT) AS n_features
+FROM documents
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1081,6 +1244,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
+    "q4_order_priority": q4_order_priority,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "zscore_acctbal_per_segment": zscore_acctbal_per_segment,
+    "multimodal_featurize": multimodal_featurize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1285,6 +1453,11 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+ORACLES["q4_order_priority"] = Q4_SQL
+ORACLES["q17_small_quantity_revenue"] = Q17_SQL
+ORACLES["q22_idle_rich_customers"] = Q22_SQL
+ORACLES["zscore_acctbal_per_segment"] = ZSCORE_SQL
+ORACLES["multimodal_featurize"] = MULTIMODAL_SQL
 ORACLES["text_profile"] = _gen_text_profile_sql()
 ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)

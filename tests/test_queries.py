@@ -1,0 +1,63 @@
+"""Oracle-parity tests for the subquery / grouped-map / multimodal queries
+(the driver runs the same comparison at sf0.01; this is the fast local twin
+at sf0.001)."""
+
+import math
+
+import duckdb
+import pytest
+
+from mysql_data_anonymizer_spark import queries as Q
+
+NEW = [
+    "q4_order_priority",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    "zscore_acctbal_per_segment",
+    "multimodal_featurize",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    try:
+        float(v)
+        return repr(float(v))
+    except (TypeError, ValueError):
+        return str(v)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = Q.QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(Q.ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    cols = sorted(sdf.columns)
+    s_rows = sorted(tuple(_norm(v) for v in row) for row in sdf[cols].itertuples(index=False))
+    o_rows = sorted(tuple(_norm(v) for v in row) for row in odf[cols].itertuples(index=False))
+    assert len(s_rows) == len(o_rows), f"{name}: {len(s_rows)} vs {len(o_rows)} rows"
+    assert s_rows == o_rows
+
+
+def test_q4_is_semijoin_not_subquery_per_row(spark, sf_dir):
+    """Catalyst must decorrelate the EXISTS into a (semi) join — the plan
+    at 100 TB cannot run one subquery per outer row."""
+    plan = Q.QUERIES["q4_order_priority"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SemiBuildRight" in plan or "LeftSemi" in plan
+
+
+def test_zscore_properties(spark, sf_dir):
+    out = Q.QUERIES["zscore_acctbal_per_segment"](spark, sf_dir).toPandas()
+    # z-scores are centered per segment
+    for _, grp in out.groupby("c_mktsegment"):
+        assert abs(grp["zscore"].mean()) < 1e-2
