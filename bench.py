@@ -66,6 +66,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "multimodal_featurize",
+    "streaming_tumbling_agg",
 ]
 
 

@@ -405,21 +405,23 @@ def connected_components(
     ).localCheckpoint()
     for _ in range(max_iter):
         prop = sym.join(labels, sym.src == labels.node).select(
-            F.col("dst").alias("node"), "component"
+            F.col("dst").alias("node"), "component", F.lit(False).alias("__own")
         )
+        # change detection folded into the same aggregate (min over own label
+        # vs min over all) — one join + one shuffle per round, no second
+        # labels join just to diff old vs new
         new = (
-            labels.unionByName(prop)
+            labels.withColumn("__own", F.lit(True))
+            .unionByName(prop)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("__own"), F.col("component"))).alias("__old"),
+            )
             .localCheckpoint()
         )
-        improved = (
-            new.join(labels.withColumnRenamed("component", "__old"), "node")
-            .where(F.col("component") < F.col("__old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        improved = new.where(F.col("component") < F.col("__old")).limit(1).count()
+        labels = new.drop("__old")
         if improved == 0:
             break
     return labels

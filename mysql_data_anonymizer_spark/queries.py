@@ -16,6 +16,8 @@ driver's value-hash comparison is meaningful:
 
 from __future__ import annotations
 
+import os
+import tempfile
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1193,6 +1195,56 @@ FROM documents
 """
 
 
+def streaming_tumbling_agg(spark, sf_dir):
+    """Structured Streaming, value-checked: the events table replayed as a
+    bounded file stream through the watermark + tumbling-window operator
+    (streaming/stream_ops.py), driven to completion with availableNow into a
+    memory sink. On a bounded replay the streaming result must equal the
+    batch GROUP BY — which is exactly what the DuckDB oracle asserts. The
+    same topology against an unbounded source is the 100 TB path (bounded
+    state via watermark; late events beyond 30min dropped)."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import tumbling_aggregates
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource wants a directory; stage the single fixture file into
+    # a temp dir by symlink (no data copy)
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = tumbling_aggregates(stream, window="30 minutes", watermark="30 minutes")
+    name = f"stream_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+    )
+
+
+STREAMING_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1249,6 +1301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "zscore_acctbal_per_segment": zscore_acctbal_per_segment,
     "multimodal_featurize": multimodal_featurize,
+    "streaming_tumbling_agg": streaming_tumbling_agg,
 }
 
 ORACLES: dict[str, str] = {
@@ -1458,6 +1511,7 @@ ORACLES["q17_small_quantity_revenue"] = Q17_SQL
 ORACLES["q22_idle_rich_customers"] = Q22_SQL
 ORACLES["zscore_acctbal_per_segment"] = ZSCORE_SQL
 ORACLES["multimodal_featurize"] = MULTIMODAL_SQL
+ORACLES["streaming_tumbling_agg"] = STREAMING_TUMBLING_SQL
 ORACLES["text_profile"] = _gen_text_profile_sql()
 ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)

@@ -15,6 +15,7 @@ NEW = [
     "q22_idle_rich_customers",
     "zscore_acctbal_per_segment",
     "multimodal_featurize",
+    "streaming_tumbling_agg",
 ]
 
 
