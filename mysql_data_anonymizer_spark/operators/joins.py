@@ -84,3 +84,44 @@ def range_join_banded(
         F.abs(F.col(left_val) - F.col(right_val)) <= max_distance
     )
     return out.drop("__band").distinct()
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) fact side, replicate the
+    dim side.
+
+    A plain ``fact.join(dim, key)`` shuffles every fact row with the same key
+    into ONE reducer — a hot FK (the reference's synchro cascade shape,
+    reference src/Anonymizer.php:416-418, where one customer may own millions
+    of orders) turns a 1000-executor cluster into a 1-task straggler. Here
+    each fact row picks a random-but-deterministic salt in [0, salt_buckets)
+    (hash of the whole row's key + a per-row uniform via ``pmod(xxhash64)``),
+    the dim side is exploded x salt_buckets, and the join key becomes
+    (key, salt) — the hot key's rows spread over ``salt_buckets`` reducers.
+
+    Cost: dim is replicated ``salt_buckets``-fold, so use this when dim is
+    small-to-medium but too big (or the join is not inner) for a plain
+    broadcast, and the fact side is skewed. AQE's skew-join handles many
+    cases adaptively; an explicit salt is the deterministic fallback for
+    extreme single-key skew (AQE can only split a partition, not a single
+    key's sort group, for non-shuffle-local operations downstream).
+
+    The salt is derived from the fact row's full tuple hash, so the result
+    set is identical to the unsalted join (verified in tests) — salting
+    changes data placement, never semantics.
+    """
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in fact.columns])), F.lit(salt_buckets))
+    fs = fact.withColumn("__salt", salt.cast("int"))
+    ds = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>"))
+    )
+    cond = (fs[fact_key] == ds[dim_key]) & (fs["__salt"] == ds["__salt"])
+    out = fs.join(ds, cond, how)
+    return out.drop(fs["__salt"]).drop(ds["__salt"])

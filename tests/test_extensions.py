@@ -147,3 +147,27 @@ def test_stateful_user_totals(spark, events, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+# ------------------------------------------------------ skew-resistant join
+def test_salted_join_matches_plain_join(spark, customer, orders):
+    from mysql_data_anonymizer_spark.operators.joins import salted_join
+
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    salted = salted_join(orders, customer, "o_custkey", "c_custkey", salt_buckets=8).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched(spark, customer, orders):
+    from mysql_data_anonymizer_spark.operators.joins import salted_join
+    from pyspark.sql import functions as F
+
+    no_dim = customer.filter(F.col("c_custkey") < 0)  # empty dim
+    out = salted_join(orders, no_dim, "o_custkey", "c_custkey", salt_buckets=4, how="left")
+    assert out.count() == orders.count()
