@@ -92,3 +92,38 @@ def test_parquet_write_roundtrip(spark, tmp_path, customer):
     out = str(tmp_path / "c_out")
     sinks.write_parquet(customer, out)
     assert spark.read.parquet(out).count() == customer.count()
+
+
+# ------------------------------------------------------ bucketed layout
+def test_bucketed_join_is_shuffle_free(spark, customer, orders, tmp_path):
+    from mysql_data_anonymizer_spark.sources.bucketing import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        "bt_customer", ["custkey"], 8, path=str(tmp_path / "c"),
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "bt_orders", ["custkey"], 8, path=str(tmp_path / "o"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle-shaped join so the assertion is about bucketing,
+        # not about the dim being broadcast-small
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(spark, "bt_orders", "bt_customer", ["custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join should not shuffle:\n{plan}"
+        # and it is still CORRECT
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
