@@ -17,6 +17,7 @@ driver's value-hash comparison is meaningful:
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from typing import Callable
 
@@ -32,8 +33,8 @@ SEED = 42
 HEXD = "0123456789abcdef"
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition IFF the scan has fewer partitions than the
+def _spread(df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition IFF the scan would have fewer splits than the
     session's parallelism.
 
     The fixtures are single-file single-row-group parquet, so the scan is ONE
@@ -41,24 +42,36 @@ def _spread(df: DataFrame) -> DataFrame:
     would otherwise run serially on one core. On a real 100 TB table the
     scan yields thousands of splits and this is a no-op — the condition makes
     the remedy apply only to the small-file case, never adding a shuffle at
-    scale. Catalyst still pushes filters/pruning through the Repartition node
-    to the scan."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(par, 8):
+    scale. Split count is estimated from the file size on disk (the same
+    arithmetic FilePartition uses) — NOT via ``df.rdd.getNumPartitions()``,
+    which forces a full plan conversion per call (~0.1-0.2 s of driver time
+    paid by every query). Catalyst still pushes filters/pruning through the
+    Repartition node to the scan."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = re.match(r"(\d+)", raw)
+    max_split = int(m.group(1)) if m else 134217728
+    try:
+        est_splits = os.path.getsize(path) // max_split + 1
+    except OSError:  # directory input etc. — assume the source splits fine
+        return df
+    if est_splits < min(par, 8):
         return df.repartition(par)
     return df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
         # rejects; read nanos as long and truncate to microseconds — the
         # same ns->us truncation DuckDB's parquet reader applies, so oracle
         # timestamps agree.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return _spread(df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
-    return _spread(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = spark.read.parquet(path)
+        return _spread(df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))), path)
+    return _spread(spark.read.parquet(path), path)
 
 
 def _dec(col: str, prec: int = 12, scale: int = 2):
