@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_canonical_docs",
     "dedup_embedding_cosine",
     "knn_brute_force",
     "knn_lsh",

@@ -1208,6 +1208,33 @@ FROM documents
 """
 
 
+def dedup_canonical_docs(spark, sf_dir):
+    """End-to-end corpus dedup: near-dup pairs -> components -> keep ONE
+    canonical doc per cluster (the min doc_id) plus all unclustered docs.
+    This is the query a training-data pipeline actually runs; pairs/clusters
+    are its diagnostics. Non-survivors are removed with a left anti-join
+    against the (tiny, broadcastable) drop list."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    drop = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _gen_dedup_canonical_sql(threshold: float = 0.6) -> str:
+    clusters_sql = _gen_dedup_clusters_sql(threshold)
+    return f"""
+WITH clusters AS ({clusters_sql})
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM (SELECT doc_id FROM clusters c WHERE c.doc_id != c.cluster_id) t)
+"""
+
+
 def streaming_tumbling_agg(spark, sf_dir):
     """Structured Streaming, value-checked: the events table replayed as a
     bounded file stream through the watermark + tumbling-window operator
@@ -1315,6 +1342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore_acctbal_per_segment": zscore_acctbal_per_segment,
     "multimodal_featurize": multimodal_featurize,
     "streaming_tumbling_agg": streaming_tumbling_agg,
+    "dedup_canonical_docs": dedup_canonical_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1531,5 +1559,6 @@ ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
 ORACLES["dedup_embedding_cosine"] = _gen_embedding_dedup_sql(0.4)
 ORACLES["knn_brute_force"] = _gen_knn_sql(5)
 ORACLES["dedup_clusters"] = _gen_dedup_clusters_sql(0.6)
+ORACLES["dedup_canonical_docs"] = _gen_dedup_canonical_sql(0.6)
 # dedup_simhash (xxhash64 not in DuckDB) and knn_lsh (approximate by design)
 # intentionally have no oracle -> driver does the rows-only check

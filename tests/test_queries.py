@@ -16,6 +16,7 @@ NEW = [
     "zscore_acctbal_per_segment",
     "multimodal_featurize",
     "streaming_tumbling_agg",
+    "dedup_canonical_docs",
 ]
 
 
