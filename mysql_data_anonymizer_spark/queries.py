@@ -1562,3 +1562,511 @@ ORACLES["dedup_clusters"] = _gen_dedup_clusters_sql(0.6)
 ORACLES["dedup_canonical_docs"] = _gen_dedup_canonical_sql(0.6)
 # dedup_simhash (xxhash64 not in DuckDB) and knn_lsh (approximate by design)
 # intentionally have no oracle -> driver does the rows-only check
+
+
+# ===========================================================================
+# relational wave 3: remaining TPC-H shapes, unpivot, streaming variants
+# ===========================================================================
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume per ship year.
+    The nation dim joins TWICE (supplier side / customer side) — both
+    broadcast, so the only shuffles are the keyed fact joins + final agg.
+    The disjunctive pair predicate spans both dim sides, so Catalyst cannot
+    push it below either join; we pre-reduce each nation dim to the two
+    nations of interest BEFORE joining (implied single-side predicate),
+    which at 100 TB shrinks both fact joins to the matching rows."""
+    nations = ("NATION_1", "NATION_2")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    )
+    vol = _dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
+    pair = (
+        (F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1])
+    ) | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+    return (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(vol).cast("decimal(30,6)").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DECIMAL(30,6)) AS revenue, COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share of PROMO-part revenue inside
+    region AMERICA, per order year. Conditional aggregation (CASE inside
+    SUM) over a 6-way join; part/nation/region dims broadcast, facts shuffle
+    on their join keys only. Share = exact decimal sums divided in double at
+    the very end — engine-stable because both operands are exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    vol = _dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(21,6)")))
+    den = F.sum(vol)
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            num.cast("decimal(30,6)").alias("nation_volume"),
+            den.cast("decimal(30,6)").alias("total_volume"),
+            (num.cast("double") / den.cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(21,6)) END) AS DECIMAL(30,6)) AS nation_volume,
+       CAST(SUM(volume) AS DECIMAL(30,6)) AS total_volume,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(21,6)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+)
+GROUP BY o_year
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned items
+    in one quarter. Exact decimal revenue makes the ORDER BY engine-stable;
+    ties break on c_custkey. orderBy().limit() compiles to TakeOrderedAndProject
+    — a per-partition top-k + single 20-row merge, never a global sort."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(_dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.cast("decimal(30,6)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer, counting
+    customers with zero orders. LEFT OUTER join with a compound ON condition
+    (the filter must live in the join condition, not a WHERE, to keep the
+    null-extended rows), then a double aggregation. count(col) skips the
+    null-extended side exactly like SQL COUNT(o_orderkey)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue 'view' over a 3-month ship window, then the
+    supplier(s) achieving the MAX of that view (uncorrelated scalar
+    subquery over an aggregate). The revenue aggregate is computed once and
+    reused for both the scalar MAX and the join (Catalyst plans the CTE as
+    two scans of one shuffle result under AQE); equality on exact decimals
+    is engine-safe."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q15_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q15_supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS total_revenue
+          FROM __q15_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM __q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: lineitem stands in for partsupp, which the
+    fixture set omits): distinct suppliers per (brand, type, size) slice,
+    excluding suppliers via NOT IN. s_suppkey is non-nullable so Catalyst's
+    null-aware anti-join degenerates to a plain (broadcast) anti-join —
+    the NOT IN list never ships to every row."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q16_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q16_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q16_supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM __q16_lineitem JOIN __q16_part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM __q16_supplier WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under three OR'd multi-column predicate
+    bands spanning both join sides. The common conjunct (the join key) stays
+    an equi-join; the per-band conjuncts evaluate post-join as one vectorized
+    predicate. part is broadcast, so the disjunction never forces a BNLJ."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    band = (
+        (F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5)
+    ) | (
+        (F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15)
+    )
+    rev = F.sum(_dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(rev.cast("decimal(30,6)").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: the fixtures lack commit/receipt dates, so
+    'the supplier who failed' is the one whose line was returned while no
+    co-supplier's line was): EXISTS + NOT EXISTS correlated subqueries on the
+    same fact table. Catalyst rewrites them into one left-semi and one
+    left-anti join on l_orderkey — three scans of lineitem, all shuffled on
+    the same key, so AQE can reuse the exchange."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q21_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q21_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q21_orders")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM __q21_supplier
+        JOIN __q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN __q21_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM __q21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM __q21_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+        """
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def unpivot_lineitem_charges(spark, sf_dir):
+    """Unpivot (wide->long) via stack(): the three charge columns become
+    (charge_type, amount) rows, aggregated per returnflag. stack() is a
+    generator expression inside whole-stage codegen — 3x row inflation
+    happens pipeline-local, never materialized or shuffled pre-aggregation."""
+    l = _t(spark, sf_dir, "lineitem")
+    un = l.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'extendedprice', CAST(l_extendedprice AS DECIMAL(14,2)),"
+            " 'discount', CAST(l_discount AS DECIMAL(14,2)),"
+            " 'tax', CAST(l_tax AS DECIMAL(14,2))) AS (charge_type, amount)"
+        ),
+    )
+    return un.groupBy("l_returnflag", "charge_type").agg(
+        F.sum("amount").cast("decimal(20,2)").alias("total_amount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+UNPIVOT_SQL = """
+WITH un AS (
+  SELECT l_returnflag, 'extendedprice' AS charge_type, CAST(l_extendedprice AS DECIMAL(14,2)) AS amount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', CAST(l_discount AS DECIMAL(14,2)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', CAST(l_tax AS DECIMAL(14,2)) FROM lineitem
+)
+SELECT l_returnflag, charge_type,
+       CAST(SUM(amount) AS DECIMAL(20,2)) AS total_amount, COUNT(*) AS n
+FROM un GROUP BY l_returnflag, charge_type
+"""
+
+
+def streaming_sliding_agg(spark, sf_dir):
+    """Structured Streaming sliding windows (1h window / 30min slide),
+    value-checked: bounded replay through the watermark + sliding-window
+    operator must equal the batch expansion where each event lands in
+    window_size/slide = 2 overlapping windows — exactly what the oracle
+    computes with a 2-row expansion join. State is bounded by the watermark;
+    each event is counted into 2 window states, so state size scales with
+    (#active windows x #event types), not the stream length."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import sliding_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = sliding_counts(stream, window="1 hour", slide="30 minutes", watermark="30 minutes")
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+STREAMING_SLIDING_SQL = """
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       event_type, COUNT(*) AS n_events
+FROM (
+  SELECT CASE WHEN k.k = 0 THEN time_bucket(INTERVAL '30 minutes', ts)
+              ELSE time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' END AS window_start,
+         event_type
+  FROM events, (VALUES (0), (1)) AS k(k)
+)
+GROUP BY window_start, event_type
+"""
+
+
+def streaming_session_agg(spark, sf_dir):
+    """Structured Streaming session windows (30min inactivity gap) per user,
+    value-checked against the batch gaps-and-islands oracle: session_window
+    merges events whose [ts, ts+gap) windows overlap, which is exactly the
+    islands partition where a new island starts when ts - prev_ts >= gap.
+    Watermark bounds session state; sessions close (and leave state) once
+    the watermark passes their end."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import session_aggregates
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = session_aggregates(stream, gap="30 minutes", watermark="30 minutes")
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+STREAMING_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+QUERIES["q7_volume_shipping"] = q7_volume_shipping
+QUERIES["q8_market_share"] = q8_market_share
+QUERIES["q10_returned_items"] = q10_returned_items
+QUERIES["q13_order_distribution"] = q13_order_distribution
+QUERIES["q15_top_supplier"] = q15_top_supplier
+QUERIES["q16_supplier_part_counts"] = q16_supplier_part_counts
+QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
+QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
+QUERIES["unpivot_lineitem_charges"] = unpivot_lineitem_charges
+QUERIES["streaming_sliding_agg"] = streaming_sliding_agg
+QUERIES["streaming_session_agg"] = streaming_session_agg
+ORACLES["q7_volume_shipping"] = Q7_SQL
+ORACLES["q8_market_share"] = Q8_SQL
+ORACLES["q10_returned_items"] = Q10_SQL
+ORACLES["q13_order_distribution"] = Q13_SQL
+ORACLES["q15_top_supplier"] = Q15_SQL
+ORACLES["q16_supplier_part_counts"] = Q16_SQL
+ORACLES["q19_disjunctive_revenue"] = Q19_SQL
+ORACLES["q21_waiting_suppliers"] = Q21_SQL
+ORACLES["unpivot_lineitem_charges"] = UNPIVOT_SQL
+ORACLES["streaming_sliding_agg"] = STREAMING_SLIDING_SQL
+ORACLES["streaming_session_agg"] = STREAMING_SESSION_SQL

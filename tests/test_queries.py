@@ -17,6 +17,17 @@ NEW = [
     "multimodal_featurize",
     "streaming_tumbling_agg",
     "dedup_canonical_docs",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "unpivot_lineitem_charges",
+    "streaming_sliding_agg",
+    "streaming_session_agg",
 ]
 
 
@@ -63,3 +74,26 @@ def test_zscore_properties(spark, sf_dir):
     # z-scores are centered per segment
     for _, grp in out.groupby("c_mktsegment"):
         assert abs(grp["zscore"].mean()) < 1e-2
+
+
+def test_q21_exists_rewritten_to_semi_and_anti_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must decorrelate to one semi- and one anti-join
+    on l_orderkey — never per-row subqueries."""
+    plan = Q.QUERIES["q21_waiting_suppliers"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """The OR'd bands share the l_partkey=p_partkey conjunct, so the join
+    must stay a broadcast hash join, not degrade to nested-loop."""
+    plan = Q.QUERIES["q19_disjunctive_revenue"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_uses_take_ordered(spark, sf_dir):
+    """orderBy().limit(20) must compile to TakeOrderedAndProject (partial
+    per-partition top-k + 20-row merge), not a global sort."""
+    plan = Q.QUERIES["q10_returned_items"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
