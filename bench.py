@@ -37,6 +37,22 @@ HEADLINE = [
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "unpivot_lineitem_charges",
+    "q9_profit_by_nation_year",
+    "q11_important_nations",
+    "q12_priority_by_linestatus",
+    "stats_corr_qty_price",
+    "histogram_totalprice",
+    "ntile_deciles_acctbal",
+    "timeseries_gapfill_hourly",
     "zscore_acctbal_per_segment",
     "pivot_orders_status",
     "order_gaps_lag_lead",
@@ -68,6 +84,8 @@ HEADLINE = [
     "knn_ivf",
     "multimodal_featurize",
     "streaming_tumbling_agg",
+    "streaming_sliding_agg",
+    "streaming_session_agg",
 ]
 
 

@@ -2070,3 +2070,331 @@ ORACLES["q21_waiting_suppliers"] = Q21_SQL
 ORACLES["unpivot_lineitem_charges"] = UNPIVOT_SQL
 ORACLES["streaming_sliding_agg"] = STREAMING_SLIDING_SQL
 ORACLES["streaming_session_agg"] = STREAMING_SESSION_SQL
+
+
+# ===========================================================================
+# relational wave 4: q9/q11/q12 adaptations, exact-decimal statistics,
+# histogram binning, decile windows, time-series gap-fill
+# ===========================================================================
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the fixture set has no partsupp, so
+    p_retailprice stands in for ps_supplycost): product profit per supplier
+    nation per order year, parts filtered by a name substring. The filtered
+    part dim broadcasts (shrinking lineitem FIRST — at 100 TB the substring
+    filter cuts the fact join by ~the selectivity before any wide shuffle);
+    supplier->nation is a second broadcast; only lineitem->orders shuffles,
+    on the natural l_orderkey/o_orderkey keys."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a")).select(
+        "p_partkey", "p_retailprice"
+    )
+    vol = _dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
+    cost = _dec("p_retailprice", 12, 2) * _dec("l_quantity", 12, 2)
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(vol).cast("decimal(30,6)").alias("gross_revenue"),
+            F.sum(cost).cast("decimal(30,6)").alias("supply_cost"),
+            (F.sum(vol).cast("decimal(32,6)") - F.sum(cost).cast("decimal(32,6)"))
+            .cast("decimal(30,6)")
+            .alias("profit"),
+        )
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(volume) AS DECIMAL(30,6)) AS gross_revenue,
+       CAST(SUM(cost) AS DECIMAL(30,6)) AS supply_cost,
+       CAST(CAST(SUM(volume) AS DECIMAL(32,6)) - CAST(SUM(cost) AS DECIMAL(32,6)) AS DECIMAL(30,6)) AS profit
+FROM (
+  SELECT n_name, o_orderdate,
+         CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume,
+         CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%a%'
+)
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q11_important_nations(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: part value held via lineitem in place of
+    partsupp): inventory value per supplier nation, HAVING > fraction of the
+    GLOBAL total (uncorrelated scalar subquery over the same aggregate).
+    The per-nation aggregate is computed once; the global total re-aggregates
+    the tiny (25-row) per-nation result — never a second fact scan. The
+    HAVING comparison casts both exact-decimal sides to double with the same
+    op sequence, so the threshold is engine-stable."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q11_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q11_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__q11_nation")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q11_part")
+    return spark.sql(
+        """
+        WITH nation_value AS (
+          SELECT n_name AS nation,
+                 CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,4)) AS value
+          FROM __q11_lineitem
+          JOIN __q11_part ON l_partkey = p_partkey
+          JOIN __q11_supplier ON l_suppkey = s_suppkey
+          JOIN __q11_nation ON s_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT nation, value
+        FROM nation_value
+        WHERE CAST(value AS DOUBLE) > (SELECT SUM(CAST(value AS DOUBLE)) FROM nation_value) * 0.01
+        """
+    )
+
+
+Q11_SQL = """
+WITH nation_value AS (
+  SELECT n_name AS nation,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,4)) AS value
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT nation, value
+FROM nation_value
+WHERE CAST(value AS DOUBLE) > (SELECT SUM(CAST(value AS DOUBLE)) FROM nation_value) * 0.01
+"""
+
+
+def q12_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: l_linestatus stands in for l_shipmode,
+    which the fixtures omit): high/low order-priority line counts per line
+    status within a ship-date year. Conditional SUM over one shuffled
+    orders<->lineitem join; the date filter prunes lineitem BEFORE the join
+    (predicate pushdown to the scan)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def stats_corr_qty_price(spark, sf_dir):
+    """Pearson correlation + sample stddev per return flag — computed from
+    EXACT decimal power sums (Sx, Sy, Sxx, Sxy, Syy are order-independent
+    decimal additions; one map-side-combined shuffle), with the closed-form
+    combination done in double as the SAME op sequence in both engines ->
+    bit-identical results. Spark's builtin corr()/stddev() merge partial
+    moments in partition order (FP-nondeterministic across engines AND runs);
+    this formulation is the scale-safe, verifiable alternative.
+
+    The power sums are kept at decimal SCALE 0 (values pre-scaled by 100, so
+    cents become integers): a fractional-scale decimal -> double cast is
+    double-rounded in DuckDB (int128 -> double, then /10^scale) but
+    single-rounded in the JVM (BigDecimal.doubleValue), which diverges by
+    1 ulp on large sums; an integer-valued decimal converts identically in
+    both. corr is scale-invariant; stddev divides the 100x back out at the
+    end (same op in both engines)."""
+    l = _t(spark, sf_dir, "lineitem")
+    x = (_dec("l_quantity", 12, 2) * F.lit(100)).cast("decimal(16,0)")
+    y = (_dec("l_extendedprice", 14, 2) * F.lit(100)).cast("decimal(18,0)")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(y).cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(x * x).cast("decimal(38,0)").cast("double").alias("sxx"),
+        F.sum(x * y).cast("decimal(38,0)").cast("double").alias("sxy"),
+        F.sum(y * y).cast("decimal(38,0)").cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    sd_x = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (F.col("n") * (F.col("n") - 1))
+    ) / F.lit(100.0)
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        corr.alias("corr_qty_price"),
+        sd_x.alias("stddev_qty"),
+    )
+
+
+STATS_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0)) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS DECIMAL(18,0)) AS y
+  FROM lineitem
+), a AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(x) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x * x) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(x * y) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(y * y) AS DECIMAL(38,0)) AS DOUBLE) AS syy
+  FROM s GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+       SQRT((n * sxx - sx * sx) / (n * (n - 1))) / 100.0 AS stddev_qty
+FROM a
+"""
+
+
+def histogram_totalprice(spark, sf_dir):
+    """Fixed-width histogram of order totals: bucket index from identical
+    floor/divide double arithmetic in both engines, counts + exact decimal
+    sums per bucket. One map-side-combined aggregation; at 100 TB the result
+    is <=#buckets rows regardless of input size."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(9)).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14, 2)).cast("decimal(20,2)").alias("total_value"),
+        )
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(20,2)) AS total_value
+FROM orders
+GROUP BY 1
+"""
+
+
+def ntile_deciles_acctbal(spark, sf_dir):
+    """NTILE(10) deciles of customer balance per market segment, summarized
+    per decile. The tie-break on c_custkey makes the frame ordering total, so
+    decile assignment is engine-deterministic. Window partitions by segment —
+    bounded cardinality per partition; no global sort."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+NTILE_SQL = """
+SELECT c_mktsegment, decile, COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(10) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+GROUP BY c_mktsegment, decile
+"""
+
+
+def timeseries_gapfill_hourly(spark, sf_dir):
+    """Time-series resample with gap filling: the full hourly grid (per
+    event type) is generated from the stream's min/max hour and left-joined
+    against the hourly rollup, zero-filling empty buckets. Both the grid and
+    the rollup are post-aggregation tiny (#hours x #types) regardless of
+    input size, so the final join broadcasts; the only fact-sized work is
+    the one map-side-combined rollup."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.date_trunc("hour", F.max("ts")).alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_start")
+    )
+    types = ev.select("event_type").distinct()
+    counts = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type").alias("et"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", 12, 2)).cast("decimal(18,2)").alias("tv"),
+        )
+    )
+    return (
+        hours.crossJoin(types)
+        .join(
+            counts,
+            (F.col("h") == F.col("hour_start")) & (F.col("et") == F.col("event_type")),
+            "left",
+        )
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("tv"), F.lit(0).cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+
+
+GAPFILL_SQL = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start FROM b
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), counts AS (
+  SELECT date_trunc('hour', ts) AS h, event_type AS et, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS tv
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_start, event_type, COALESCE(n, 0) AS n_events,
+       COALESCE(tv, CAST(0 AS DECIMAL(18,2))) AS total_value
+FROM hours CROSS JOIN types
+LEFT JOIN counts ON h = hour_start AND et = event_type
+"""
+
+
+QUERIES["q9_profit_by_nation_year"] = q9_profit_by_nation_year
+QUERIES["q11_important_nations"] = q11_important_nations
+QUERIES["q12_priority_by_linestatus"] = q12_priority_by_linestatus
+QUERIES["stats_corr_qty_price"] = stats_corr_qty_price
+QUERIES["histogram_totalprice"] = histogram_totalprice
+QUERIES["ntile_deciles_acctbal"] = ntile_deciles_acctbal
+QUERIES["timeseries_gapfill_hourly"] = timeseries_gapfill_hourly
+ORACLES["q9_profit_by_nation_year"] = Q9_SQL
+ORACLES["q11_important_nations"] = Q11_SQL
+ORACLES["q12_priority_by_linestatus"] = Q12_SQL
+ORACLES["stats_corr_qty_price"] = STATS_CORR_SQL
+ORACLES["histogram_totalprice"] = HISTOGRAM_SQL
+ORACLES["ntile_deciles_acctbal"] = NTILE_SQL
+ORACLES["timeseries_gapfill_hourly"] = GAPFILL_SQL

@@ -28,6 +28,13 @@ NEW = [
     "unpivot_lineitem_charges",
     "streaming_sliding_agg",
     "streaming_session_agg",
+    "q9_profit_by_nation_year",
+    "q11_important_nations",
+    "q12_priority_by_linestatus",
+    "stats_corr_qty_price",
+    "histogram_totalprice",
+    "ntile_deciles_acctbal",
+    "timeseries_gapfill_hourly",
 ]
 
 
@@ -97,3 +104,20 @@ def test_q10_topk_uses_take_ordered(spark, sf_dir):
     per-partition top-k + 20-row merge), not a global sort."""
     plan = Q.QUERIES["q10_returned_items"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gapfill_grid_is_complete(spark, sf_dir):
+    """Every (hour, event_type) cell in the span must be present, including
+    zero-filled gaps: rows == n_distinct_hours * n_distinct_types."""
+    out = Q.QUERIES["timeseries_gapfill_hourly"](spark, sf_dir).toPandas()
+    hours = out["hour_start"].nunique()
+    types = out["event_type"].nunique()
+    assert len(out) == hours * types
+    assert (out["n_events"] >= 0).all()
+
+
+def test_q9_filtered_part_is_broadcast(spark, sf_dir):
+    """The name-filtered part dim must broadcast — the fact join shrinks at
+    the scan, never shuffling lineitem for a dim lookup."""
+    plan = Q.QUERIES["q9_profit_by_nation_year"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
