@@ -61,16 +61,31 @@ def _spread(df: DataFrame, path: str) -> DataFrame:
     return df
 
 
+def _ts_fix(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType microseconds no
+    matter how the reader surfaced the parquet TIMESTAMP(NANOS) physical
+    type: ``bigint`` under spark.sql.legacy.parquet.nanosAsLong (ns -> us by
+    integer division, matching DuckDB's truncation) or ``timestamp_ntz``
+    when schema inference ran without the flag (nanos truncated to NTZ
+    micros directly). Both branches yield identical instants — the session
+    timezone is pinned to UTC — so downstream windows/aggregates and the
+    DuckDB oracles agree regardless of which inference path won."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt is not None and dt.startswith("timestamp_ntz"):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read nanos as long and truncate to microseconds — the
-        # same ns->us truncation DuckDB's parquet reader applies, so oracle
-        # timestamps agree.
+        # events.parquet stores TIMESTAMP(NANOS); ask for nanos-as-long and
+        # normalize whatever dtype actually comes back (see _ts_fix).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return _spread(df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))), path)
+        return _spread(_ts_fix(df), path)
     return _spread(spark.read.parquet(path), path)
 
 
@@ -1252,12 +1267,10 @@ def streaming_tumbling_agg(spark, sf_dir):
     # a temp dir by symlink (no data copy)
     stage = tempfile.mkdtemp(prefix="mda_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = (
+    stream = _ts_fix(
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ).parquet(stage)
     )
     agg = tumbling_aggregates(stream, window="30 minutes", watermark="30 minutes")
     name = f"stream_agg_{uuid.uuid4().hex[:8]}"
@@ -1965,10 +1978,9 @@ def streaming_sliding_agg(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="mda_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = (
+    stream = _ts_fix(
         spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
         .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = sliding_counts(stream, window="1 hour", slide="30 minutes", watermark="30 minutes")
     name = f"stream_slide_{uuid.uuid4().hex[:8]}"
@@ -2010,10 +2022,9 @@ def streaming_session_agg(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="mda_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = (
+    stream = _ts_fix(
         spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
         .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = session_aggregates(stream, gap="30 minutes", watermark="30 minutes")
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
