@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from mysql_data_anonymizer_spark.blueprint import Blueprint
 from mysql_data_anonymizer_spark.functions.generator import DOMAINS
 from mysql_data_anonymizer_spark.operators import dedup, similarity, text
+from mysql_data_anonymizer_spark.sources import files
 from mysql_data_anonymizer_spark.plans.compiler import compile_plan
 
 SEED = 42
@@ -62,20 +63,9 @@ def _spread(df: DataFrame, path: str) -> DataFrame:
 
 
 def _ts_fix(df: DataFrame) -> DataFrame:
-    """Normalize the events ``ts`` column to TimestampType microseconds no
-    matter how the reader surfaced the parquet TIMESTAMP(NANOS) physical
-    type: ``bigint`` under spark.sql.legacy.parquet.nanosAsLong (ns -> us by
-    integer division, matching DuckDB's truncation) or ``timestamp_ntz``
-    when schema inference ran without the flag (nanos truncated to NTZ
-    micros directly). Both branches yield identical instants — the session
-    timezone is pinned to UTC — so downstream windows/aggregates and the
-    DuckDB oracles agree regardless of which inference path won."""
-    dt = dict(df.dtypes).get("ts")
-    if dt == "bigint":
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if dt is not None and dt.startswith("timestamp_ntz"):
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    """Normalize the events ``ts`` column (TIMESTAMP(NANOS) in the fixture)
+    to TimestampType micros — shared logic in sources.files."""
+    return files.normalize_nanos_ts(df, ["ts"])
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -91,6 +81,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _dec(col: str, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _dbl(c):
+    """Engine-stable exact-decimal -> DOUBLE for FINAL output columns.
+
+    Routes through the decimal's string form: decimal->string preserves every
+    digit in both engines, and string->double is correctly rounded in both
+    (Java parseDouble / DuckDB fast_float). The direct decimal->double cast
+    is NOT safe: DuckDB converts unscaled-int then divides (two roundings),
+    which diverges from the JVM by 1 ulp once the unscaled value passes 2^53
+    (observed on q1's sum_charge at sf0.01). Decimal rescale is no
+    alternative either — DuckDB truncates where Spark rounds HALF_UP.
+    Internal arithmetic (aggregation, ordering, HAVING) stays exact decimal;
+    only the projection changes. SQL twin: CAST(CAST(x AS VARCHAR) AS DOUBLE).
+    """
+    return c.cast("string").cast("double")
 
 
 # SQL fragment: DuckDB list literal for the generator's domain pick
@@ -303,19 +309,35 @@ def q1_pricing_summary(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
-    return out
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        _dbl(F.col("sum_qty")).alias("sum_qty"),
+        _dbl(F.col("sum_base_price")).alias("sum_base_price"),
+        _dbl(F.col("sum_disc_price")).alias("sum_disc_price"),
+        _dbl(F.col("sum_charge")).alias("sum_charge"),
+        "count_order",
+    )
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS sum_charge,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-GROUP BY l_returnflag, l_linestatus
+       CAST(CAST(sum_qty AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum_base_price AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum_disc_price AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum_charge AS VARCHAR) AS DOUBLE) AS sum_charge,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS sum_charge,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+  GROUP BY l_returnflag, l_linestatus
+)
 """
 
 
@@ -336,19 +358,23 @@ def q3_top_revenue_orders(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
-    return out
+    # order/limit on the EXACT decimal; only the output column goes double
+    return out.select("l_orderkey", "o_orderdate", _dbl(F.col("revenue")).alias("revenue"))
 
 
 Q3_SQL = """
-SELECT l_orderkey, o_orderdate,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
-GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC, l_orderkey ASC
-LIMIT 10
+SELECT l_orderkey, o_orderdate, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue
+FROM (
+  SELECT l_orderkey, o_orderdate,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate
+  ORDER BY revenue DESC, l_orderkey ASC
+  LIMIT 10
+)
 """
 
 
@@ -367,12 +393,12 @@ def q5_nation_revenue(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(revenue.cast("decimal(30,6)").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
-    return out
+    return out.select("r_name", "n_name", _dbl(F.col("revenue")).alias("revenue"), "n_items")
 
 
 Q5_SQL = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue,
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -408,14 +434,14 @@ def rollup_orders(spark, sf_dir):
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice", 14, 2)).cast("decimal(18,2)").alias("total"),
+            _dbl(F.sum(_dec("o_totalprice", 14, 2))).alias("total"),
         )
     )
 
 
 ROLLUP_ORDERS_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -510,15 +536,15 @@ def running_total_per_customer(spark, sf_dir):
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(_dec("o_totalprice", 14, 2)).over(w).cast("decimal(18,2)").alias("running_total"),
+        _dbl(F.sum(_dec("o_totalprice", 14, 2)).over(w)).alias("running_total"),
     )
 
 
 RUNNING_TOTAL_SQL = """
 SELECT o_orderkey, o_custkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
 FROM orders
 """
 
@@ -529,7 +555,7 @@ def events_hourly_window(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value", 12, 2)).cast("decimal(18,2)").alias("total_value"),
+            _dbl(F.sum(_dec("value", 12, 2))).alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
@@ -538,7 +564,7 @@ def events_hourly_window(spark, sf_dir):
 EVENTS_HOURLY_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -547,13 +573,13 @@ def cube_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec("o_totalprice", 14, 2)).cast("decimal(18,2)").alias("total"),
+        _dbl(F.sum(_dec("o_totalprice", 14, 2))).alias("total"),
     )
 
 
 CUBE_ORDERS_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
@@ -807,7 +833,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice", 14, 2) * disc).cast("decimal(30,6)").alias("revenue"),
+            _dbl(F.sum(_dec("l_extendedprice", 14, 2) * disc).cast("decimal(30,6)")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -815,7 +841,7 @@ def q6_forecast_revenue(spark, sf_dir):
 
 
 Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS revenue,
+SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -838,18 +864,17 @@ def q14_promo_revenue(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
         )
         .agg(
-            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev))
-            .cast("decimal(30,6)")
+            _dbl(F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).cast("decimal(30,6)"))
             .alias("promo_revenue"),
-            F.sum(rev).cast("decimal(30,6)").alias("total_revenue"),
+            _dbl(F.sum(rev).cast("decimal(30,6)")).alias("total_revenue"),
         )
     )
     return out
 
 
 Q14_SQL = """
-SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) END) AS DECIMAL(30,6)) AS promo_revenue,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS total_revenue
+SELECT CAST(CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) END) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
 """
@@ -875,8 +900,9 @@ def q18_large_orders(spark, sf_dir):
             "c_name",
             F.col("o_orderkey"),
             "o_orderdate",
-            _dec("o_totalprice", 14, 2).alias("o_totalprice"),
-            "total_qty",
+            # raw double source column — both engines return it bit-identical
+            F.col("o_totalprice"),
+            _dbl(F.col("total_qty")).alias("total_qty"),
         )
     )
     return out
@@ -884,7 +910,7 @@ def q18_large_orders(spark, sf_dir):
 
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-       CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice, total_qty
+       o_totalprice, CAST(CAST(total_qty AS VARCHAR) AS DOUBLE) AS total_qty
 FROM (
   SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(18,2)) AS total_qty
   FROM lineitem GROUP BY l_orderkey HAVING total_qty > 200
@@ -956,7 +982,7 @@ def grouping_sets_orders(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
@@ -965,7 +991,7 @@ def grouping_sets_orders(spark, sf_dir):
 
 GROUPING_SETS_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
@@ -1137,7 +1163,7 @@ def q22_idle_rich_customers(spark, sf_dir):
     return spark.sql(
         """
         SELECT c_nationkey, COUNT(*) AS numcust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS totacctbal
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS totacctbal
         FROM __q22_customer c
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __q22_customer WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM __q22_orders o
@@ -1149,7 +1175,7 @@ def q22_idle_rich_customers(spark, sf_dir):
 
 Q22_SQL = """
 SELECT c_nationkey, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -1286,14 +1312,14 @@ def streaming_tumbling_agg(spark, sf_dir):
         "window_start",
         "event_type",
         "n_events",
-        F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+        _dbl(F.col("total_value")).alias("total_value"),
     )
 
 
 STREAMING_TUMBLING_SQL = """
 SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1615,13 +1641,16 @@ def q7_volume_shipping(spark, sf_dir):
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
-        .agg(F.sum(vol).cast("decimal(30,6)").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(
+            _dbl(F.sum(vol).cast("decimal(30,6)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 
 Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(volume) AS DECIMAL(30,6)) AS revenue, COUNT(*) AS n_items
+       CAST(CAST(CAST(SUM(volume) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue, COUNT(*) AS n_items
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -1670,19 +1699,19 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            num.cast("decimal(30,6)").alias("nation_volume"),
-            den.cast("decimal(30,6)").alias("total_volume"),
-            (num.cast("double") / den.cast("double")).alias("mkt_share"),
+            _dbl(num.cast("decimal(30,6)")).alias("nation_volume"),
+            _dbl(den.cast("decimal(30,6)")).alias("total_volume"),
+            (_dbl(num.cast("decimal(30,6)")) / _dbl(den.cast("decimal(30,6)"))).alias("mkt_share"),
         )
     )
 
 
 Q8_SQL = """
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(21,6)) END) AS DECIMAL(30,6)) AS nation_volume,
-       CAST(SUM(volume) AS DECIMAL(30,6)) AS total_volume,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(21,6)) END) AS DOUBLE)
-         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       CAST(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(21,6)) END) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS nation_volume,
+       CAST(CAST(CAST(SUM(volume) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS total_volume,
+       CAST(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(21,6)) END) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(SUM(volume) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
          CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume,
@@ -1722,22 +1751,28 @@ def q10_returned_items(spark, sf_dir):
         .agg(rev.cast("decimal(30,6)").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "n_name", _dbl(F.col("revenue")).alias("revenue")
+        )
     )
 
 
 Q10_SQL = """
-SELECT c_custkey, c_name, c_acctbal, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1996-04-01'
-GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20
+SELECT c_custkey, c_name, c_acctbal, n_name, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+  ORDER BY revenue DESC, c_custkey ASC
+  LIMIT 20
+)
 """
 
 
@@ -1791,7 +1826,8 @@ def q15_top_supplier(spark, sf_dir):
           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
           GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, total_revenue
+        SELECT s_suppkey, s_name,
+               CAST(CAST(total_revenue AS STRING) AS DOUBLE) AS total_revenue
         FROM __q15_supplier JOIN revenue ON s_suppkey = supplier_no
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         """
@@ -1806,7 +1842,8 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name,
+       CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
@@ -1944,7 +1981,7 @@ def unpivot_lineitem_charges(spark, sf_dir):
         ),
     )
     return un.groupBy("l_returnflag", "charge_type").agg(
-        F.sum("amount").cast("decimal(20,2)").alias("total_amount"),
+        _dbl(F.sum("amount").cast("decimal(20,2)")).alias("total_amount"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1958,7 +1995,7 @@ WITH un AS (
   SELECT l_returnflag, 'tax', CAST(l_tax AS DECIMAL(14,2)) FROM lineitem
 )
 SELECT l_returnflag, charge_type,
-       CAST(SUM(amount) AS DECIMAL(20,2)) AS total_amount, COUNT(*) AS n
+       CAST(CAST(CAST(SUM(amount) AS DECIMAL(20,2)) AS VARCHAR) AS DOUBLE) AS total_amount, COUNT(*) AS n
 FROM un GROUP BY l_returnflag, charge_type
 """
 
@@ -2111,20 +2148,21 @@ def q9_profit_by_nation_year(spark, sf_dir):
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.sum(vol).cast("decimal(30,6)").alias("gross_revenue"),
-            F.sum(cost).cast("decimal(30,6)").alias("supply_cost"),
-            (F.sum(vol).cast("decimal(32,6)") - F.sum(cost).cast("decimal(32,6)"))
-            .cast("decimal(30,6)")
-            .alias("profit"),
+            _dbl(F.sum(vol).cast("decimal(30,6)")).alias("gross_revenue"),
+            _dbl(F.sum(cost).cast("decimal(30,6)")).alias("supply_cost"),
+            _dbl(
+                (F.sum(vol).cast("decimal(32,6)") - F.sum(cost).cast("decimal(32,6)"))
+                .cast("decimal(30,6)")
+            ).alias("profit"),
         )
     )
 
 
 Q9_SQL = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(volume) AS DECIMAL(30,6)) AS gross_revenue,
-       CAST(SUM(cost) AS DECIMAL(30,6)) AS supply_cost,
-       CAST(CAST(SUM(volume) AS DECIMAL(32,6)) - CAST(SUM(cost) AS DECIMAL(32,6)) AS DECIMAL(30,6)) AS profit
+       CAST(CAST(CAST(SUM(volume) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS gross_revenue,
+       CAST(CAST(CAST(SUM(cost) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS supply_cost,
+       CAST(CAST(CAST(CAST(SUM(volume) AS DECIMAL(32,6)) - CAST(SUM(cost) AS DECIMAL(32,6)) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS profit
 FROM (
   SELECT n_name, o_orderdate,
          CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume,
@@ -2163,7 +2201,7 @@ def q11_important_nations(spark, sf_dir):
           JOIN __q11_nation ON s_nationkey = n_nationkey
           GROUP BY n_name
         )
-        SELECT nation, value
+        SELECT nation, CAST(CAST(value AS STRING) AS DOUBLE) AS value
         FROM nation_value
         WHERE CAST(value AS DOUBLE) > (SELECT SUM(CAST(value AS DOUBLE)) FROM nation_value) * 0.01
         """
@@ -2180,7 +2218,7 @@ WITH nation_value AS (
   JOIN nation ON s_nationkey = n_nationkey
   GROUP BY n_name
 )
-SELECT nation, value
+SELECT nation, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
 FROM nation_value
 WHERE CAST(value AS DOUBLE) > (SELECT SUM(CAST(value AS DOUBLE)) FROM nation_value) * 0.01
 """
@@ -2294,7 +2332,7 @@ def histogram_totalprice(spark, sf_dir):
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice", 14, 2)).cast("decimal(20,2)").alias("total_value"),
+            _dbl(F.sum(_dec("o_totalprice", 14, 2))).alias("total_value"),
         )
     )
 
@@ -2302,7 +2340,7 @@ def histogram_totalprice(spark, sf_dir):
 HISTOGRAM_SQL = """
 SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(20,2)) AS total_value
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM orders
 GROUP BY 1
 """
@@ -2357,7 +2395,7 @@ def timeseries_gapfill_hourly(spark, sf_dir):
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type").alias("et"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("value", 12, 2)).cast("decimal(18,2)").alias("tv"),
+            _dbl(F.sum(_dec("value", 12, 2))).alias("tv"),
         )
     )
     return (
@@ -2371,7 +2409,7 @@ def timeseries_gapfill_hourly(spark, sf_dir):
             "hour_start",
             "event_type",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-            F.coalesce(F.col("tv"), F.lit(0).cast("decimal(18,2)")).alias("total_value"),
+            F.coalesce(F.col("tv"), F.lit(0.0)).alias("total_value"),
         )
     )
 
@@ -2385,11 +2423,11 @@ WITH b AS (
   SELECT DISTINCT event_type FROM events
 ), counts AS (
   SELECT date_trunc('hour', ts) AS h, event_type AS et, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS tv
+         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS tv
   FROM events GROUP BY 1, 2
 )
 SELECT hour_start, event_type, COALESCE(n, 0) AS n_events,
-       COALESCE(tv, CAST(0 AS DECIMAL(18,2))) AS total_value
+       COALESCE(tv, 0.0) AS total_value
 FROM hours CROSS JOIN types
 LEFT JOIN counts ON h = hour_start AND et = event_type
 """

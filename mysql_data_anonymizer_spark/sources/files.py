@@ -15,6 +15,28 @@ from pyspark.sql.types import StructType
 NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+def normalize_nanos_ts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Normalize TIMESTAMP(NANOS) parquet columns to TimestampType micros
+    regardless of how the reader surfaced them:
+
+    - ``bigint`` under ``spark.sql.legacy.parquet.nanosAsLong``: ns -> us by
+      integer division (truncation, matching DuckDB's parquet conversion);
+    - ``timestamp_ntz`` when schema inference ran without the flag: nanos
+      already truncated to NTZ micros — cast to TIMESTAMP (session timezone
+      is pinned UTC, so the instant is unchanged).
+
+    Both branches yield identical instants, so windows/aggregates and the
+    DuckDB oracles agree regardless of which inference path won."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dt is not None and dt.startswith("timestamp_ntz"):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -34,10 +56,7 @@ def read_table(
         if nanos_cols:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = reader.options(**options).parquet(path)
-        for c in nanos_cols:
-            if dict(df.dtypes).get(c) == "bigint":
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-        return df
+        return normalize_nanos_ts(df, nanos_cols)
     if fmt == "csv":
         return reader.options(header="true", inferSchema=schema is None, **options).csv(path)
     if fmt == "json":
