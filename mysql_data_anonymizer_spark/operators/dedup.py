@@ -137,17 +137,27 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.7,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified.
 
     shingle -> minhash signature -> band keys -> bucket equi-join for
     candidates -> exact Jaccard verify on candidates only. The all-pairs
     explosion never happens: candidate generation is |bands| keyed joins and
-    verification touches only bucket collisions."""
+    verification touches only bucket collisions. ``max_shingle_df`` drops
+    stop-shingles (document frequency above the cap) BEFORE signatures and
+    verify — at corpus scale boilerplate shingles otherwise both skew the
+    verify join and poison every signature they touch."""
     assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
     rows_per_band = num_hashes // bands
     # shingles feed signature, sizes and the verify join — compute once
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df")).where(
+            F.col("__df") <= max_shingle_df
+        )
+        sh = sh.join(rare.select("sh"), "sh")
+    sh = sh.cache()
     sig = minhash_signatures(sh, num_hashes)
 
     # all band keys in ONE pass over the signature: a union of per-band
@@ -288,20 +298,27 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold (exact, all-pairs) via a
-    blocked BLAS product.
+    """Pairs with cosine similarity >= threshold — exact all-pairs, fully
+    distributed via a triangle block join (NO driver collect, NO broadcast).
 
-    The corpus matrix is broadcast (same memory envelope as a broadcast-hash
-    join build side); each partition computes ``block @ corpus.T`` with
-    float64 numpy and emits only the above-threshold (id_a < id_b) cells —
-    the O(n^2) score matrix is never materialized beyond one block. When the
-    corpus outgrows the broadcast budget, the scale path is
-    ``similarity.lsh_bucketed_pairs`` (random-hyperplane buckets: keyed
-    shuffle, no all-pairs). Scores are rounded to 4 dp — matmul accumulation
-    differs from sequential summation by ~1 ulp, which the rounding absorbs
-    (same discipline as ``similarity.matmul_topk``), keeping the DuckDB
-    oracle hash-stable.
+    Rows hash into ``B`` blocks; every unordered block pair (i <= j) becomes
+    one reduce group that receives block i as its 'A' side and block j as its
+    'B' side (each row is shuffled to ~B groups — the classic O(n*sqrt(T))
+    all-pairs replication). The group computes its score matrix with one
+    float64 BLAS product and emits only the above-threshold (id_a < id_b)
+    cells, so the O(n^2) score matrix is never materialized beyond one block
+    pair. Task memory is bounded by 2*|block| rows REGARDLESS of corpus size
+    — pick B ~ sqrt-of-task-budget (default sizes B so there are ~2x
+    defaultParallelism groups). Exact all-pairs is inherently O(n^2) compute;
+    when that quadratic term (not memory) is the binding constraint, use the
+    approximate scale path ``similarity.lsh_bucketed_pairs`` (bucketed
+    candidates + verify) instead.
+
+    Scores are rounded to 4 dp — matmul accumulation differs from sequential
+    summation by ~1 ulp, which the rounding absorbs (same discipline as
+    ``similarity.matmul_topk``), keeping the DuckDB oracle hash-stable.
 
     An expression-only variant (unrolled dot product over a broadcast
     nested-loop theta-join) is kept as ``embedding_near_dup_pairs_expr`` —
@@ -309,29 +326,61 @@ def embedding_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
-    b = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    B = n_blocks or max(4, int((4 * par) ** 0.5))  # ~B^2/2 groups ~ 2*par tasks
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("__b"),
+    )
+    # a row in block b is the A side of pairs (b, j>=b) and the B side of
+    # pairs (i<=b, b); the diagonal group (b, b) sees it on both sides
+    a_side = base.select(
+        "__id",
+        "__v",
+        F.col("__b").alias("pi"),
+        F.explode(F.sequence(F.col("__b"), F.lit(B - 1))).alias("pj"),
+        F.lit(0).alias("__side"),
+    )
+    b_side = base.select(
+        "__id",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("pi"),
+        F.col("__b").alias("pj"),
+        F.lit(1).alias("__side"),
+    )
 
-    def block_pairs(batches):
-        all_ids, all_mat, all_norms = b.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            a_norms = np.maximum(np.linalg.norm(a_mat, axis=1), 1e-300)
-            scores = np.round((a_mat @ all_mat.T) / np.outer(a_norms, all_norms), 4)
-            ii, jj = np.nonzero((scores >= threshold) & (a_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": a_ids[ii], "id_b": all_ids[jj], "cosine": scores[ii, jj]}
-            )
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        a = pdf[pdf["__side"] == 0]
+        b = pdf[pdf["__side"] == 1]
+        if not len(a) or not len(b):
+            return empty
+        a_ids = a["__id"].to_numpy(dtype=np.int64)
+        b_ids = b["__id"].to_numpy(dtype=np.int64)
+        a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in a["__v"]])
+        b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in b["__v"]])
+        a_norms = np.maximum(np.linalg.norm(a_mat, axis=1), 1e-300)
+        b_norms = np.maximum(np.linalg.norm(b_mat, axis=1), 1e-300)
+        scores = np.round((a_mat @ b_mat.T) / np.outer(a_norms, b_norms), 4)
+        if pdf["pi"].iloc[0] == pdf["pj"].iloc[0]:
+            # diagonal group: both sides hold the SAME block, so each pair
+            # shows up in both orientations — keep exactly one
+            ii, jj = np.nonzero((scores >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            id_a, id_b = a_ids[ii], b_ids[jj]
+        else:
+            # disjoint blocks: each pair is evaluated once, in whichever
+            # orientation the block hash gave it — normalize to (min, max)
+            ii, jj = np.nonzero(scores >= threshold)
+            id_a = np.minimum(a_ids[ii], b_ids[jj])
+            id_b = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": scores[ii, jj]})
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    blocks = df.select(id_col, vec_col).repartition(par)
-    return blocks.mapInPandas(block_pairs, "id_a long, id_b long, cosine double")
+    both = a_side.unionByName(b_side)
+    return both.groupBy("pi", "pj").applyInPandas(
+        score_block_pair, "id_a long, id_b long, cosine double"
+    )
 
 
 def embedding_near_dup_pairs_expr(

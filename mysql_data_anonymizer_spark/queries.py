@@ -773,15 +773,24 @@ def dedup_exact(spark, sf_dir):
 DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+# document-frequency cap for stop-shingles: a no-op on the fixtures (max df
+# is 7 at sf0.01 / 25 at sf0.1) but it bounds the hottest shingle key at
+# corpus scale; mirrored in the generated oracles
+MAX_SHINGLE_DF = 100
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
+    )
 
 
 def dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5,
+        max_shingle_df=MAX_SHINGLE_DF,
     )
 
 
@@ -814,6 +823,15 @@ def knn_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, queries, k=5)
+
+
+def knn_matmul(spark, sf_dir):
+    """The 100 TB exact-ANN path (per-partition BLAS top-k + tiny global
+    merge, similarity.matmul_topk) under the same oracle as knn_brute_force:
+    identical results, different physical strategy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.matmul_topk(emb, queries, k=5)
 
 
 # ===========================================================================
@@ -1063,7 +1081,9 @@ def dedup_clusters(spark, sf_dir):
     (doc_id, cluster_id). The oracle replays label propagation as a
     recursive CTE fixpoint: min reachable id == component min."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
+    )
     cc = dedup.connected_components(pairs.select("id_a", "id_b"))
     return cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
 
@@ -1256,7 +1276,9 @@ def dedup_canonical_docs(spark, sf_dir):
     are its diagnostics. Non-survivors are removed with a left anti-join
     against the (tiny, broadcastable) drop list."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
+    )
     cc = dedup.connected_components(pairs.select("id_a", "id_b"))
     drop = cc.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -1489,7 +1511,10 @@ sh0 AS (
            ELSE CAST([] AS VARCHAR[]) END)) AS sh
   FROM docs
 ),
-sh AS (SELECT doc_id, sh FROM sh0 WHERE sh <> ''),
+sh1 AS (SELECT doc_id, sh FROM sh0 WHERE sh <> ''),
+-- stop-shingle cap: mirrors max_shingle_df in the engine
+sh_keep AS (SELECT sh FROM sh1 GROUP BY sh HAVING count(*) <= 100),
+sh AS (SELECT s.doc_id, s.sh FROM sh1 s JOIN sh_keep USING (sh)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
@@ -1597,6 +1622,8 @@ ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
 ORACLES["dedup_embedding_cosine"] = _gen_embedding_dedup_sql(0.4)
 ORACLES["knn_brute_force"] = _gen_knn_sql(5)
+QUERIES["knn_matmul"] = knn_matmul
+ORACLES["knn_matmul"] = _gen_knn_sql(5)
 ORACLES["dedup_clusters"] = _gen_dedup_clusters_sql(0.6)
 ORACLES["dedup_canonical_docs"] = _gen_dedup_canonical_sql(0.6)
 # dedup_simhash (xxhash64 not in DuckDB) and knn_lsh (approximate by design)
@@ -2447,3 +2474,39 @@ ORACLES["stats_corr_qty_price"] = STATS_CORR_SQL
 ORACLES["histogram_totalprice"] = HISTOGRAM_SQL
 ORACLES["ntile_deciles_acctbal"] = NTILE_SQL
 ORACLES["timeseries_gapfill_hourly"] = GAPFILL_SQL
+
+
+# ===========================================================================
+# registry ordering: entries the driver has never recorded a CORRECTNESS row
+# for come FIRST, so a bounded correctness pass always reaches them before
+# re-checking queries that are already green.
+# ===========================================================================
+_CHECK_FIRST = [
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_nations",
+    "q12_priority_by_linestatus",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "unpivot_lineitem_charges",
+    "stats_corr_qty_price",
+    "histogram_totalprice",
+    "ntile_deciles_acctbal",
+    "timeseries_gapfill_hourly",
+    "zscore_acctbal_per_segment",
+    "multimodal_featurize",
+    "streaming_tumbling_agg",
+    "streaming_sliding_agg",
+    "streaming_session_agg",
+    "dedup_canonical_docs",
+    "knn_matmul",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
+    **{k: v for k, v in QUERIES.items() if k not in _CHECK_FIRST},
+}
