@@ -2208,30 +2208,31 @@ GROUP BY n_name, year(o_orderdate)
 def q11_important_nations(spark, sf_dir):
     """TPC-H Q11 shape (adapted: part value held via lineitem in place of
     partsupp): inventory value per supplier nation, HAVING > fraction of the
-    GLOBAL total (uncorrelated scalar subquery over the same aggregate).
-    The per-nation aggregate is computed once; the global total re-aggregates
-    the tiny (25-row) per-nation result — never a second fact scan. The
+    GLOBAL total. A WITH-CTE formulation gets INLINED by Catalyst — the
+    4-way fact join would execute twice (once for the threshold, once for
+    the output). Instead the 25-row per-nation aggregate is materialized
+    ONCE via localCheckpoint; the global threshold re-aggregates those 25
+    rows and broadcasts back — exactly one fact scan at any scale. The
     HAVING comparison casts both exact-decimal sides to double with the same
     op sequence, so the threshold is engine-stable."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q11_lineitem")
-    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q11_supplier")
-    _t(spark, sf_dir, "nation").createOrReplaceTempView("__q11_nation")
-    _t(spark, sf_dir, "part").createOrReplaceTempView("__q11_part")
-    return spark.sql(
-        """
-        WITH nation_value AS (
-          SELECT n_name AS nation,
-                 CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,4)) AS value
-          FROM __q11_lineitem
-          JOIN __q11_part ON l_partkey = p_partkey
-          JOIN __q11_supplier ON l_suppkey = s_suppkey
-          JOIN __q11_nation ON s_nationkey = n_nationkey
-          GROUP BY n_name
-        )
-        SELECT nation, CAST(CAST(value AS STRING) AS DOUBLE) AS value
-        FROM nation_value
-        WHERE CAST(value AS DOUBLE) > (SELECT SUM(CAST(value AS DOUBLE)) FROM nation_value) * 0.01
-        """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    val = _dec("p_retailprice", 12, 2) * _dec("l_quantity", 12, 2)
+    nv = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(val).cast("decimal(30,4)").alias("value"))
+        .localCheckpoint()
+    )
+    total = nv.agg(F.sum(F.col("value").cast("double")).alias("__total"))
+    return (
+        nv.join(F.broadcast(total))
+        .where(F.col("value").cast("double") > F.col("__total") * 0.01)
+        .select("nation", _dbl(F.col("value")).alias("value"))
     )
 
 
