@@ -62,15 +62,25 @@ class Anonymizer:
         for name, bp in self.blueprints.items():
             if name not in state:
                 raise KeyError(f"table {name!r} not registered")
-            compiled = compile_plan(state[name], bp.plan, seed=self.config.seed)
+            compiled = compile_plan(
+                state[name], bp.plan, seed=self.config.seed, locale=self.config.locale
+            )
             state[name] = compiled.df
             for src_col, target in bp.plan.synchro_targets():
                 mapping = compiled.key_mappings[src_col]
-                if target.table not in state:
-                    raise KeyError(
-                        f"synchronizeColumn target table {target.table!r} not registered"
-                    )
-                state[target.table] = remap_keys(state[target.table], target.field, mapping)
+                # honor the [field, table, database] qualifier (reference
+                # src/Blueprint.php:185-202, default DB fill
+                # src/Anonymizer.php:381-392): a 'database.table' registration
+                # wins; an unqualified target falls back to the bare name
+                key = f"{target.database}.{target.table}" if target.database else target.table
+                if key not in state:
+                    if target.database is not None and target.table in state:
+                        key = target.table
+                    else:
+                        raise KeyError(
+                            f"synchronizeColumn target table {key!r} not registered"
+                        )
+                state[key] = remap_keys(state[key], target.field, mapping)
         return state
 
     def write_parquet(self, state: dict[str, DataFrame], out_dir: str) -> None:

@@ -56,7 +56,9 @@ class CompiledTable:
     key_mappings: dict[str, DataFrame] = field(default_factory=dict)
 
 
-def compile_plan(df: DataFrame, plan: MaskingPlan, seed: int = 42) -> CompiledTable:
+def compile_plan(
+    df: DataFrame, plan: MaskingPlan, seed: int = 42, locale: str = "en_US"
+) -> CompiledTable:
     plan.validate(df.columns)
     original_cols = list(df.columns)
     types = {f.name: f.dataType for f in df.schema.fields}
@@ -89,7 +91,7 @@ def compile_plan(df: DataFrame, plan: MaskingPlan, seed: int = 42) -> CompiledTa
 
     # -- ordered mask chain ------------------------------------------------
     for mask in plan.columns:
-        new_val = _mask_expression(masked, mask, seed, types[mask.name])
+        new_val = _mask_expression(masked, mask, seed, types[mask.name], locale)
         if mask.where is not None:
             new_val = F.when(F.expr(mask.where), new_val).otherwise(F.col(mask.name))
         masked = masked.withColumn(mask.name, new_val)
@@ -108,13 +110,19 @@ def compile_plan(df: DataFrame, plan: MaskingPlan, seed: int = 42) -> CompiledTa
     return CompiledTable(df=out, key_mappings=key_mappings)
 
 
-def _mask_expression(df: DataFrame, mask: ColumnMask, seed: int, dtype: DataType) -> Column:
+def _mask_expression(
+    df: DataFrame, mask: ColumnMask, seed: int, dtype: DataType, locale: str = "en_US"
+) -> Column:
     """Compile one ColumnMask into the replacement Column."""
     if mask.replace_by_fields is not None:
-        return _row_udf_expression(df, mask.replace_by_fields, mask, seed, dtype, row_arg=True)
+        return _row_udf_expression(
+            df, mask.replace_by_fields, mask, seed, dtype, row_arg=True, locale=locale
+        )
 
     if mask.generator_formatter is not None:
-        gen = DeterministicGenerator(seed, F.col(KEY_COL), mask.name, unique=mask.unique)
+        gen = DeterministicGenerator(
+            seed, F.col(KEY_COL), mask.name, unique=mask.unique, locale=locale
+        )
         val = getattr(gen, mask.generator_formatter)
         return val() if callable(val) else val
 
@@ -122,12 +130,21 @@ def _mask_expression(df: DataFrame, mask: ColumnMask, seed: int, dtype: DataType
     if isinstance(rep, Column):
         return rep
     if callable(rep):
-        gen = DeterministicGenerator(seed, F.col(KEY_COL), mask.name, unique=mask.unique)
+        gen = DeterministicGenerator(
+            seed, F.col(KEY_COL), mask.name, unique=mask.unique, locale=locale
+        )
         try:
             result = rep(gen)
-        except Exception:
-            # closure does host-language work on the values -> python path
-            return _row_udf_expression(df, rep, mask, seed, dtype, row_arg=False)
+        except (TypeError, AttributeError, ValueError):
+            # the closure applied host-language operations a Column can't
+            # satisfy (str methods, int(), custom formatter names...) ->
+            # re-run it per row in the Python path. Only these "not
+            # Column-expressible" error types reroute; genuine bugs
+            # (KeyError, ZeroDivisionError, ...) propagate to the caller.
+            # Closures must be pure: the Python path re-evaluates per row.
+            return _row_udf_expression(
+                df, rep, mask, seed, dtype, row_arg=False, locale=locale
+            )
         if isinstance(result, Column):
             return result
         return F.lit(result)
@@ -156,6 +173,7 @@ def _row_udf_expression(
     seed: int,
     dtype: DataType,
     row_arg: bool,
+    locale: str = "en_US",
 ) -> Column:
     """Arbitrary-Python escape hatch: Arrow-batched pandas UDF over a struct
     of the (progressively masked) row. ``row_arg=True`` is the
@@ -169,7 +187,7 @@ def _row_udf_expression(
     def _udf(batch: pd.DataFrame) -> pd.Series:
         out = []
         for rec in batch.to_dict("records"):
-            gen = PyRowGenerator(seed, rec[KEY_COL], col_name, unique=unique)
+            gen = PyRowGenerator(seed, rec[KEY_COL], col_name, unique=unique, locale=locale)
             if row_arg:
                 out.append(fn({k: rec[k] for k in data_cols}, gen))
             else:

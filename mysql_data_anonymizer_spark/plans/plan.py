@@ -19,8 +19,10 @@ class SynchroTarget:
     """One referencing column to cascade key changes into.
 
     Mirrors ``synchronizeColumn([field, table, database])``
-    (reference src/Blueprint.php:185-202). ``database`` is kept for API
-    parity; sources here are registered by table name only.
+    (reference src/Blueprint.php:185-202). When ``database`` is set the
+    remap targets a ``'database.table'`` registration, falling back to the
+    bare table name (the reference default-fills the current database,
+    src/Anonymizer.php:381-392).
     """
 
     field: str

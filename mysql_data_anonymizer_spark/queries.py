@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_data_anonymizer_spark.blueprint import Blueprint
-from mysql_data_anonymizer_spark.functions.generator import DOMAINS
+from mysql_data_anonymizer_spark.functions.generator import DOMAINS, DeterministicGenerator
 from mysql_data_anonymizer_spark.operators import dedup, similarity, text
 from mysql_data_anonymizer_spark.sources import files
 from mysql_data_anonymizer_spark.plans.compiler import compile_plan
@@ -282,6 +282,79 @@ FROM orders o
 LEFT JOIN (SELECT c_custkey AS old_key, c_custkey + 1000000000 AS new_key
            FROM customer) m
   ON o.o_custkey = m.old_key
+"""
+
+
+def mask_generator_profile(spark, sf_dir):
+    """Faker-grade formatter surface under a non-default locale: the de_DE
+    pick tables drive first/last name and company; dob/ipv4 are
+    locale-neutral. Every formatter is a Column expression (JVM-side,
+    codegen'd) with an exact SQL twin — parity with the reference's
+    locale-configurable Faker generator (reference src/Anonymizer.php:53-55,
+    config/config-sample.php:8, README.md:69-73)."""
+    cust = _t(spark, sf_dir, "customer")
+    bp = Blueprint(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_name").replaceWith(lambda g: g.first_name)
+        .column("c_mktsegment").replaceWith(lambda g: g.company),
+    )
+    masked = compile_plan(cust, bp.plan, seed=SEED, locale="de_DE").df
+    gen = DeterministicGenerator(SEED, F.col("c_custkey"), "profile", locale="de_DE")
+    return masked.select(
+        "c_custkey",
+        F.col("c_name").alias("first_name"),
+        F.col("c_mktsegment").alias("company"),
+        gen.date_of_birth.alias("dob"),
+        gen.ipv4.alias("ip"),
+        gen.credit_card_number.alias("cc"),
+    )
+
+
+def _gen_profile_sql() -> str:
+    from mysql_data_anonymizer_spark.functions.generator import (
+        DOB_BASE,
+        DOB_MIN_YEARS,
+        DOB_SPAN_DAYS,
+        LOCALES,
+    )
+
+    t = LOCALES["de_DE"]
+    first = "[" + ", ".join(f"'{x}'" for x in t["first_names"]) + "]"
+    last = "[" + ", ".join(f"'{x}'" for x in t["last_names"]) + "]"
+    suff = "[" + ", ".join(f"'{x}'" for x in t["company_suffixes"]) + "]"
+    d_name = _sql_digest("c_name", "c_custkey")
+    d_seg = _sql_digest("c_mktsegment", "c_custkey")
+    d_prof = _sql_digest("profile", "c_custkey")
+
+    def hx(d: str, p: int) -> str:
+        return f"(strpos('{HEXD}', substr({d}, {p}, 1)) - 1)"
+
+    hex8 = hx(d_prof, 1)
+    for i in range(2, 9):
+        hex8 = f"({hex8} * 16 + {hx(d_prof, i)})"
+    octs = " || '.' || ".join(
+        f"CAST({hx(d_prof, p)} * 16 + {hx(d_prof, p + 1)} AS VARCHAR)" for p in (1, 3, 5)
+    )
+    # Luhn twin: digit 1 is the literal 4, digits 2..15 come from the digest
+    digs = ["4"] + [f"({hx(d_prof, p)} % 10)" for p in range(1, 15)]
+    terms = []
+    for i, dig in enumerate(digs, start=1):
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN {dig} * 2 > 9 THEN {dig} * 2 - 9 ELSE {dig} * 2 END)")
+        else:
+            terms.append(dig)
+    luhn = " + ".join(terms)
+    cc_digits = " || ".join(f"CAST({d} AS VARCHAR)" for d in digs)
+    return f"""
+SELECT c_custkey,
+       ({first})[strpos('{HEXD}', substr({d_name}, 1, 1))] AS first_name,
+       ({last})[strpos('{HEXD}', substr({d_seg}, 3, 1))] || ' ' ||
+         ({suff})[strpos('{HEXD}', substr({d_seg}, 4, 1))] AS company,
+       DATE '{DOB_BASE}' - CAST({hex8} % {DOB_SPAN_DAYS} + {DOB_MIN_YEARS * 365} AS INTEGER) AS dob,
+       '10.' || {octs} AS ip,
+       {cc_digits} || CAST((10 - ({luhn}) % 10) % 10 AS VARCHAR) AS cc
+FROM customer
 """
 
 
@@ -1358,6 +1431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mask_chain_fields": mask_chain_fields,
     "mask_unique_uuid": mask_unique_uuid,
     "mask_synchro_remap": mask_synchro_remap,
+    "mask_generator_profile": mask_generator_profile,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
@@ -1415,6 +1489,7 @@ ORACLES: dict[str, str] = {
     "mask_chain_fields": MASK_CHAIN_FIELDS_SQL,
     "mask_unique_uuid": MASK_UNIQUE_UUID_SQL,
     "mask_synchro_remap": MASK_SYNCHRO_REMAP_SQL,
+    "mask_generator_profile": _gen_profile_sql(),
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
@@ -2506,6 +2581,7 @@ _CHECK_FIRST = [
     "streaming_session_agg",
     "dedup_canonical_docs",
     "knn_matmul",
+    "mask_generator_profile",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},

@@ -33,6 +33,25 @@ class EngineConfig:
     shuffle_partitions: int = 32
     extra_spark_conf: dict[str, str] = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        """Validate on construction — the reference type-checks its config and
+        hard-exits on error (reference src/Anonymizer.php:63-100); raising
+        ValueError is the library equivalent."""
+        from mysql_data_anonymizer_spark.functions.generator import LOCALES
+
+        if self.locale not in LOCALES:
+            raise ValueError(
+                f"unsupported locale {self.locale!r}; available: {sorted(LOCALES)}"
+            )
+        for knob in ("seed", "jdbc_num_partitions", "writeback_batch_size", "shuffle_partitions"):
+            v = getattr(self, knob)
+            if not isinstance(v, int) or isinstance(v, bool):
+                raise ValueError(f"{knob} must be an int, got {type(v).__name__}")
+            if knob != "seed" and v <= 0:
+                raise ValueError(f"{knob} must be positive, got {v}")
+        if not isinstance(self.extra_spark_conf, dict):
+            raise ValueError("extra_spark_conf must be a dict of str -> str")
+
 
 def get_spark(
     app_name: str = "mysql_data_anonymizer_spark",
