@@ -27,6 +27,7 @@ HEADLINE = [
     "mask_chain_fields",
     "mask_unique_uuid",
     "mask_synchro_remap",
+    "mask_generator_profile",
     # relational
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -80,12 +81,14 @@ HEADLINE = [
     "dedup_canonical_docs",
     "dedup_embedding_cosine",
     "knn_brute_force",
+    "knn_matmul",
     "knn_lsh",
     "knn_ivf",
     "multimodal_featurize",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
     "streaming_session_agg",
+    "streaming_stateful_user_totals",
 ]
 
 

@@ -46,3 +46,48 @@ def register_provider(name: str, column_fn: Callable, python_fn: Callable | None
 def unregister_provider(name: str) -> None:
     gen_mod.DeterministicGenerator._providers.pop(name, None)
     gen_mod.PyRowGenerator._providers.pop(name, None)
+
+
+def autoload_providers(directory: str) -> list[str]:
+    """Discover and register every ``*_provider.py`` module in ``directory``
+    — the engine's twin of the reference's ``src/providers/*Provider.php``
+    autoloader (reference src/Anonymizer.php:111-121).
+
+    Each module must expose ``PROVIDERS``: a dict
+    ``name -> (column_fn, python_fn | None)``. Returns registered names."""
+    import importlib.util
+    import os
+
+    registered: list[str] = []
+    for fname in sorted(os.listdir(directory)):
+        if not fname.endswith("_provider.py"):
+            continue
+        spec = importlib.util.spec_from_file_location(fname[:-3], os.path.join(directory, fname))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        for name, fns in getattr(mod, "PROVIDERS", {}).items():
+            column_fn, python_fn = fns if isinstance(fns, tuple) else (fns, None)
+            register_provider(name, column_fn, python_fn)
+            registered.append(name)
+    return registered
+
+
+def autoload_helpers(spark: SparkSession, directory: str) -> list[str]:
+    """Discover ``*_helper.py`` modules exposing ``HELPERS`` (dict
+    name -> callable) and register them SQL-callable — twin of the
+    reference's ``src/helpers/*Helper.php`` autoloader
+    (reference src/Anonymizer.php:103-109). Returns registered names."""
+    import importlib.util
+    import os
+
+    registered: list[str] = []
+    for fname in sorted(os.listdir(directory)):
+        if not fname.endswith("_helper.py"):
+            continue
+        spec = importlib.util.spec_from_file_location(fname[:-3], os.path.join(directory, fname))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        helpers = getattr(mod, "HELPERS", {})
+        register_helpers(spark, helpers)
+        registered.extend(helpers)
+    return registered

@@ -78,24 +78,35 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (id_a < id_b) with Jaccard(shingle sets) >= threshold.
 
-    Candidates = docs sharing >= 1 shingle (equi-join on the shingle key);
-    ``max_shingle_df`` drops shingles appearing in more than that many docs
-    (stop-shingles) — at corpus scale a handful of boilerplate shingles would
-    otherwise create quadratic hot keys. Returns (id_a, id_b, jaccard)."""
+    Candidate generation is a POSTING-LIST expansion, not a self-join: one
+    groupBy collects each shingle's sorted doc list, pairs explode map-side
+    from every list, and a second keyed aggregate counts per-pair shingle
+    intersections. One shuffle of the (shingle, id) stream replaces the
+    self-join's two copies plus the separate stop-shingle aggregate.
+    ``max_shingle_df`` (stop-shingles) filters ON the same aggregate for
+    free and bounds BOTH the hot-key skew and the per-list pair explosion
+    (<= cap^2/2 pairs per shingle) — at corpus scale the cap is mandatory:
+    one boilerplate shingle shared by 1M docs would otherwise emit 5*10^11
+    pairs. Returns (id_a, id_b, jaccard)."""
     sh = shingles(df, id_col, text_col, n)
+    posting = sh.groupBy("sh").agg(F.sort_array(F.collect_set("__id")).alias("ids"))
     if max_shingle_df is not None:
-        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df")).where(
-            F.col("__df") <= max_shingle_df
-        )
-        sh = sh.join(rare.select("sh"), "sh")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-
-    a = sh.select(F.col("__id").alias("id_a"), "sh")
-    b = sh.select(F.col("__id").alias("id_b"), "sh")
+        posting = posting.where(F.size("ids") <= max_shingle_df)
+    # per-doc set sizes over the SAME (capped) aggregate — df=1 shingles
+    # still count toward their doc's set size
+    sizes = (
+        posting.select(F.explode("ids").alias("__id"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     inter = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        posting.where(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     out = (
@@ -474,3 +485,83 @@ def connected_components(
         if improved == 0:
             break
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    adversarial-graph path: O(log^2 n) rounds regardless of component
+    diameter, where min-label propagation (``connected_components``) needs
+    O(diameter) rounds. Same (node, component) interface; prefer this when
+    components can be long chains (e.g. transitive near-dup drift at corpus
+    scale), the label-propagation twin when clusters are shallow.
+
+    Each round is two keyed groupBy+join shuffles; edges are
+    localCheckpoint-ed per round to truncate the iterative lineage, and
+    convergence is a single-scalar (count + hash-sum) probe."""
+    E = (
+        edges.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        E.select(F.col("u").alias("n")).union(E.select(F.col("v").alias("n"))).distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # ---- large-star: every strictly-larger neighbor of u hooks onto
+        # u's minimum neighborhood element ----
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
+        )
+        E = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: smaller-or-equal neighbors (and u itself) hook
+        # onto the minimum of that smaller neighborhood ----
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        small = sym.where(F.col("v") <= F.col("u"))
+        mins = (
+            small.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
+        )
+        E = (
+            small.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # signature = (edge count, xor of edge hashes): order-independent,
+        # overflow-free (sum of 64-bit hashes trips ANSI overflow)
+        row = E.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+        ).collect()[0]
+        sig = (row["c"], row["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    comp = E.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # component minima point to themselves (roots never appear as a source
+    # at the star fixpoint)
+    roots = nodes.join(
+        comp.select(F.col("node").alias("n")), "n", "left_anti"
+    ).select(F.col("n").alias("node"), F.col("n").alias("component"))
+    return comp.union(roots)

@@ -2536,6 +2536,51 @@ LEFT JOIN counts ON h = hour_start AND et = event_type
 """
 
 
+def streaming_stateful_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState),
+    value-checked: per-user running (count, total) state on a bounded
+    single-batch replay must equal the batch per-user aggregate. Values are
+    normalized to exact cents BEFORE the stateful sum with floor(v*100+0.5)
+    — the identical IEEE expression in the oracle — so accumulation order
+    cannot perturb the total. State is one pair per user: O(distinct keys),
+    not O(events); on an unbounded stream the same topology emits updated
+    totals per micro-batch."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import stateful_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = _ts_fix(
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .parquet(stage)
+    )
+    cents = stream.withColumn("value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double"))
+    agg = stateful_user_totals(cents)
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "user_id", "n_events", F.col("total_value").alias("total_cents")
+    )
+
+
+STREAMING_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES["streaming_stateful_user_totals"] = streaming_stateful_user_totals
+ORACLES["streaming_stateful_user_totals"] = STREAMING_STATEFUL_SQL
 QUERIES["q9_profit_by_nation_year"] = q9_profit_by_nation_year
 QUERIES["q11_important_nations"] = q11_important_nations
 QUERIES["q12_priority_by_linestatus"] = q12_priority_by_linestatus
@@ -2582,6 +2627,7 @@ _CHECK_FIRST = [
     "dedup_canonical_docs",
     "knn_matmul",
     "mask_generator_profile",
+    "streaming_stateful_user_totals",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},

@@ -171,3 +171,32 @@ def test_salted_join_left_keeps_unmatched(spark, customer, orders):
     no_dim = customer.filter(F.col("c_custkey") < 0)  # empty dim
     out = salted_join(orders, no_dim, "o_custkey", "c_custkey", salt_buckets=4, how="left")
     assert out.count() == orders.count()
+
+
+def test_autoload_providers_and_helpers(spark, tmp_path):
+    """Directory autoload parity with the reference's provider/helper
+    autoloaders (reference src/Anonymizer.php:103-121)."""
+    from pyspark.sql import functions as F
+
+    from mysql_data_anonymizer_spark.functions.registry import (
+        autoload_helpers,
+        autoload_providers,
+        unregister_provider,
+    )
+
+    (tmp_path / "enum_provider.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "PROVIDERS = {'coin': (lambda g: F.lit('heads'), lambda g: 'heads')}\n"
+    )
+    (tmp_path / "upper_helper.py").write_text("HELPERS = {'mda_upper': lambda s: s.upper()}\n")
+    try:
+        assert autoload_providers(str(tmp_path)) == ["coin"]
+        assert autoload_helpers(spark, str(tmp_path)) == ["mda_upper"]
+        from mysql_data_anonymizer_spark.functions.generator import DeterministicGenerator
+
+        gen = DeterministicGenerator(42, F.lit("1"), "c")
+        df = spark.range(1).select(gen.coin.alias("v"))
+        assert df.collect()[0].v == "heads"
+        assert spark.sql("SELECT mda_upper('ab') AS v").collect()[0].v == "AB"
+    finally:
+        unregister_provider("coin")

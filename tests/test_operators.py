@@ -183,3 +183,46 @@ def test_winnowing_robust_to_local_edit(spark):
     s2 = {r.fp for r in fps if r.doc_id == 2}
     # most fingerprints survive a single-token edit
     assert len(s1 & s2) / len(s1) >= 0.5
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """large-star/small-star (O(log^2 n) rounds) must agree with min-label
+    propagation on random graphs AND on a long chain, the shape where label
+    propagation needs O(diameter) rounds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    cases = [
+        # long path: 0-1-2-...-120 (single component, diameter 120)
+        [(i, i + 1) for i in range(120)],
+        # random sparse graph, multiple components
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(150)],
+        # two cliques bridged by one edge + isolated pair
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+        + [(4, 10), (500, 501)],
+    ]
+    for edges in cases:
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        lab = {
+            (r.node, r.component)
+            for r in dedup.connected_components(df, max_iter=200).collect()
+        }
+        star = {
+            (r.node, r.component)
+            for r in dedup.connected_components_star(df).collect()
+        }
+        assert star == lab
+
+
+def test_connected_components_star_round_bound(spark):
+    """The star algorithm converges in far fewer rounds than the chain
+    diameter — the property that makes it the planet-scale path."""
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dedup.connected_components_star(df, max_iter=12)  # << diameter 200
+    comps = {r.component for r in out.collect()}
+    assert comps == {0}
