@@ -72,6 +72,8 @@ HEADLINE = [
     # text / dedup / similarity
     "text_profile",
     "text_fingerprint_groups",
+    "corpus_quality_filter",
+    "stratified_sample_docs",
     "text_winnowing",
     "dedup_exact",
     "dedup_ngram_jaccard",

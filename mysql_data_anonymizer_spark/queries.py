@@ -818,6 +818,66 @@ SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n_sh - 4
 """
 
 
+def corpus_quality_filter(spark, sf_dir):
+    """The end-to-end curation gate a training pipeline actually runs: keep
+    documents whose predicted language is English, quality score clears a
+    floor, and token count sits in a sane band. Pure per-row Column algebra
+    over one scan (no shuffle, no Python) — at 100 TB this is a map-only
+    stage whose predicates all sit inside whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.token_count(F.col("text")).cast("long")
+    return (
+        docs.where(
+            (text.lang_id(F.col("text")) == "en")
+            & (text.quality_score(F.col("text")) >= 0.5)
+            & toks.between(5, 5000)
+        )
+        .select("doc_id", "lang", "source", toks.alias("n_tokens"))
+    )
+
+
+def _gen_quality_filter_sql() -> str:
+    """Reuses the text_profile mirror as a subquery: same feature exprs,
+    same argmax lang, same quality formula."""
+    return f"""
+WITH prof AS ({_gen_text_profile_sql()})
+SELECT d.doc_id, d.lang, d.source, p.n_tokens
+FROM documents d JOIN prof p ON d.doc_id = p.doc_id
+WHERE p.lang_pred = 'en' AND p.quality >= 0.5 AND p.n_tokens BETWEEN 5 AND 5000
+"""
+
+
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling for training-data curation:
+    per-language stratum keep rates via a hash gate on the document id.
+    Unlike sample()/sampleBy() (seeded RNG, partition-order dependent), the
+    same rows are kept on every run, any cluster size, any partitioning —
+    and the md5-derived gate is reproducible in plain SQL for the oracle
+    (swap in xxhash64 for a ~4x cheaper gate when no oracle is needed).
+    Map-only: one codegen'd predicate on the scan, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string")))
+    gate = F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % 100
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(50))
+        .when(F.col("lang") == "de", F.lit(80))
+        .otherwise(F.lit(100))  # keep all low-resource strata
+    )
+    return docs.where(gate < rate).select("doc_id", "lang", "source")
+
+
+def _gen_stratified_sample_sql() -> str:
+    d = "md5('s:' || CAST(doc_id AS VARCHAR))"
+    gate = f"(strpos('{HEXD}', substr({d}, 1, 1)) - 1)"
+    for i in range(2, 9):
+        gate = f"({gate} * 16 + (strpos('{HEXD}', substr({d}, {i}, 1)) - 1))"
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {gate} % 100 < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80 ELSE 100 END
+"""
+
+
 def text_fingerprint_groups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1693,6 +1753,10 @@ ORACLES["zscore_acctbal_per_segment"] = ZSCORE_SQL
 ORACLES["multimodal_featurize"] = MULTIMODAL_SQL
 ORACLES["streaming_tumbling_agg"] = STREAMING_TUMBLING_SQL
 ORACLES["text_profile"] = _gen_text_profile_sql()
+QUERIES["corpus_quality_filter"] = corpus_quality_filter
+ORACLES["corpus_quality_filter"] = _gen_quality_filter_sql()
+QUERIES["stratified_sample_docs"] = stratified_sample_docs
+ORACLES["stratified_sample_docs"] = _gen_stratified_sample_sql()
 ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
 ORACLES["dedup_embedding_cosine"] = _gen_embedding_dedup_sql(0.4)
@@ -2628,6 +2692,8 @@ _CHECK_FIRST = [
     "knn_matmul",
     "mask_generator_profile",
     "streaming_stateful_user_totals",
+    "corpus_quality_filter",
+    "stratified_sample_docs",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
