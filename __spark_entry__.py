@@ -13,6 +13,15 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Export the repo root for Python UDF workers too: executors inherit the
+# driver process env, so if this module is imported before the SparkSession
+# exists (the driver contract), pandas-UDF workers can import the package
+# regardless of the caller's cwd. get_spark() does the same for library users.
+_repo = os.path.dirname(os.path.abspath(__file__))
+_pp = os.environ.get("PYTHONPATH", "")
+if _repo not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_repo}{os.pathsep}{_pp}" if _pp else _repo
+
 from pyspark.sql import DataFrame, SparkSession
 
 from mysql_data_anonymizer_spark import queries as Q

@@ -74,6 +74,8 @@ HEADLINE = [
     "text_fingerprint_groups",
     "corpus_quality_filter",
     "stratified_sample_docs",
+    "scrub_documents_pii",
+    "pack_docs_token_bins",
     "text_winnowing",
     "dedup_exact",
     "dedup_ngram_jaccard",

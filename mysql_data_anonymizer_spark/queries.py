@@ -878,6 +878,98 @@ WHERE {gate} % 100 < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 80 ELSE
 """
 
 
+def scrub_documents_pii(spark, sf_dir):
+    """Anonymization applied to the CORPUS side (the engine's two halves
+    meeting): PII patterns scrubbed from document text with vectorized
+    regexp_replace — map-only, no Python, no shuffle. The fixture text is
+    synthetic, so a deterministic PII suffix (email + ip derived from
+    doc_id) is appended first; the oracle then proves every pattern was
+    replaced. Patterns are chosen to behave identically under Java regex
+    (Spark) and RE2 (DuckDB); replacement order is fixed (email, ipv4,
+    phone) in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@leak.example ip 10.1.2.3 tel +1-555-0100"),
+    )
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_pat = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    phone_pat = r"\+[0-9][0-9\-]{6,}[0-9]"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(salted, email_pat, "[EMAIL]"), ip_pat, "[IP]"
+        ),
+        phone_pat,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (F.length(scrubbed) - F.length(F.col("text"))).cast("long").alias("len_delta"),
+    )
+
+
+SCRUB_PII_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@leak.example ip 10.1.2.3 tel +1-555-0100',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+             '\+[0-9][0-9\-]{6,}[0-9]', '[PHONE]', 'g')) AS scrubbed_md5,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@leak.example ip 10.1.2.3 tel +1-555-0100',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+             '\+[0-9][0-9\-]{6,}[0-9]', '[PHONE]', 'g')) - length(text) AS BIGINT) AS len_delta
+FROM documents
+"""
+
+
+def pack_docs_token_bins(spark, sf_dir):
+    """Training-data packing: assign documents to fixed token-budget bins
+    (4096 tokens) by running cumulative token count per source. Greedy
+    sequential packing is inherently order-dependent, so the practical
+    distributed form partitions by a real-world unit (source) and packs
+    within each partition — the window is keyed, never global. Integer
+    token arithmetic => exact in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    withc = docs.select(
+        "doc_id", "source", toks.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return withc.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(4096)).cast("long").alias("bin"),
+    )
+
+
+PACK_BINS_SQL = """
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 4096) AS BIGINT) AS bin
+FROM (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+"""
+
+
 def text_fingerprint_groups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1757,6 +1849,10 @@ QUERIES["corpus_quality_filter"] = corpus_quality_filter
 ORACLES["corpus_quality_filter"] = _gen_quality_filter_sql()
 QUERIES["stratified_sample_docs"] = stratified_sample_docs
 ORACLES["stratified_sample_docs"] = _gen_stratified_sample_sql()
+QUERIES["scrub_documents_pii"] = scrub_documents_pii
+ORACLES["scrub_documents_pii"] = SCRUB_PII_SQL
+QUERIES["pack_docs_token_bins"] = pack_docs_token_bins
+ORACLES["pack_docs_token_bins"] = PACK_BINS_SQL
 ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
 ORACLES["dedup_embedding_cosine"] = _gen_embedding_dedup_sql(0.4)
@@ -2694,6 +2790,8 @@ _CHECK_FIRST = [
     "streaming_stateful_user_totals",
     "corpus_quality_filter",
     "stratified_sample_docs",
+    "scrub_documents_pii",
+    "pack_docs_token_bins",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
