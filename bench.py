@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_md5",
     "dedup_clusters",
     "dedup_canonical_docs",
     "dedup_embedding_cosine",

@@ -240,25 +240,50 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     token AND blew up whole-stage codegen with a 63-deep Add tree — minutes
     per 500 docs; this form is sub-second.)"""
     assert bits == 64, "packed-long simhash is fixed at 64 bits"
+    return _simhash_impl(df, id_col, text_col, "xxhash64(t)", n_bits=64, pack_bits=63)
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash whose token hash (the first 15 hex digits of md5) is
+    reproducible in DuckDB SQL — the oracle-checkable twin of ``simhash``.
+    15 hex digits = 60 bits fits a signed long exactly in both engines; use
+    the xxhash64 variant in production (~3x cheaper hash), this one when the
+    fingerprints themselves must be value-verified cross-engine."""
+    return _simhash_impl(
+        df,
+        id_col,
+        text_col,
+        "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)",
+        n_bits=60,
+        pack_bits=60,
+    )
+
+
+def _simhash_impl(
+    df: DataFrame, id_col: str, text_col: str, hash_sql: str, n_bits: int, pack_bits: int
+) -> DataFrame:
     hashed = df.select(
         F.col(id_col).alias("__id"),
         F.expr(
             f"transform(filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != ''),"
-            " t -> xxhash64(t))"
+            f" t -> {hash_sql})"
         ).alias("__hashes"),
-    )
+    # docs with zero tokens have no fingerprint (an all-zero fingerprint
+    # would spuriously pair every empty doc at hamming 0)
+    ).where(F.expr("size(__hashes) > 0"))
     sums = hashed.select(
         "__id",
         F.expr(
-            "aggregate(__hashes, array_repeat(0L, 64),"
+            f"aggregate(__hashes, array_repeat(0L, {n_bits}),"
             " (acc, h) -> zip_with(acc,"
-            "   transform(sequence(0, 63), j -> cast(shiftright(h, j) & 1 as long) * 2L - 1L),"
+            f"   transform(sequence(0, {n_bits - 1}),"
+            "     j -> cast(shiftright(h, j) & 1 as long) * 2L - 1L),"
             "   (a, b) -> a + b))"
         ).alias("__sums"),
     )
     fp = F.expr(
-        "aggregate(zip_with(slice(__sums, 1, 63),"
-        "   transform(sequence(0, 62), j -> shiftleft(1L, j)),"
+        f"aggregate(zip_with(slice(__sums, 1, {pack_bits}),"
+        f"   transform(sequence(0, {pack_bits - 1}), j -> shiftleft(1L, j)),"
         "   (s, p) -> if(s > 0, p, 0L)),"
         " 0L, (a, x) -> a + x)"
     )
@@ -266,15 +291,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, band_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    variant: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Candidates via banding (pigeonhole: distance <= k pairs share at least
     one of k+1 bands; 64/16 = 4 bands covers max_hamming 3) then exact
-    popcount verify. bit_count is a JVM builtin — no UDF."""
-    fp = simhash(df, id_col, text_col)
-    nbands = 64 // band_bits
+    popcount verify. bit_count is a JVM builtin — no UDF. ``variant='md5'``
+    uses the 60-bit md5-derived fingerprint (``simhash_md5``, band_bits 15)
+    whose whole pipeline has an exact DuckDB SQL twin."""
+    if variant == "md5":
+        fp, total_bits = simhash_md5(df, id_col, text_col), 60
+    else:
+        fp, total_bits = simhash(df, id_col, text_col), 64
+    nbands = total_bits // band_bits
     # one pass: explode band keys from the fingerprint instead of a union of
     # per-band frames (which would recompute the simhash fold per band)
     band_structs = [

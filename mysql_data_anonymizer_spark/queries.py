@@ -1024,6 +1024,59 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def dedup_simhash_md5(spark, sf_dir):
+    """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
+    pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
+    pigeonhole banding -> popcount verify) reproduced end-to-end in DuckDB
+    SQL. The xxhash64 variant (dedup_simhash) stays the production path;
+    this twin proves the whole algorithm, not just its row count."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, band_bits=15, variant="md5"
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _gen_simhash_md5_sql(max_hamming: int = 3, band_bits: int = 15) -> str:
+    d = "md5(t)"
+    hv = f"(strpos('{HEXD}', substr({d}, 1, 1)) - 1)::BIGINT"
+    for i in range(2, 16):
+        hv = f"({hv} * 16 + (strpos('{HEXD}', substr({d}, {i}, 1)) - 1))"
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(60)
+    )
+    pack = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(60))
+    nbands = 60 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = ", ".join(f"({b})" for b in range(nbands))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, {hv} AS hv FROM toks),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {pack} AS fp FROM bits),
+banded AS (
+  SELECT doc_id, fp, band, (fp >> (band * {band_bits})) & {mask} AS bkey
+  FROM fp, (VALUES {bands}) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(emb, threshold=0.4)
@@ -1855,6 +1908,8 @@ QUERIES["pack_docs_token_bins"] = pack_docs_token_bins
 ORACLES["pack_docs_token_bins"] = PACK_BINS_SQL
 ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
+QUERIES["dedup_simhash_md5"] = dedup_simhash_md5
+ORACLES["dedup_simhash_md5"] = _gen_simhash_md5_sql(3, 15)
 ORACLES["dedup_embedding_cosine"] = _gen_embedding_dedup_sql(0.4)
 ORACLES["knn_brute_force"] = _gen_knn_sql(5)
 QUERIES["knn_matmul"] = knn_matmul
@@ -2792,6 +2847,7 @@ _CHECK_FIRST = [
     "stratified_sample_docs",
     "scrub_documents_pii",
     "pack_docs_token_bins",
+    "dedup_simhash_md5",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
