@@ -95,3 +95,72 @@ def test_session_aggregates_run(spark, events_stream):
     assert rows
     assert all(r.session_end >= r.session_start for r in rows)
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics, the watermark's actual contract: an event
+    arriving in a later micro-batch, whose window end is already behind the
+    watermark, must NOT be counted (its window state was finalized and
+    evicted). Two files forced into separate micro-batches via
+    maxFilesPerTrigger=1 + mtime ordering; append output mode emits only
+    finalized windows."""
+    import glob
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import tumbling_aggregates
+
+    def write_single_file(rows, dest, mtime):
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        tmp = str(tmp_path / f"stage_{uuid.uuid4().hex[:6]}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    # batch 1 (on time): 3 events in [10:00, 10:10), then one at 11:00 that
+    # pushes the watermark to 10:50 — far past that window's end
+    write_single_file(
+        [(t(10, 1), "click", 1.0), (t(10, 3), "click", 1.0),
+         (t(10, 7), "click", 1.0), (t(11, 0), "click", 1.0)],
+        str(stream_dir / "a.parquet"), mtime=1_000,
+    )
+    # batch 2 (on time): lets the advanced watermark take effect — window
+    # state for [10:00, 10:10) is finalized and evicted at this batch's end
+    write_single_file(
+        [(t(11, 1), "click", 1.0)], str(stream_dir / "b.parquet"), mtime=2_000,
+    )
+    # batch 3 (late): an event for the long-finalized 10:00 window -> must
+    # be dropped (numRowsDroppedByWatermark in the progress metrics)
+    write_single_file(
+        [(t(10, 5), "click", 99.0)], str(stream_dir / "c.parquet"), mtime=3_000,
+    )
+
+    schema = spark.read.parquet(str(stream_dir / "a.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    agg = tumbling_aggregates(stream, window="10 minutes", watermark="10 minutes")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # only watermark-finalized windows emit
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.window_start: (r.n_events, float(r.total_value))
+            for r in spark.table(name).collect()}
+    assert t(10, 0) in rows, f"finalized window missing: {rows}"
+    n, total = rows[t(10, 0)]
+    assert n == 3 and total == 3.0, f"late event was not dropped: {rows}"
