@@ -46,6 +46,8 @@ HEADLINE = [
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q20_volume_share_suppliers",
     "unpivot_lineitem_charges",
     "q9_profit_by_nation_year",
     "q11_important_nations",

@@ -2283,6 +2283,141 @@ LIMIT 20
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: supply cost proxied by each supplier's
+    minimum observed lineitem price for the part, since the fixtures omit
+    partsupp): for small parts, the supplier(s) in region AMERICA achieving
+    the part's minimum cost — a correlated scalar MIN subquery over a join,
+    matched back by equality, top-k output. Spark decorrelates the inner MIN
+    into one (part, supplier) aggregate + a per-part MIN re-aggregate — two
+    keyed shuffles of the slimmed fact, no per-row subquery execution. Exact
+    decimal cost makes the equality engine-stable; output cast via string."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q2_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q2_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q2_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__q2_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("__q2_region")
+    return spark.sql(
+        """
+        WITH cost AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(14,2))) AS supply_cost
+          FROM __q2_lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               CAST(CAST(supply_cost AS STRING) AS DOUBLE) AS supply_cost
+        FROM cost
+        JOIN __q2_part ON p_partkey = partkey
+        JOIN __q2_supplier ON s_suppkey = suppkey
+        JOIN __q2_nation ON s_nationkey = n_nationkey
+        JOIN __q2_region ON n_regionkey = r_regionkey
+        WHERE p_size <= 5 AND r_name = 'AMERICA'
+          AND supply_cost = (
+            SELECT MIN(c2.supply_cost)
+            FROM cost c2
+            JOIN __q2_supplier s2 ON s2.s_suppkey = c2.suppkey
+            JOIN __q2_nation n2 ON n2.n_nationkey = s2.s_nationkey
+            JOIN __q2_region r2 ON r2.r_regionkey = n2.n_regionkey
+            WHERE c2.partkey = p_partkey AND r2.r_name = 'AMERICA'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(14,2))) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(CAST(supply_cost AS VARCHAR) AS DOUBLE) AS supply_cost
+FROM cost
+JOIN part ON p_partkey = partkey
+JOIN supplier ON s_suppkey = suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size <= 5 AND r_name = 'AMERICA'
+  AND supply_cost = (
+    SELECT MIN(c2.supply_cost)
+    FROM cost c2
+    JOIN supplier s2 ON s2.s_suppkey = c2.suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE c2.partkey = p_partkey AND r2.r_name = 'AMERICA'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q20_volume_share_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: the 'excess stock' predicate becomes
+    supplier-share-of-part-volume, since the fixtures omit partsupp):
+    suppliers in one nation who supplied more than 30% of some part's total
+    1996 volume — nested IN over a correlated-threshold aggregate. Spark
+    plans the inner query as one (part, supplier) aggregate joined against
+    the per-part total (no per-row execution); the outer IN becomes a
+    left-semi join on s_suppkey."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q20_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__q20_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__q20_nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM __q20_supplier JOIN __q20_nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND s_suppkey IN (
+            SELECT ps.suppkey FROM (
+              SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+              FROM __q20_lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_partkey, l_suppkey
+            ) ps JOIN (
+              SELECT l_partkey AS partkey,
+                     SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tq
+              FROM __q20_lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_partkey
+            ) pt ON ps.partkey = pt.partkey
+            WHERE CAST(ps.sq AS DOUBLE) > 0.3 * CAST(pt.tq AS DOUBLE)
+          )
+        ORDER BY s_name
+        """
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT ps.suppkey FROM (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ) ps JOIN (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey
+    ) pt ON ps.partkey = pt.partkey
+    WHERE CAST(ps.sq AS DOUBLE) > 0.3 * CAST(pt.tq AS DOUBLE)
+  )
+ORDER BY s_name
+"""
+
+
 def unpivot_lineitem_charges(spark, sf_dir):
     """Unpivot (wide->long) via stack(): the three charge columns become
     (charge_type, amount) rows, aggregated per returnflag. stack() is a
@@ -2421,6 +2556,10 @@ QUERIES["q15_top_supplier"] = q15_top_supplier
 QUERIES["q16_supplier_part_counts"] = q16_supplier_part_counts
 QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
 QUERIES["q21_waiting_suppliers"] = q21_waiting_suppliers
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+QUERIES["q20_volume_share_suppliers"] = q20_volume_share_suppliers
+ORACLES["q2_min_cost_supplier"] = Q2_SQL
+ORACLES["q20_volume_share_suppliers"] = Q20_SQL
 QUERIES["unpivot_lineitem_charges"] = unpivot_lineitem_charges
 QUERIES["streaming_sliding_agg"] = streaming_sliding_agg
 QUERIES["streaming_session_agg"] = streaming_session_agg
@@ -2848,6 +2987,8 @@ _CHECK_FIRST = [
     "scrub_documents_pii",
     "pack_docs_token_bins",
     "dedup_simhash_md5",
+    "q2_min_cost_supplier",
+    "q20_volume_share_suppliers",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
