@@ -96,6 +96,7 @@ HEADLINE = [
     "streaming_sliding_agg",
     "streaming_session_agg",
     "streaming_stateful_user_totals",
+    "streaming_stream_join",
 ]
 
 

@@ -2933,6 +2933,48 @@ FROM events GROUP BY user_id
 """
 
 
+def streaming_stream_join(spark, sf_dir):
+    """Stream-stream inner join (click -> same-user views within 10
+    minutes), value-checked: both sides watermarked, the time-range
+    condition bounds join state, and the bounded single-batch replay must
+    equal the batch self-join with the identical predicate — which is
+    exactly the DuckDB oracle."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import stream_stream_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = _ts_fix(
+        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+        .parquet(stage)
+    )
+    joined = stream_stream_join(stream, "click", "view", within="10 minutes")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+STREAMING_STREAM_JOIN_SQL = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+       a.ts AS click_ts, b.ts AS view_ts
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '10 minutes'
+"""
+
+
+QUERIES["streaming_stream_join"] = streaming_stream_join
+ORACLES["streaming_stream_join"] = STREAMING_STREAM_JOIN_SQL
 QUERIES["streaming_stateful_user_totals"] = streaming_stateful_user_totals
 ORACLES["streaming_stateful_user_totals"] = STREAMING_STATEFUL_SQL
 QUERIES["q9_profit_by_nation_year"] = q9_profit_by_nation_year
@@ -2989,6 +3031,7 @@ _CHECK_FIRST = [
     "dedup_simhash_md5",
     "q2_min_cost_supplier",
     "q20_volume_share_suppliers",
+    "streaming_stream_join",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},

@@ -101,6 +101,50 @@ def session_aggregates(
     )
 
 
+def stream_stream_join(
+    stream: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: for every '<left_type>' event,
+    the same user's '<right_type>' events within ``within`` afterwards.
+
+    Both sides carry a watermark and the join condition bounds the event-time
+    distance, so each side's buffered state is evicted once the other side's
+    watermark passes the range — state is O(events inside the watermark
+    horizon), not O(stream). Append mode emits a pair exactly once, when it
+    can no longer change. The batch twin (same predicate over the static
+    table) is the correctness oracle under bounded replay."""
+    a = (
+        stream.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col(ts_col).alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    b = (
+        stream.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("__ruser"),
+            F.col(ts_col).alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    cond = F.expr(
+        f"user_id = __ruser AND view_ts >= click_ts"
+        f" AND view_ts <= click_ts + interval {within}"
+    )
+    return a.join(b, cond, "inner").select(
+        "user_id", "click_id", "view_id", "click_ts", "view_ts"
+    )
+
+
 def stateful_user_totals(
     stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:
