@@ -135,3 +135,17 @@ def test_buggy_closure_raises_not_swallowed(spark, customer):
     bp = Blueprint("customer", lambda t: t.primary("c_custkey").column("c_name").replaceWith(bad))
     with pytest.raises(KeyError):
         compile_plan(customer, bp.plan)
+
+
+def test_twins_agree_on_adversarial_keys(spark):
+    """Unicode, empty, quote-bearing, and whitespace keys must hash
+    identically through the Column (JVM md5 over UTF-8) and Python
+    (hashlib md5 over UTF-8) paths."""
+    keys = ["", "  ", "naïve", "日本語キー", "O'Hara \"x\"", "a|b|c", "🙂🙃", "\t\n"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    gen = DeterministicGenerator(42, F.col("k"), "c")
+    got = {r["k"]: (r["e"], r["u"]) for r in df.select(
+        "k", gen.email.alias("e"), gen.uuid.alias("u")).collect()}
+    for k in keys:
+        py = PyRowGenerator(42, k, "c")
+        assert got[k] == (py.email, py.uuid), k

@@ -226,3 +226,25 @@ def test_connected_components_star_round_bound(spark):
     out = dedup.connected_components_star(df, max_iter=12)  # << diameter 200
     comps = {r.component for r in out.collect()}
     assert comps == {0}
+
+
+def test_jaccard_short_and_empty_docs(spark):
+    """Docs shorter than the shingle size (or empty) produce no shingles,
+    no pairs, and no crash; identical long docs pair at jaccard 1.0."""
+    rows = [
+        (1, ""), (2, "one"), (3, "one two"),
+        (4, "alpha beta gamma delta"), (5, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b, r.jaccard) for r in pairs} == {(4, 5, 1.0)}
+
+
+def test_simhash_md5_identical_docs_hamming_zero(spark):
+    rows = [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+            (3, "completely different words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3,
+                                          band_bits=15, variant="md5").collect()}
+    assert pairs.get((1, 2)) == 0
