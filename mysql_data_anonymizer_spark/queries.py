@@ -5,8 +5,11 @@ DuckDB SQL oracle over the same parquet fixtures. Numeric discipline, so the
 driver's value-hash comparison is meaningful:
 
   - additive aggregates over 2-dp money columns go through DECIMAL casts
-    (exact in both engines, no FP summation-order drift) and are returned as
-    fixed-scale DECIMAL;
+    (exact in both engines, no FP summation-order drift); every FINAL
+    decimal output column is converted to DOUBLE via its string form
+    (`_dbl`) — the only decimal->double route that is correctly rounded in
+    both engines (see `_dbl`'s docstring for why direct casts and rescales
+    are not);
   - per-row floating point (quality scores, ratios) is written as the same
     operation sequence in both engines -> bit-identical doubles, returned
     UNROUNDED (rounding doubles is itself engine-divergent at tie points);
