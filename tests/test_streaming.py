@@ -164,3 +164,33 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert t(10, 0) in rows, f"finalized window missing: {rows}"
     n, total = rows[t(10, 0)]
     assert n == 3 and total == 3.0, f"late event was not dropped: {rows}"
+
+
+def test_mask_stream_foreachbatch_parquet_sink(spark, events_stream, tmp_path):
+    """The streaming writeback path: a masked stream lands in parquet via
+    foreachBatch (each micro-batch reuses the batch sink), read back and
+    checked - user_id masked, event ids intact."""
+    from pyspark.sql import functions as F
+
+    from mysql_data_anonymizer_spark.blueprint import Blueprint
+    from mysql_data_anonymizer_spark.streaming.stream_ops import mask_stream
+
+    bp = Blueprint(
+        "events",
+        lambda t: t.primary("event_id")
+        .column("user_id")
+        .replaceWith(F.col("user_id") + F.lit(7_000_000)),
+    )
+    masked = mask_stream(events_stream, bp.plan)
+    out_dir = str(tmp_path / "masked_events")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = masked.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(out_dir)
+    assert back.where(F.col("user_id") < 7_000_000).count() == 0
+    assert back.count() > 0
+    assert back.select("event_id").distinct().count() == back.count()
