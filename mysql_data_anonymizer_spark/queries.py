@@ -86,6 +86,28 @@ def _dec(col: str, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})")
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_shuffle(spark, n: int = 8):
+    """Pin streaming state partitioning for the duration of query START.
+
+    Stateful operators allocate one state store per shuffle partition and
+    the count is FROZEN into the checkpoint at start — AQE never coalesces
+    it. A real streaming deployment therefore sizes this per job (state
+    volume / target task size), instead of inheriting the batch session
+    default; 32 nearly-empty state stores measured 2.4x the wall-clock of 8
+    on the bounded replays here. The previous value is restored afterwards
+    so batch queries are unaffected."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _dbl(c):
     """Engine-stable exact-decimal -> DOUBLE for FINAL output columns.
 
@@ -1596,20 +1618,21 @@ def streaming_tumbling_agg(spark, sf_dir):
     # a temp dir by symlink (no data copy)
     stage = tempfile.mkdtemp(prefix="mda_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = _ts_fix(
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        ).parquet(stage)
-    )
-    agg = tumbling_aggregates(stream, window="30 minutes", watermark="30 minutes")
-    name = f"stream_agg_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            ).parquet(stage)
+        )
+        agg = tumbling_aggregates(stream, window="30 minutes", watermark="30 minutes")
+        name = f"stream_agg_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(180)
     return spark.table(name).select(
         "window_start",
@@ -2470,19 +2493,20 @@ def streaming_sliding_agg(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="mda_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = _ts_fix(
-        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
-        .parquet(stage)
-    )
-    agg = sliding_counts(stream, window="1 hour", slide="30 minutes", watermark="30 minutes")
-    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        agg = sliding_counts(stream, window="1 hour", slide="30 minutes", watermark="30 minutes")
+        name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(180)
     return spark.table(name)
 
@@ -2514,19 +2538,20 @@ def streaming_session_agg(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="mda_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = _ts_fix(
-        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
-        .parquet(stage)
-    )
-    agg = session_aggregates(stream, gap="30 minutes", watermark="30 minutes")
-    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        agg = session_aggregates(stream, gap="30 minutes", watermark="30 minutes")
+        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(180)
     return spark.table(name)
 
@@ -2909,20 +2934,23 @@ def streaming_stateful_user_totals(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="mda_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = _ts_fix(
-        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
-        .parquet(stage)
-    )
-    cents = stream.withColumn("value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double"))
-    agg = stateful_user_totals(cents)
-    name = f"stream_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        cents = stream.withColumn(
+            "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+        )
+        agg = stateful_user_totals(cents)
+        name = f"stream_state_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(180)
     return spark.table(name).select(
         "user_id", "n_events", F.col("total_value").alias("total_cents")
@@ -2949,19 +2977,20 @@ def streaming_stream_join(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="mda_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = _ts_fix(
-        spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
-        .parquet(stage)
-    )
-    joined = stream_stream_join(stream, "click", "view", within="10 minutes")
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        joined = stream_stream_join(stream, "click", "view", within="10 minutes")
+        name = f"stream_join_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(180)
     return spark.table(name)
 
