@@ -61,6 +61,7 @@ HEADLINE = [
     "order_gaps_lag_lead",
     "grouping_sets_orders",
     "quantiles_acctbal_per_segment",
+    "approx_quantiles_events_value",
     "topk_customers_per_segment",
     "rollup_orders",
     "cube_orders",

@@ -1379,6 +1379,28 @@ def approx_distinct_users_daily(spark, sf_dir):
     )
 
 
+def approx_quantiles_events_value(spark, sf_dir):
+    """Approximate percentile sketch (Greenwald-Khanna) per event type —
+    the mergeable-quantile companion to the HLL sketch: partial sketches
+    combine associatively, so at 100 TB no raw-value shuffle happens, only
+    sketch merges. No value oracle (sketch internals are engine-specific;
+    rows-only check); the exact twin `quantiles_acctbal_per_segment` is
+    value-gated."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.expr("approx_percentile(value, array(0.5D, 0.95D, 0.99D), 10000)")
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("__q"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.col("__q")[0].alias("p50"),
+            F.col("__q")[1].alias("p95"),
+            F.col("__q")[2].alias("p99"),
+            "n_events",
+        )
+    )
+
+
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> connected components -> cluster assignment
     (doc_id, cluster_id). The oracle replays label propagation as a
@@ -1675,6 +1697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier_per_nation": top_supplier_per_nation,
     "quantiles_acctbal_per_segment": quantiles_acctbal_per_segment,
     "approx_distinct_users_daily": approx_distinct_users_daily,
+    "approx_quantiles_events_value": approx_quantiles_events_value,
     "topk_customers_per_segment": topk_customers_per_segment,
     "rollup_orders": rollup_orders,
     "cube_orders": cube_orders,
