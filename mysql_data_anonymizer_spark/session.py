@@ -79,10 +79,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(config.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # runtime bloom-filter join pruning: selective join keys prune the
-        # probe-side scan before the shuffle — free at fixture scale, a
-        # large win on 100 TB fact-to-filtered-dim joins
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # runtime bloom-filter join pruning prunes the probe-side scan on
+        # selective shuffle joins — a large win on 100 TB fact joins, but
+        # building the sketch costs ~0.3-0.6s per join at fixture scale
+        # while pruning nothing (measured), so it is enabled only when the
+        # deployment says the data is big enough to repay it
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            os.environ.get("SPARK_GRAFT_RUNTIME_BLOOM", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # fixtures store TIMESTAMP(NANOS); surface as bigint for explicit
         # ns->us normalization (sources.files.normalize_nanos_ts)
