@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_simhash_md5",
     "dedup_clusters",
     "dedup_canonical_docs",
+    "dedup_incremental_new_docs",
     "dedup_embedding_cosine",
     "knn_brute_force",
     "knn_matmul",

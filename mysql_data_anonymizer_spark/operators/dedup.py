@@ -124,6 +124,69 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def incremental_near_dup_filter(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Keep only the NEW documents that are not near-duplicates (n-gram
+    Jaccard >= threshold) of anything in the EXISTING corpus — the operator
+    a recurring ingestion pipeline runs on every crawl increment.
+
+    Bipartite posting lists: one groupBy over the tagged (shingle, id)
+    stream collects each shingle's corpus and new doc lists; candidate
+    pairs explode map-side only ACROSS sides (|corpus_list| x |new_list|
+    per shingle, bounded by the df cap), never within a side — the
+    quadratic self-join term of full-corpus dedup disappears, cost scales
+    with the increment. Set sizes reuse the same aggregate. Returns the
+    surviving new docs (anti-join against the tiny drop list)."""
+    sh_c = shingles(corpus, id_col, text_col, n).withColumn("__new", F.lit(False))
+    sh_n = shingles(new_docs, id_col, text_col, n).withColumn("__new", F.lit(True))
+    both = sh_c.unionByName(sh_n)
+    posting = both.groupBy("sh").agg(
+        F.sort_array(F.collect_set(F.when(~F.col("__new"), F.col("__id")))).alias("cids"),
+        F.sort_array(F.collect_set(F.when(F.col("__new"), F.col("__id")))).alias("nids"),
+    )
+    if max_shingle_df is not None:
+        posting = posting.where(F.size("cids") + F.size("nids") <= max_shingle_df)
+    sizes = (
+        posting.select(F.explode(F.concat("cids", "nids")).alias("__id"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    cross = F.expr(
+        "flatten(transform(nids, nid -> transform(cids, cid ->"
+        " struct(nid AS new_id, cid AS corpus_id))))"
+    )
+    inter = (
+        posting.where((F.size("cids") >= 1) & (F.size("nids") >= 1))
+        .select(F.explode(cross).alias("p"))
+        .groupBy(F.col("p.new_id").alias("new_id"), F.col("p.corpus_id").alias("corpus_id"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    dup_new = (
+        inter.join(
+            sizes.withColumnRenamed("__id", "new_id").withColumnRenamed("__n", "__nn"), "new_id"
+        )
+        .join(
+            sizes.withColumnRenamed("__id", "corpus_id").withColumnRenamed("__n", "__nc"),
+            "corpus_id",
+        )
+        .where(
+            F.col("__inter").cast("double")
+            / (F.col("__nn") + F.col("__nc") - F.col("__inter")).cast("double")
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(F.broadcast(dup_new), id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

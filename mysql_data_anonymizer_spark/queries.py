@@ -1049,6 +1049,58 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def dedup_incremental_new_docs(spark, sf_dir):
+    """Incremental ingestion dedup: the odd-id documents play the NEW crawl
+    increment, even-id documents the EXISTING corpus; new docs near-dupping
+    anything in the corpus (jaccard >= 0.6) are dropped. Bipartite posting
+    lists — candidates only across sides, so cost scales with the
+    increment, not the corpus squared (operators/dedup.py
+    incremental_near_dup_filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    out = dedup.incremental_near_dup_filter(
+        corpus, new, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH docs AS (
+  SELECT doc_id, (doc_id % 2) = 1 AS is_new,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, is_new,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM docs
+),
+sh1 AS (SELECT doc_id, is_new, sh FROM sh0 WHERE sh <> ''),
+sh_keep AS (SELECT sh FROM sh1 GROUP BY sh HAVING count(*) <= 100),
+sh AS (SELECT s.doc_id, s.is_new, s.sh FROM sh1 s JOIN sh_keep USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS i
+  FROM sh n JOIN sh c ON n.sh = c.sh AND n.is_new AND NOT c.is_new
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT DISTINCT new_id
+  FROM inter
+  JOIN sizes sn ON sn.doc_id = new_id
+  JOIN sizes sc ON sc.doc_id = corpus_id
+  WHERE CAST(i AS DOUBLE) / CAST(sn.n + sc.n - i AS DOUBLE) >= 0.6
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT new_id FROM dup)
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -1959,6 +2011,8 @@ ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
 QUERIES["dedup_simhash_md5"] = dedup_simhash_md5
 ORACLES["dedup_simhash_md5"] = _gen_simhash_md5_sql(3, 15)
+QUERIES["dedup_incremental_new_docs"] = dedup_incremental_new_docs
+ORACLES["dedup_incremental_new_docs"] = INCREMENTAL_DEDUP_SQL
 ORACLES["dedup_embedding_cosine"] = _gen_embedding_dedup_sql(0.4)
 ORACLES["knn_brute_force"] = _gen_knn_sql(5)
 QUERIES["knn_matmul"] = knn_matmul
@@ -3087,6 +3141,8 @@ _CHECK_FIRST = [
     "q2_min_cost_supplier",
     "q20_volume_share_suppliers",
     "streaming_stream_join",
+    "dedup_incremental_new_docs",
+    "approx_quantiles_events_value",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},

@@ -248,3 +248,23 @@ def test_simhash_md5_identical_docs_hamming_zero(spark):
              for r in dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3,
                                           band_bits=15, variant="md5").collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_incremental_near_dup_filter(spark):
+    """New docs duplicating the corpus are dropped; novel new docs and
+    near-dups WITHIN the increment both survive (only cross-side pairs
+    filter)."""
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # dup of corpus 0 -> drop
+            (3, "totally novel content right here"),  # survives
+            (5, "totally novel content right here"),  # intra-increment dup -> survives
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_near_dup_filter(corpus, new, "doc_id", "text", n=3, threshold=0.6)
+    assert {r.doc_id for r in out.collect()} == {3, 5}
