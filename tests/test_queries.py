@@ -121,3 +121,35 @@ def test_q9_filtered_part_is_broadcast(spark, sf_dir):
     the scan, never shuffling lineitem for a dim lookup."""
     plan = Q.QUERIES["q9_profit_by_nation_year"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sketch_queries_within_tolerance(spark, sf_dir):
+    """Rows-only sketch entries still get accuracy gates: HLL distinct
+    counts within 10% of exact; GK approx percentiles within the documented
+    rank tolerance of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from mysql_data_anonymizer_spark import queries as Q
+
+    ev = Q._t(spark, sf_dir, "events")
+    # HLL vs exact per day
+    approx = {r.day: r.approx_users
+              for r in Q.approx_distinct_users_daily(spark, sf_dir).collect()}
+    exact = {r.day: r.n
+             for r in ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+                        .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert approx.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.1 * n), (day, approx[day], n)
+
+    # GK sketch vs exact percentiles per event type
+    got = {r.event_type: (r.p50, r.p95)
+           for r in Q.approx_quantiles_events_value(spark, sf_dir).collect()}
+    ex = {r.event_type: (r.p50, r.p95)
+          for r in ev.groupBy("event_type")
+                     .agg(F.expr("percentile(value, 0.5D)").alias("p50"),
+                          F.expr("percentile(value, 0.95D)").alias("p95")).collect()}
+    for et, (p50, p95) in ex.items():
+        a50, a95 = got[et]
+        assert abs(a50 - p50) <= max(1.0, 0.05 * abs(p50)), (et, a50, p50)
+        assert abs(a95 - p95) <= max(1.0, 0.05 * abs(p95)), (et, a95, p95)
