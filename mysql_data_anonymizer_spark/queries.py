@@ -624,6 +624,53 @@ FROM events GROUP BY event_type
 """
 
 
+def json_props_struct(spark, sf_dir):
+    """Schema-full JSON parsing (from_json -> typed struct, vs
+    json_events_agg's per-path get_json_object): parse once, access many
+    fields JVM-side. Corrupt/missing fields become typed NULLs in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json(F.col("props"), "k long, cat string"))
+    return parsed.groupBy(F.pmod(F.col("p.k"), F.lit(10)).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p.k").alias("sum_k"),
+        F.max("p.k").alias("max_k"),
+        # absent field -> typed NULL in both engines
+        F.count("p.cat").alias("n_cat"),
+    )
+
+
+JSON_STRUCT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(json_extract_string(props, '$.cat')) AS n_cat
+FROM events GROUP BY 1
+"""
+
+
+def customer_order_keys_array(spark, sf_dir):
+    """Array-valued aggregation output: each customer's order keys as one
+    sorted array (collect_list has nondeterministic order — sort_array
+    makes the value canonical, which is also what lets the DuckDB twin
+    hash-match). Bounded per group by orders-per-customer."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+CUSTOMER_ORDER_ARRAY_SQL = """
+SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
 def running_total_per_customer(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = (
@@ -1761,6 +1808,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_parts_ordered": semi_join_parts_ordered,
     "distinct_nations_per_segment": distinct_nations_per_segment,
     "json_events_agg": json_events_agg,
+    "json_props_struct": json_props_struct,
+    "customer_order_keys_array": customer_order_keys_array,
     "running_total_per_customer": running_total_per_customer,
     "events_hourly_window": events_hourly_window,
     "sessionize_events": sessionize_events,
@@ -1818,6 +1867,8 @@ ORACLES: dict[str, str] = {
     "semi_join_parts_ordered": SEMI_JOIN_SQL,
     "distinct_nations_per_segment": DISTINCT_AGG_SQL,
     "json_events_agg": JSON_EVENTS_SQL,
+    "json_props_struct": JSON_STRUCT_SQL,
+    "customer_order_keys_array": CUSTOMER_ORDER_ARRAY_SQL,
     "running_total_per_customer": RUNNING_TOTAL_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,
     "sessionize_events": SESSIONIZE_SQL,
@@ -3143,6 +3194,8 @@ _CHECK_FIRST = [
     "streaming_stream_join",
     "dedup_incremental_new_docs",
     "approx_quantiles_events_value",
+    "json_props_struct",
+    "customer_order_keys_array",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
