@@ -69,7 +69,10 @@ HEADLINE = [
     "range_join_close_prices",
     "semi_join_parts_ordered",
     "json_events_agg",
+    "json_props_struct",
+    "customer_order_keys_array",
     "running_total_per_customer",
+    "rolling_30d_order_stats",
     "events_hourly_window",
     "sessionize_events",
     # text / dedup / similarity

@@ -694,6 +694,37 @@ FROM orders
 """
 
 
+def rolling_30d_order_stats(spark, sf_dir):
+    """RANGE-frame window (value-based, not row-based): for every order,
+    the customer's order count and exact spend over the PRECEDING 30 days
+    including the current order. Spark range frames need a numeric order
+    key — epoch seconds — with the frame in seconds; DuckDB's twin uses
+    RANGE with an INTERVAL over the timestamp directly. Same frame, same
+    rows, exact decimal spend -> string-route double."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_30d"),
+        _dbl(F.sum(_dec("o_totalprice", 14, 2)).over(w)).alias("spend_30d"),
+    )
+
+
+ROLLING_30D_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS VARCHAR) AS DOUBLE) AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW)
+"""
+
+
 def events_hourly_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1811,6 +1842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_struct": json_props_struct,
     "customer_order_keys_array": customer_order_keys_array,
     "running_total_per_customer": running_total_per_customer,
+    "rolling_30d_order_stats": rolling_30d_order_stats,
     "events_hourly_window": events_hourly_window,
     "sessionize_events": sessionize_events,
     "text_profile": text_profile,
@@ -1870,6 +1902,7 @@ ORACLES: dict[str, str] = {
     "json_props_struct": JSON_STRUCT_SQL,
     "customer_order_keys_array": CUSTOMER_ORDER_ARRAY_SQL,
     "running_total_per_customer": RUNNING_TOTAL_SQL,
+    "rolling_30d_order_stats": ROLLING_30D_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "text_lang_source_stats": LANG_SOURCE_SQL,
@@ -3196,6 +3229,7 @@ _CHECK_FIRST = [
     "approx_quantiles_events_value",
     "json_props_struct",
     "customer_order_keys_array",
+    "rolling_30d_order_stats",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
