@@ -73,6 +73,8 @@ HEADLINE = [
     "customer_order_keys_array",
     "running_total_per_customer",
     "rolling_30d_order_stats",
+    "order_window_features",
+    "segment_nation_list",
     "events_hourly_window",
     "sessionize_events",
     # text / dedup / similarity

@@ -725,6 +725,63 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 """
 
 
+def order_window_features(spark, sf_dir):
+    """Remaining analytic-window families in one pass: first_value /
+    last_value over a full-partition frame (customer's first and latest
+    order) and percent_rank over a totally-ordered spend ranking. All three
+    share the one keyed shuffle on o_custkey; percent_rank's
+    (rank-1)/(n-1) division is the identical op in both engines on exact
+    ranks, so the doubles hash-match unrounded."""
+    o = _t(spark, sf_dir, "orders")
+    w_time = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_spend = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w_time).alias("first_orderkey"),
+        F.last("o_orderkey").over(w_time).alias("last_orderkey"),
+        F.percent_rank().over(w_spend).alias("spend_pct_rank"),
+    )
+
+
+ORDER_WINDOW_FEATURES_SQL = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER wt AS first_orderkey,
+       last_value(o_orderkey) OVER wt AS last_orderkey,
+       percent_rank() OVER ws AS spend_pct_rank
+FROM orders
+WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       ws AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def segment_nation_list(spark, sf_dir):
+    """String aggregation: each market segment's distinct nation keys as
+    one canonical comma-joined string (sorted numerically before joining,
+    which is what makes the value deterministic and cross-engine)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_set("c_nationkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+SEGMENT_NATION_LIST_SQL = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list_distinct(list(c_nationkey))), ',') AS nations,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 def events_hourly_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1843,6 +1900,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_keys_array": customer_order_keys_array,
     "running_total_per_customer": running_total_per_customer,
     "rolling_30d_order_stats": rolling_30d_order_stats,
+    "order_window_features": order_window_features,
+    "segment_nation_list": segment_nation_list,
     "events_hourly_window": events_hourly_window,
     "sessionize_events": sessionize_events,
     "text_profile": text_profile,
@@ -1903,6 +1962,8 @@ ORACLES: dict[str, str] = {
     "customer_order_keys_array": CUSTOMER_ORDER_ARRAY_SQL,
     "running_total_per_customer": RUNNING_TOTAL_SQL,
     "rolling_30d_order_stats": ROLLING_30D_SQL,
+    "order_window_features": ORDER_WINDOW_FEATURES_SQL,
+    "segment_nation_list": SEGMENT_NATION_LIST_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "text_lang_source_stats": LANG_SOURCE_SQL,
@@ -3230,6 +3291,8 @@ _CHECK_FIRST = [
     "json_props_struct",
     "customer_order_keys_array",
     "rolling_30d_order_stats",
+    "order_window_features",
+    "segment_nation_list",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
