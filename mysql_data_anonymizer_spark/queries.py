@@ -533,13 +533,17 @@ def rollup_orders(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             _dbl(F.sum(_dec("o_totalprice", 14, 2))).alias("total"),
+            # SQL-standard bit vector (1 = column aggregated away): the only
+            # way to tell an aggregated NULL from a data NULL
+            F.grouping_id().cast("long").alias("gid"),
         )
     )
 
 
 ROLLUP_ORDERS_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
