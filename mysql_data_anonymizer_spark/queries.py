@@ -675,6 +675,37 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def json_source_agg(spark, sf_dir):
+    """File-source parity under the oracle: events serialized to JSON lines,
+    read back through sources.files.read_table with an explicit schema, and
+    aggregated. Doubles survive the JSON round trip exactly (shortest-repr
+    write, exact parse); the aggregate still normalizes to exact cents so
+    summation order cannot matter. The oracle runs the same aggregate over
+    the parquet fixture — green means the JSON reader path is lossless."""
+    stage = tempfile.mkdtemp(prefix="mda_json_")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").json(stage)
+    back = files.read_table(
+        spark,
+        stage,
+        fmt="json",
+        schema="event_id long, user_id long, event_type string, value double",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+JSON_SOURCE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def running_total_per_customer(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = (
@@ -1902,6 +1933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_events_agg": json_events_agg,
     "json_props_struct": json_props_struct,
     "customer_order_keys_array": customer_order_keys_array,
+    "json_source_agg": json_source_agg,
     "running_total_per_customer": running_total_per_customer,
     "rolling_30d_order_stats": rolling_30d_order_stats,
     "order_window_features": order_window_features,
@@ -1964,6 +1996,7 @@ ORACLES: dict[str, str] = {
     "json_events_agg": JSON_EVENTS_SQL,
     "json_props_struct": JSON_STRUCT_SQL,
     "customer_order_keys_array": CUSTOMER_ORDER_ARRAY_SQL,
+    "json_source_agg": JSON_SOURCE_SQL,
     "running_total_per_customer": RUNNING_TOTAL_SQL,
     "rolling_30d_order_stats": ROLLING_30D_SQL,
     "order_window_features": ORDER_WINDOW_FEATURES_SQL,
@@ -3297,6 +3330,7 @@ _CHECK_FIRST = [
     "rolling_30d_order_stats",
     "order_window_features",
     "segment_nation_list",
+    "json_source_agg",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
