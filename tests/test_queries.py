@@ -142,14 +142,16 @@ def test_sketch_queries_within_tolerance(spark, sf_dir):
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.1 * n), (day, approx[day], n)
 
-    # GK sketch vs exact percentiles per event type
-    got = {r.event_type: (r.p50, r.p95)
-           for r in Q.approx_quantiles_events_value(spark, sf_dir).collect()}
+    # The query's final columns are the exact percentiles (cross-engine
+    # hashable); the GK sketch is gated by its sketch_ok bracket column.
+    rows = Q.approx_quantiles_events_value(spark, sf_dir).collect()
+    assert rows and all(r.sketch_ok for r in rows), [
+        (r.event_type, r.sketch_ok) for r in rows
+    ]
     ex = {r.event_type: (r.p50, r.p95)
           for r in ev.groupBy("event_type")
                      .agg(F.expr("percentile(value, 0.5D)").alias("p50"),
                           F.expr("percentile(value, 0.95D)").alias("p95")).collect()}
-    for et, (p50, p95) in ex.items():
-        a50, a95 = got[et]
-        assert abs(a50 - p50) <= max(1.0, 0.05 * abs(p50)), (et, a50, p50)
-        assert abs(a95 - p95) <= max(1.0, 0.05 * abs(p95)), (et, a95, p95)
+    for r in rows:
+        p50, p95 = ex[r.event_type]
+        assert r.p50 == p50 and r.p95 == p95, (r.event_type, r.p50, p50, r.p95, p95)
