@@ -347,6 +347,7 @@ class PyRowGenerator:
         self._unique = unique
         self.locale = locale
         self._t = LOCALES.get(locale, LOCALES["en_US"])
+        self._dcache: dict[str, str] = {}
 
     def __getattr__(self, name: str):
         providers = type(self)._providers
@@ -360,8 +361,14 @@ class PyRowGenerator:
         )
 
     def digest(self, extra_salt: str = "") -> str:
-        raw = f"{self.seed}:{self.column}{extra_salt}|{self.key}"
-        return hashlib.md5(raw.encode("utf-8")).hexdigest()
+        # memoized: closures touching several formatters (name + email + ...)
+        # share the default-salt digest instead of re-hashing per access
+        d = self._dcache.get(extra_salt)
+        if d is None:
+            raw = f"{self.seed}:{self.column}{extra_salt}|{self.key}"
+            d = hashlib.md5(raw.encode("utf-8")).hexdigest()
+            self._dcache[extra_salt] = d
+        return d
 
     @property
     def email(self) -> str:

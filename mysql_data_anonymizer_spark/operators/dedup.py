@@ -15,8 +15,12 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -322,6 +326,62 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# spread-multiply: for a nibble v, (v * _SPREAD) & _LANES puts bit k of v at
+# bit position 16k — copies of v at shifts 0/15/30/45 are disjoint (no
+# carries), and masking bits {0,16,32,48} selects exactly bit k from copy k.
+_SPREAD = (1 << 45) + (1 << 30) + (1 << 15) + 1  # 35185445863425
+_LANES = (1 << 48) + (1 << 32) + (1 << 16) + 1  # 281479271743489
+_LANE_CAP = 65535  # 16-bit per-position counters: exact up to 65535 tokens
+
+
+def _packed_fold_sql(n_bits: int, pack_bits: int) -> str:
+    """Per-doc fingerprint via a struct of n_bits/4 packed-long counters.
+
+    Per token: 16 multiply+mask+add field updates on a flat struct — no
+    array allocation (the naive fold builds two 64-element arrays per
+    token; this form measured ~4x faster on the documents corpus). Lane k
+    of acc.s{i} counts tokens with hash bit (4i+k) set; the finisher turns
+    counts into sign bits (2*count > n <=> the +/-1 sum is positive) and
+    packs them. shiftrightunsigned everywhere: lane 3 occupies bits 48..63,
+    so a half-full top lane sets the sign bit of the accumulator long."""
+    nn = n_bits // 4
+    init = ", ".join(f"'s{i}', 0L" for i in range(nn))
+    merge = ", ".join(
+        f"'s{i}', acc.s{i} + "
+        f"(((shiftrightunsigned(h, {4 * i}) & 15) * {_SPREAD}L) & {_LANES}L)"
+        for i in range(nn)
+    )
+    accs = ", ".join(f"acc.s{i}" for i in range(nn))
+    return (
+        f"aggregate(__hashes, named_struct({init}),"
+        f" (acc, h) -> named_struct({merge}),"
+        " acc -> aggregate(zip_with("
+        f"   transform(sequence(0, {pack_bits - 1}), j ->"
+        f"     shiftrightunsigned(element_at(array({accs}), cast(j div 4 as int) + 1),"
+        "       (j % 4) * 16) & 65535),"
+        f"   transform(sequence(0, {pack_bits - 1}), j -> shiftleft(1L, j)),"
+        "   (c, p) -> if(2 * c > size(__hashes), p, 0L)),"
+        " 0L, (a, x) -> a + x))"
+    )
+
+
+def _naive_fold_sql(n_bits: int, pack_bits: int) -> str:
+    """Unpacked +/-1 fold over a 64-long accumulator array — exact for any
+    token count; the packed path's fallback for docs beyond _LANE_CAP."""
+    return (
+        "aggregate(aggregate(__hashes,"
+        f" array_repeat(0L, {n_bits}),"
+        " (acc, h) -> zip_with(acc,"
+        f"   transform(sequence(0, {n_bits - 1}),"
+        "     j -> cast(shiftright(h, j) & 1 as long) * 2L - 1L),"
+        "   (a, b) -> a + b),"
+        f" acc -> zip_with(slice(acc, 1, {pack_bits}),"
+        f"   transform(sequence(0, {pack_bits - 1}), j -> shiftleft(1L, j)),"
+        "   (s, p) -> if(s > 0, p, 0L))),"
+        " 0L, (a, x) -> a + x)"
+    )
+
+
 def _simhash_impl(
     df: DataFrame, id_col: str, text_col: str, hash_sql: str, n_bits: int, pack_bits: int
 ) -> DataFrame:
@@ -334,23 +394,15 @@ def _simhash_impl(
     # docs with zero tokens have no fingerprint (an all-zero fingerprint
     # would spuriously pair every empty doc at hamming 0)
     ).where(F.expr("size(__hashes) > 0"))
-    sums = hashed.select(
-        "__id",
-        F.expr(
-            f"aggregate(__hashes, array_repeat(0L, {n_bits}),"
-            " (acc, h) -> zip_with(acc,"
-            f"   transform(sequence(0, {n_bits - 1}),"
-            "     j -> cast(shiftright(h, j) & 1 as long) * 2L - 1L),"
-            "   (a, b) -> a + b))"
-        ).alias("__sums"),
-    )
+    # packed-counter fold for normal documents, exact-any-length fold past
+    # the 16-bit lane capacity — both compute sign(sum over tokens of +/-1
+    # per bit), so the branch is invisible in the output
     fp = F.expr(
-        f"aggregate(zip_with(slice(__sums, 1, {pack_bits}),"
-        f"   transform(sequence(0, {pack_bits - 1}), j -> shiftleft(1L, j)),"
-        "   (s, p) -> if(s > 0, p, 0L)),"
-        " 0L, (a, x) -> a + x)"
+        f"if(size(__hashes) <= {_LANE_CAP},"
+        f" {_packed_fold_sql(n_bits, pack_bits)},"
+        f" {_naive_fold_sql(n_bits, pack_bits)})"
     )
-    return sums.select(F.col("__id").alias(id_col), fp.alias("simhash"))
+    return hashed.select(F.col("__id").alias(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(
@@ -372,6 +424,11 @@ def simhash_pairs(
         fp, total_bits = simhash_md5(df, id_col, text_col), 60
     else:
         fp, total_bits = simhash(df, id_col, text_col), 64
+    # the banding self-join reads the fingerprint frame twice; without a
+    # cache each side re-tokenizes + re-folds the entire corpus (measured
+    # ~2.5x the whole query at sf0.1). Fingerprints are (id, long) — 100+ x
+    # smaller than the text — so caching them is the scale-correct trade.
+    fp = fp.cache()
     nbands = total_bits // band_bits
     # one pass: explode band keys from the fingerprint instead of a union of
     # per-band frames (which would recompute the simhash fold per band)
@@ -582,6 +639,15 @@ def connected_components(
         labels = new.drop("__old")
         if improved == 0:
             break
+    else:
+        # an unconverged result is otherwise indistinguishable from a
+        # correct one: some nodes may carry intermediate non-minimum labels
+        _log.warning(
+            "connected_components: max_iter=%d exhausted before fixpoint; "
+            "labels may be partial (raise max_iter or use "
+            "connected_components_star for long-chain graphs)",
+            max_iter,
+        )
     return labels
 
 
@@ -656,6 +722,16 @@ def connected_components_star(
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        # exiting on max_iter (not sig fixpoint) can leave nodes mapped to
+        # intermediate non-root ids — surface it instead of returning a
+        # silently inconsistent clustering
+        _log.warning(
+            "connected_components_star: max_iter=%d exhausted before the "
+            "edge-set signature reached fixpoint; cluster labels may be "
+            "partial/non-root (raise max_iter)",
+            max_iter,
+        )
     comp = E.select(F.col("u").alias("node"), F.col("v").alias("component"))
     # component minima point to themselves (roots never appear as a source
     # at the star fixpoint)

@@ -47,6 +47,17 @@ from mysql_data_anonymizer_spark.plans.plan import ColumnMask, MaskingPlan
 ROW_COL = "__mda_row"
 KEY_COL = "__mda_key"
 
+# Error types that signal "this closure is not Column-expressible" when
+# probed with a DeterministicGenerator: host-language ops on a Column raise
+# TypeError/ValueError, unknown formatter names raise AttributeError, and
+# eagerly-evaluated Column ops can surface py4j-side errors.
+try:  # py4j ships with pyspark, but guard the import for stub environments
+    from py4j.protocol import Py4JError
+
+    _COLUMN_INEXPRESSIBLE: tuple = (TypeError, AttributeError, ValueError, Py4JError)
+except ImportError:  # pragma: no cover
+    _COLUMN_INEXPRESSIBLE = (TypeError, AttributeError, ValueError)
+
 
 @dataclass
 class CompiledTable:
@@ -135,13 +146,18 @@ def _mask_expression(
         )
         try:
             result = rep(gen)
-        except (TypeError, AttributeError, ValueError):
+        except _COLUMN_INEXPRESSIBLE:
             # the closure applied host-language operations a Column can't
-            # satisfy (str methods, int(), custom formatter names...) ->
-            # re-run it per row in the Python path. Only these "not
-            # Column-expressible" error types reroute; genuine bugs
-            # (KeyError, ZeroDivisionError, ...) propagate to the caller.
-            # Closures must be pure: the Python path re-evaluates per row.
+            # satisfy (str methods, int(), custom formatter names, eager
+            # Column ops surfacing as py4j errors...) -> re-run it per row
+            # in the Python path. Only these "not Column-expressible" error
+            # types reroute; genuine bugs (KeyError, ZeroDivisionError, ...)
+            # propagate to the caller. Supported closure contract
+            # (Blueprint.replace_with): EITHER compose Column expressions
+            # from the generator's formatters (fast JVM path), OR use
+            # arbitrary pure Python — signalled by one of the reroute error
+            # types on the Column probe — which runs per row in a pandas
+            # UDF. Closures must be pure: the Python path re-evaluates them.
             return _row_udf_expression(
                 df, rep, mask, seed, dtype, row_arg=False, locale=locale
             )
@@ -175,23 +191,39 @@ def _row_udf_expression(
     row_arg: bool,
     locale: str = "en_US",
 ) -> Column:
-    """Arbitrary-Python escape hatch: Arrow-batched pandas UDF over a struct
-    of the (progressively masked) row. ``row_arg=True`` is the
-    ``replaceByFields((row, gen) -> v)`` form; ``row_arg=False`` the
-    ``replaceWith(gen -> v)`` closure form. One PyRowGenerator per row,
-    seeded by the pk — reproducible anywhere in the cluster."""
+    """Arbitrary-Python escape hatch: Arrow-batched pandas UDF.
+    ``row_arg=True`` is the ``replaceByFields((row, gen) -> v)`` form and
+    ships a struct of the (progressively masked) row; ``row_arg=False`` is
+    the ``replaceWith(gen -> v)`` closure form and ships ONLY the row key —
+    Arrow never transfers columns the closure can't see, so the scan prunes
+    to the key. One PyRowGenerator per row, seeded by the pk — reproducible
+    anywhere in the cluster. The batch's key column converts to Python
+    strings once per Arrow batch (vectorized astype), not per row."""
     col_name, unique = mask.name, mask.unique
+
+    if not row_arg:
+        # generator-only closure: the key string is the sole input
+        @pandas_udf(dtype)
+        def _gen_udf(keys: pd.Series) -> pd.Series:
+            out = []
+            for key in keys.astype(str):
+                out.append(
+                    fn(PyRowGenerator(seed, key, col_name, unique=unique, locale=locale))
+                )
+            return pd.Series(out)
+
+        return _gen_udf(F.col(KEY_COL))
+
     data_cols = [c for c in df.columns if not c.startswith("__mda_")]
 
     @pandas_udf(dtype)
     def _udf(batch: pd.DataFrame) -> pd.Series:
+        keys = batch[KEY_COL].astype(str)
+        recs = batch[data_cols].to_dict("records")
         out = []
-        for rec in batch.to_dict("records"):
-            gen = PyRowGenerator(seed, rec[KEY_COL], col_name, unique=unique, locale=locale)
-            if row_arg:
-                out.append(fn({k: rec[k] for k in data_cols}, gen))
-            else:
-                out.append(fn(gen))
+        for key, rec in zip(keys, recs):
+            gen = PyRowGenerator(seed, key, col_name, unique=unique, locale=locale)
+            out.append(fn(rec, gen))
         return pd.Series(out)
 
     return _udf(F.struct(*[F.col(c) for c in data_cols], F.col(KEY_COL)))
