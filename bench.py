@@ -28,6 +28,7 @@ HEADLINE = [
     "mask_unique_uuid",
     "mask_synchro_remap",
     "mask_generator_profile",
+    "mask_faker_profile",
     # relational
     "q1_pricing_summary",
     "q3_top_revenue_orders",

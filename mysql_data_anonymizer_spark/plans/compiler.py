@@ -200,11 +200,16 @@ def _row_udf_expression(
     anywhere in the cluster. The batch's key column converts to Python
     strings once per Arrow batch (vectorized astype), not per row."""
     col_name, unique = mask.name, mask.unique
+    # snapshot the provider registry INTO the UDF closure: python workers
+    # are forked processes that re-import this package fresh, so driver-side
+    # register_provider() mutations never reach them on their own
+    providers = dict(PyRowGenerator._providers)
 
     if not row_arg:
         # generator-only closure: the key string is the sole input
         @pandas_udf(dtype)
         def _gen_udf(keys: pd.Series) -> pd.Series:
+            PyRowGenerator._providers.update(providers)
             out = []
             for key in keys.astype(str):
                 out.append(
@@ -218,6 +223,7 @@ def _row_udf_expression(
 
     @pandas_udf(dtype)
     def _udf(batch: pd.DataFrame) -> pd.Series:
+        PyRowGenerator._providers.update(providers)
         keys = batch[KEY_COL].astype(str)
         recs = batch[data_cols].to_dict("records")
         out = []

@@ -383,6 +383,56 @@ FROM customer
 """
 
 
+def mask_faker_profile(spark, sf_dir):
+    """Reference Faker parity (src/Anonymizer.php:53-58, composer.json:11):
+    masks routed through the ``faker`` provider — the real python ``faker``
+    library when installed, the deterministic ``FallbackFaker`` otherwise —
+    hosted in the pandas-UDF path and re-seeded per primary key, so values
+    are reproducible across executors and runs (unlike the reference's
+    process-global Faker RNG). The SQL oracle twin is registered only in
+    fallback environments: real-Faker values are genuinely non-SQL, and in
+    that case this row downgrades to the driver's rows-only check while the
+    determinism test still gates values."""
+    from mysql_data_anonymizer_spark.functions.faker_adapter import register_faker_provider
+
+    register_faker_provider()
+    cust = _t(spark, sf_dir, "customer")
+    bp = Blueprint(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_name").replaceWith(lambda g: g.faker.name())
+        .column("c_mktsegment").replaceWith(lambda g: g.faker.city()),
+    )
+    masked = compile_plan(cust, bp.plan, seed=SEED).df
+    return masked.select(
+        "c_custkey",
+        F.col("c_name").alias("faker_name"),
+        F.col("c_mktsegment").alias("faker_city"),
+    )
+
+
+def _faker_fallback_sql() -> str:
+    """DuckDB twin of FallbackFaker: value = pick-tables applied to
+    md5(md5(seed ':' column ':faker|' pk) ':' method ':0')."""
+    from mysql_data_anonymizer_spark.functions.generator import LOCALES
+
+    t = LOCALES["en_US"]
+    first = "[" + ", ".join(f"'{x}'" for x in t["first_names"]) + "]"
+    last = "[" + ", ".join(f"'{x}'" for x in t["last_names"]) + "]"
+    cities = "[" + ", ".join(f"'{x}'" for x in t["cities"]) + "]"
+    mat_name = f"md5('{SEED}:c_name:faker|' || CAST(c_custkey AS VARCHAR))"
+    mat_seg = f"md5('{SEED}:c_mktsegment:faker|' || CAST(c_custkey AS VARCHAR))"
+    d_name = f"md5({mat_name} || ':name:0')"
+    d_city = f"md5({mat_seg} || ':city:0')"
+    return f"""
+SELECT c_custkey,
+       ({first})[strpos('{HEXD}', substr({d_name}, 1, 1))] || ' ' ||
+         ({last})[strpos('{HEXD}', substr({d_name}, 2, 1))] AS faker_name,
+       ({cities})[strpos('{HEXD}', substr({d_city}, 1, 1))] AS faker_city
+FROM customer
+"""
+
+
 # ===========================================================================
 # relational queries
 # ===========================================================================
@@ -2243,6 +2293,15 @@ ORACLES["dedup_canonical_docs"] = _gen_dedup_canonical_sql(0.6)
 # dedup_simhash (xxhash64 not in DuckDB) and knn_lsh (approximate by design)
 # intentionally have no oracle -> driver does the rows-only check
 
+QUERIES["mask_faker_profile"] = mask_faker_profile
+from mysql_data_anonymizer_spark.functions.faker_adapter import HAS_FAKER as _HAS_FAKER  # noqa: E402
+
+if not _HAS_FAKER:
+    # fallback backend active -> values are md5 constructions with an exact
+    # SQL twin; with the real faker library installed the values are
+    # non-SQL and the row downgrades to the driver's rows-only check
+    ORACLES["mask_faker_profile"] = _faker_fallback_sql()
+
 
 # ===========================================================================
 # relational wave 3: remaining TPC-H shapes, unpivot, streaming variants
@@ -3329,6 +3388,8 @@ ORACLES["timeseries_gapfill_hourly"] = GAPFILL_SQL
 # re-checking queries that are already green.
 # ===========================================================================
 _CHECK_FIRST = [
+    # --- new in round 3: never driver-checked ---
+    "mask_faker_profile",
     # --- round-3 fixes: red/blank in CORRECTNESS_r02, fixed this round ---
     "q19_disjunctive_revenue",
     "q12_priority_by_linestatus",

@@ -200,3 +200,66 @@ def test_autoload_providers_and_helpers(spark, tmp_path):
         assert spark.sql("SELECT mda_upper('ab') AS v").collect()[0].v == "AB"
     finally:
         unregister_provider("coin")
+
+
+# ------------------------------------------------------- faker adapter
+def test_faker_adapter_masking_deterministic(spark, customer):
+    """The faker provider (real library or FallbackFaker) runs on the
+    pandas-UDF path on executors, seeded per pk: two runs must agree."""
+    from mysql_data_anonymizer_spark.functions import faker_adapter
+    from mysql_data_anonymizer_spark.functions.registry import unregister_provider
+
+    faker_adapter.register_faker_provider()
+    try:
+        def build(t):
+            t.primary("c_custkey").column("c_name").replaceWith(
+                lambda g: g.faker.name()
+            )
+
+        bp = Blueprint("customer", build)
+        a = {(r.c_custkey, r.c_name) for r in compile_plan(customer, bp.plan, seed=7).df.collect()}
+        b = {(r.c_custkey, r.c_name) for r in compile_plan(customer, bp.plan, seed=7).df.collect()}
+        assert a == b and len(a) == customer.count()
+        assert all(" " in name for _, name in a), "faker name() shape"
+        # different seed -> (almost surely) different values
+        c = {(r.c_custkey, r.c_name) for r in compile_plan(customer, bp.plan, seed=8).df.collect()}
+        assert a != c
+    finally:
+        unregister_provider("faker")
+
+
+def test_fallback_faker_matches_python_twin(spark, customer):
+    """In environments without the faker library, values must equal the
+    documented md5 construction (the DuckDB-oracle contract)."""
+    from mysql_data_anonymizer_spark.functions import faker_adapter
+    from mysql_data_anonymizer_spark.functions.generator import PyRowGenerator
+    from mysql_data_anonymizer_spark.functions.registry import unregister_provider
+
+    if faker_adapter.HAS_FAKER:
+        pytest.skip("real faker installed; fallback construction not active")
+    faker_adapter.register_faker_provider()
+    try:
+        bp = Blueprint(
+            "customer",
+            lambda t: t.primary("c_custkey").column("c_name").replaceWith(
+                lambda g: g.faker.name()
+            ),
+        )
+        out = compile_plan(customer, bp.plan, seed=42).df.collect()
+        fb = faker_adapter.FallbackFaker("en_US")
+        for r in out[:10]:
+            fb.seed_with(PyRowGenerator(42, str(r.c_custkey), "c_name").digest(":faker"))
+            assert r.c_name == fb.name()
+    finally:
+        unregister_provider("faker")
+
+
+def test_fallback_faker_consecutive_calls_advance():
+    from mysql_data_anonymizer_spark.functions.faker_adapter import FallbackFaker
+
+    fb = FallbackFaker()
+    fb.seed_with("abc")
+    n1, n2 = fb.name(), fb.name()
+    assert n1 != n2, "consecutive calls advance state (Faker parity)"
+    fb.seed_with("abc")
+    assert fb.name() == n1, "re-seeding resets the stream"
