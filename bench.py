@@ -94,6 +94,8 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_canonical_docs",
     "dedup_incremental_new_docs",
+    "decontaminate_training_docs",
+    "doc_repetition_stats",
     "dedup_embedding_cosine",
     "knn_brute_force",
     "knn_matmul",

@@ -191,6 +191,38 @@ def incremental_near_dup_filter(
     return new_docs.join(F.broadcast(dup_new), id_col, "left_anti")
 
 
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing at least
+    ``min_hits`` distinct word n-grams with ANY benchmark document — the
+    surface-form overlap filter of the GPT-3/PaLM data pipelines (Brown et
+    al. 2020, appendix C uses 13-grams).
+
+    100 TB design: the benchmark n-gram set is tiny (eval sets are MBs
+    against a 100 TB corpus), so it BROADCASTS — the corpus-side shingle
+    stream is probed map-side with no fact shuffle; the only keyed
+    aggregate (per-doc hit count) runs over the rare matching rows, and the
+    final anti-join broadcasts the contaminated-id list. Cost scales with
+    corpus size x 1 map pass, independent of benchmark count."""
+    bsh = shingles(bench, id_col, text_col, n).select("sh").distinct()
+    tsh = shingles(train, id_col, text_col, n)
+    # shingles() emits distinct (doc, gram) pairs, so count == distinct hits
+    contaminated = (
+        tsh.join(F.broadcast(bsh), "sh")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .where(F.col("__hits") >= min_hits)
+        .select(F.col("__id").alias(id_col))
+    )
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -204,3 +204,52 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang_pred.alias("lang_pred"),
         "fingerprint",
     )
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """ALL word n-grams (with repeats — repetition metrics need the
+    multiset; ``dedup.shingle_expr`` is the distinct variant). Same
+    element_at pattern: O(1) per gram, empty array below n tokens."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals in the style of the Gopher data
+    pipeline (Rae et al. 2021, "Scaling Language Models", Table A1):
+    fraction of duplicate word n-grams per document. Boilerplate, scraped
+    navigation, and degenerate generations all show up as high duplicate
+    fractions; training pipelines threshold on them.
+
+    ``dup_{n}gram_frac = 1 - distinct_ngrams / total_ngrams`` (0.0 for
+    documents with fewer than n tokens). Everything is array HOFs on the
+    token array — a pure per-row map stage, NO shuffle, so at 100 TB this
+    runs at scan speed like the rest of this module. Ratios are raw doubles
+    of exact int/int divisions (IEEE-identical cross-engine, same
+    discipline as the jaccard operators)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    out = df.select(F.col(id_col), toks.alias("__toks"))
+
+    def frac(n: int) -> Column:
+        grams = _word_grams(F.col("__toks"), n)
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return out.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        frac(1).alias("dup_word_frac"),
+        frac(2).alias("dup_2gram_frac"),
+        frac(3).alias("dup_3gram_frac"),
+    )

@@ -268,3 +268,45 @@ def test_incremental_near_dup_filter(spark):
     )
     out = dedup.incremental_near_dup_filter(corpus, new, "doc_id", "text", n=3, threshold=0.6)
     assert {r.doc_id for r in out.collect()} == {3, 5}
+
+
+# ------------------------------------------------------- decontamination
+def test_decontaminate_drops_overlapping_docs(spark):
+    from mysql_data_anonymizer_spark.operators import dedup
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains bench 3-grams
+            (2, "one two three four five six seven"),     # clean
+            (3, "alpha beta gamma only once here now"),   # 1 shared 3-gram
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    # min_hits=2: doc 1 shares 3 shingles -> dropped; doc 3 shares 1 -> kept
+    kept = {r.doc_id for r in dedup.decontaminate(train, bench, "doc_id", "text", n=3, min_hits=2).collect()}
+    assert kept == {2, 3}
+    # min_hits=1: any overlap drops
+    kept1 = {r.doc_id for r in dedup.decontaminate(train, bench, "doc_id", "text", n=3, min_hits=1).collect()}
+    assert kept1 == {2}
+
+
+def test_repetition_stats_values(spark):
+    from mysql_data_anonymizer_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 6 tokens, 2 distinct; 5 2-grams, 2 distinct
+            (2, "u v w x y z"),        # all unique
+            (3, "solo"),               # below n for 2/3-grams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text_ops.repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1].n_tokens == 6
+    assert abs(rows[1].dup_word_frac - (1 - 2 / 6)) < 1e-12
+    assert abs(rows[1].dup_2gram_frac - (1 - 2 / 5)) < 1e-12
+    assert rows[2].dup_word_frac == 0.0 and rows[2].dup_3gram_frac == 0.0
+    assert rows[3].n_tokens == 1 and rows[3].dup_2gram_frac == 0.0
