@@ -107,6 +107,7 @@ HEADLINE = [
     "streaming_session_agg",
     "streaming_stateful_user_totals",
     "streaming_stream_join",
+    "streaming_dedup_events",
 ]
 
 

@@ -3457,6 +3457,49 @@ FROM events a JOIN events b
 """
 
 
+def streaming_dedup_events(spark, sf_dir):
+    """Streaming exact dedup under at-least-once delivery, value-checked:
+    the events fixture is staged TWICE (two symlinks = every event delivered
+    twice, the Kafka-replay/crawl-refetch failure mode), replayed through
+    ``dropDuplicatesWithinWatermark`` on event_id
+    (streaming/stream_ops.py::dedup_stream), and the deduped append output
+    must equal the original table exactly — which is the DuckDB oracle.
+    Key state expires at the 30-minute watermark horizon, so state is
+    bounded regardless of stream length (the unbounded-corpus twin of
+    operators/dedup.exact_dedup)."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import dedup_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events_b.parquet")
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        deduped = dedup_stream(stream, ["event_id"], watermark="30 minutes")
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    return spark.table(name).select("event_id", "user_id", "event_type", "value")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+QUERIES["streaming_dedup_events"] = streaming_dedup_events
+ORACLES["streaming_dedup_events"] = STREAMING_DEDUP_SQL
 QUERIES["streaming_stream_join"] = streaming_stream_join
 ORACLES["streaming_stream_join"] = STREAMING_STREAM_JOIN_SQL
 QUERIES["streaming_stateful_user_totals"] = streaming_stateful_user_totals
@@ -3487,6 +3530,7 @@ _CHECK_FIRST = [
     "mask_faker_profile",
     "decontaminate_training_docs",
     "doc_repetition_stats",
+    "streaming_dedup_events",
     # --- round-3 fixes: red/blank in CORRECTNESS_r02, fixed this round ---
     "q19_disjunctive_revenue",
     "q12_priority_by_linestatus",

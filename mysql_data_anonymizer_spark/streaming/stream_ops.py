@@ -172,6 +172,26 @@ def stateful_user_totals(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state — the unbounded-corpus form
+    of ``operators/dedup.exact_dedup``: ``dropDuplicatesWithinWatermark``
+    keeps the first arrival per key and EXPIRES each key's state once the
+    event-time watermark passes it, so state size is bounded by the
+    watermark horizon instead of growing with the stream. This is how an
+    at-least-once ingestion source (Kafka replay, crawl re-fetch) dedupes
+    in-flight rather than via a post-hoc batch join over the whole corpus."""
+    if not stream.isStreaming:
+        raise ValueError("dedup_stream expects a streaming DataFrame")
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
     """Drive a (bounded replay) stream to completion into a memory sink —
     the test harness path: availableNow processes all existing files then

@@ -194,3 +194,41 @@ def test_mask_stream_foreachbatch_parquet_sink(spark, events_stream, tmp_path):
     assert back.where(F.col("user_id") < 7_000_000).count() == 0
     assert back.count() > 0
     assert back.select("event_id").distinct().count() == back.count()
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """Two deliveries of the same file -> dedup_stream emits each event_id
+    exactly once (at-least-once source semantics)."""
+    import os
+    import uuid
+
+    from mysql_data_anonymizer_spark.sources import files
+    from mysql_data_anonymizer_spark.streaming.stream_ops import dedup_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tmp_path / "replay"
+    stage.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", stage / "a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", stage / "b.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = files.normalize_nanos_ts(
+        spark.readStream.schema(schema).parquet(str(stage)), ["ts"]
+    )
+    deduped = dedup_stream(stream, ["event_id"], watermark="30 minutes")
+    name = f"t_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.count() == n_src  # 2x delivered, 1x emitted
+    assert got.select("event_id").distinct().count() == n_src
+
+
+def test_dedup_stream_rejects_batch_frame(spark, sf_dir):
+    from mysql_data_anonymizer_spark.streaming.stream_ops import dedup_stream
+
+    with pytest.raises(ValueError, match="streaming"):
+        dedup_stream(spark.read.parquet(f"{sf_dir}/events.parquet"))
