@@ -96,6 +96,7 @@ HEADLINE = [
     "dedup_incremental_new_docs",
     "decontaminate_training_docs",
     "doc_repetition_stats",
+    "curate_corpus_pipeline",
     "dedup_embedding_cosine",
     "knn_brute_force",
     "knn_matmul",

@@ -219,6 +219,19 @@ def _word_grams(toks: Column, n: int) -> Column:
     )
 
 
+def dup_ngram_fraction(toks: Column, n: int) -> Column:
+    """``1 - distinct_ngrams/total_ngrams`` over a token-array column
+    (0.0 below n tokens) — the per-row repetition predicate, usable
+    directly in a filter without materializing the stats frame."""
+    grams = _word_grams(toks, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -236,20 +249,10 @@ def repetition_stats(
     discipline as the jaccard operators)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     out = df.select(F.col(id_col), toks.alias("__toks"))
-
-    def frac(n: int) -> Column:
-        grams = _word_grams(F.col("__toks"), n)
-        total = F.size(grams)
-        return F.when(
-            total > 0,
-            F.lit(1.0)
-            - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
-        ).otherwise(F.lit(0.0))
-
     return out.select(
         F.col(id_col),
         F.size("__toks").cast("long").alias("n_tokens"),
-        frac(1).alias("dup_word_frac"),
-        frac(2).alias("dup_2gram_frac"),
-        frac(3).alias("dup_3gram_frac"),
+        dup_ngram_fraction(F.col("__toks"), 1).alias("dup_word_frac"),
+        dup_ngram_fraction(F.col("__toks"), 2).alias("dup_2gram_frac"),
+        dup_ngram_fraction(F.col("__toks"), 3).alias("dup_3gram_frac"),
     )

@@ -1369,6 +1369,100 @@ WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def curate_corpus_pipeline(spark, sf_dir):
+    """Flagship end-to-end curation DAG — the nightly chain of a training
+    -data job, composed from four operator families into ONE lazy plan:
+
+      1. quality gate: lang-ID = en, quality >= 0.5, token band  (map-only)
+      2. repetition gate: Gopher dup-3-gram fraction <= 0.2      (map-only)
+      3. near-identical dedup: min doc_id per token-set fingerprint
+         (one keyed window shuffle on the fingerprint)
+      4. benchmark decontamination: doc_id % 10 == 0 plays the benchmark
+         (benchmark shingle set broadcasts; corpus pass stays map-side)
+
+    Catalyst fuses gates 1-2 into the scan's codegen stage, so the whole
+    pipeline costs one fingerprint shuffle + one hit-count aggregate over
+    decontamination matches — the composition a 100 TB curation run needs."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    toks_expr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_toks = text.token_count(F.col("text")).cast("long")
+    gated = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .where(
+            (text.lang_id(F.col("text")) == "en")
+            & (text.quality_score(F.col("text")) >= 0.5)
+            & n_toks.between(5, 5000)
+        )
+        .withColumn("__toks", toks_expr)
+        .where(text.dup_ngram_fraction(F.col("__toks"), 3) <= 0.2)
+        .withColumn("__fp", text.fingerprint(F.col("text")))
+    )
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    surv = gated.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    out = dedup.decontaminate(
+        surv.select("doc_id", "text", "lang", "source"), bench, "doc_id", "text",
+        n=3, min_hits=2,
+    )
+    return out.select("doc_id", "lang", "source", text.token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+
+def _gen_curate_pipeline_sql() -> str:
+    return f"""
+WITH prof AS ({_gen_text_profile_sql()}),
+cand AS (
+  SELECT d.doc_id, d.lang, d.source, d.text, p.n_tokens,
+         regexp_split_to_array(trim(lower(d.text)), '\\s+') AS toks
+  FROM documents d JOIN prof p ON d.doc_id = p.doc_id
+  WHERE d.doc_id % 10 <> 0 AND p.lang_pred = 'en' AND p.quality >= 0.5
+    AND p.n_tokens BETWEEN 5 AND 5000
+),
+repg AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM cand
+),
+keep_rep AS (
+  SELECT doc_id FROM repg
+  WHERE len(g3) = 0
+     OR CAST(1 AS DOUBLE) - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) <= 0.2
+),
+fp AS (
+  SELECT c.*, md5(array_to_string(list_sort(list_distinct(c.toks)), ' ')) AS f
+  FROM cand c JOIN keep_rep k ON c.doc_id = k.doc_id
+),
+dd AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+surv AS (SELECT fp.* FROM fp JOIN dd ON fp.f = dd.f AND fp.doc_id = dd.doc_id),
+bsh AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest(list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE CAST([] AS VARCHAR[]) END)) AS sh
+    FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents WHERE doc_id % 10 = 0)
+  ) WHERE sh <> ''
+),
+tsh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM surv
+),
+bad AS (
+  SELECT doc_id FROM (SELECT doc_id, sh FROM tsh WHERE sh <> '') t
+  JOIN bsh USING (sh) GROUP BY doc_id HAVING count(*) >= 2
+)
+SELECT s.doc_id, s.lang, s.source, s.n_tokens
+FROM surv s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def doc_repetition_stats(spark, sf_dir):
     """Gopher-style within-document repetition metrics (duplicate word /
     2-gram / 3-gram fractions) — pure map stage over the corpus
@@ -2373,6 +2467,8 @@ QUERIES["decontaminate_training_docs"] = decontaminate_training_docs
 ORACLES["decontaminate_training_docs"] = DECONTAMINATE_SQL
 QUERIES["doc_repetition_stats"] = doc_repetition_stats
 ORACLES["doc_repetition_stats"] = DOC_REPETITION_SQL
+QUERIES["curate_corpus_pipeline"] = curate_corpus_pipeline
+ORACLES["curate_corpus_pipeline"] = _gen_curate_pipeline_sql()
 ORACLES["dedup_embedding_cosine"] = _gen_embedding_dedup_sql(0.4)
 ORACLES["knn_brute_force"] = _gen_knn_sql(5)
 QUERIES["knn_matmul"] = knn_matmul
@@ -3530,6 +3626,7 @@ _CHECK_FIRST = [
     "mask_faker_profile",
     "decontaminate_training_docs",
     "doc_repetition_stats",
+    "curate_corpus_pipeline",
     "streaming_dedup_events",
     # --- round-3 fixes: red/blank in CORRECTNESS_r02, fixed this round ---
     "q19_disjunctive_revenue",

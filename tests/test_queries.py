@@ -83,12 +83,15 @@ def test_zscore_properties(spark, sf_dir):
         assert abs(grp["zscore"].mean()) < 1e-2
 
 
-def test_q21_exists_rewritten_to_semi_and_anti_joins(spark, sf_dir):
-    """EXISTS / NOT EXISTS must decorrelate to one semi- and one anti-join
-    on l_orderkey — never per-row subqueries."""
+def test_q21_order_profile_rewrite_plan(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair is rewritten to one order-profile
+    aggregation (distinct supplier / returned-supplier counts per order)
+    joined back on l_orderkey: exactly TWO lineitem scans (the textbook
+    decorrelation needs three) and never a per-row subquery / BNLJ."""
     plan = Q.QUERIES["q21_waiting_suppliers"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_q19_disjunction_stays_hash_join(spark, sf_dir):
