@@ -26,6 +26,22 @@ LANG_MARKERS: dict[str, list[str]] = {
 EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
 
 
+def _let(val: Column, body) -> Column:
+    """Evaluate ``val`` exactly once per row and feed it to ``body`` as a
+    cheap lambda variable — a poor-man's let-binding.
+
+    Why this exists: Catalyst's PushPredicateThroughNonJoin substitutes a
+    projected alias's *expression* into a pushed filter unconditionally
+    (no cost check, unlike CollapseProject). A predicate like
+    ``dup_ngram_fraction(split(text), 3) <= t`` therefore ends up with the
+    ``split`` inlined into every ``element_at`` inside the n-gram lambda —
+    re-tokenizing the document once per gram reference, O(tokens^2) per
+    row (measured 70x on the curation pipeline). Wrapping the expensive
+    array as the INPUT of a single-element ``transform`` forces one
+    evaluation; the body only touches the bound lambda variable."""
+    return F.element_at(F.transform(F.array(F.struct(val.alias("v"))), lambda s: body(s["v"])), 1)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (lowercased)."""
     return F.split(F.lower(text), r"\s+")
@@ -223,13 +239,18 @@ def dup_ngram_fraction(toks: Column, n: int) -> Column:
     """``1 - distinct_ngrams/total_ngrams`` over a token-array column
     (0.0 below n tokens) — the per-row repetition predicate, usable
     directly in a filter without materializing the stats frame."""
-    grams = _word_grams(toks, n)
-    total = F.size(grams)
-    return F.when(
-        total > 0,
-        F.lit(1.0)
-        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
-    ).otherwise(F.lit(0.0))
+    def frac(g: Column) -> Column:
+        total = F.size(g)
+        return F.when(
+            total > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    # double let-binding: tokenization evaluated once even when an upstream
+    # alias is inlined by predicate pushdown, and the gram array evaluated
+    # once even though the fraction references it twice (size + distinct).
+    return _let(toks, lambda t: _let(_word_grams(t, n), frac))
 
 
 def repetition_stats(

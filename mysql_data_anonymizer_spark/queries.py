@@ -1378,7 +1378,9 @@ def curate_corpus_pipeline(spark, sf_dir):
       3. near-identical dedup: min doc_id per token-set fingerprint
          (one keyed window shuffle on the fingerprint)
       4. benchmark decontamination: doc_id % 10 == 0 plays the benchmark
-         (benchmark shingle set broadcasts; corpus pass stays map-side)
+         (benchmark shingle set broadcasts; corpus pass stays map-side).
+         5-grams here (13 at real scale): 3-grams over the synthetic
+         shared-vocab corpus are so generic they'd drop every survivor
 
     Catalyst fuses gates 1-2 into the scan's codegen stage, so the whole
     pipeline costs one fingerprint shuffle + one hit-count aggregate over
@@ -1402,12 +1404,27 @@ def curate_corpus_pipeline(spark, sf_dir):
     surv = gated.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
     out = dedup.decontaminate(
         surv.select("doc_id", "text", "lang", "source"), bench, "doc_id", "text",
-        n=3, min_hits=2,
+        n=5, min_hits=2,
     )
     return out.select("doc_id", "lang", "source", text.token_count(F.col("text")).cast("long").alias("n_tokens"))
 
 
+def _duck_grams(n: int, arr: str = "toks") -> str:
+    """DuckDB list expression for all word n-grams of token array ``arr``
+    (with repeats; range upper bound is exclusive: len - n + 2 yields
+    len - n + 1 grams)."""
+    concat = " || ' ' || ".join(
+        f"{arr}[i]" if j == 0 else f"{arr}[i+{j}]" for j in range(n)
+    )
+    return (
+        f"CASE WHEN len({arr}) >= {n} "
+        f"THEN list_transform(range(1, len({arr}) - {n - 2}), i -> {concat}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def _gen_curate_pipeline_sql() -> str:
+    decon_grams = _duck_grams(5)
     return f"""
 WITH prof AS ({_gen_text_profile_sql()}),
 cand AS (
@@ -1438,19 +1455,13 @@ dd AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f),
 surv AS (SELECT fp.* FROM fp JOIN dd ON fp.f = dd.f AND fp.doc_id = dd.doc_id),
 bsh AS (
   SELECT DISTINCT sh FROM (
-    SELECT unnest(list_distinct(CASE WHEN len(toks) >= 3
-      THEN list_transform(range(1, len(toks) - 1),
-                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      ELSE CAST([] AS VARCHAR[]) END)) AS sh
+    SELECT unnest(list_distinct({decon_grams})) AS sh
     FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
           FROM documents WHERE doc_id % 10 = 0)
   ) WHERE sh <> ''
 ),
 tsh AS (
-  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
-    THEN list_transform(range(1, len(toks) - 1),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-    ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  SELECT doc_id, unnest(list_distinct({decon_grams})) AS sh
   FROM surv
 ),
 bad AS (
