@@ -78,6 +78,8 @@ HEADLINE = [
     "segment_nation_list",
     "events_hourly_window",
     "sessionize_events",
+    "scd2_user_event_history",
+    "orc_source_agg",
     # text / dedup / similarity
     "text_profile",
     "text_fingerprint_groups",
@@ -85,6 +87,7 @@ HEADLINE = [
     "stratified_sample_docs",
     "scrub_documents_pii",
     "pack_docs_token_bins",
+    "select_docs_token_budget",
     "text_winnowing",
     "dedup_exact",
     "dedup_ngram_jaccard",

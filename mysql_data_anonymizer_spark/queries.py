@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from mysql_data_anonymizer_spark.blueprint import Blueprint
 from mysql_data_anonymizer_spark.functions.generator import DOMAINS, DeterministicGenerator
-from mysql_data_anonymizer_spark.operators import dedup, similarity, text
+from mysql_data_anonymizer_spark.operators import dedup, scd, similarity, text
 from mysql_data_anonymizer_spark.sources import files
 from mysql_data_anonymizer_spark.plans.compiler import compile_plan
 
@@ -1516,6 +1516,117 @@ FROM g
 """
 
 
+def scd2_user_event_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension history built from the event log:
+    each user's event_type transitions become [valid_from, valid_to)
+    versions with the open interval flagged current (operators/scd.py).
+    The warehouse-native answer to the reference's in-place keyed UPDATE
+    (src/Anonymizer.php:274-288): instead of mutating rows, history is
+    versioned. One keyed window shuffle on user_id, no joins; the
+    incremental companion ``scd2_merge`` folds a delta in at cost
+    proportional to the delta (equivalence property-tested)."""
+    ev = _t(spark, sf_dir, "events")
+    return scd.scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id",
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM starts
+"""
+
+
+TOKEN_BUDGET = 10_000
+
+
+def select_docs_token_budget(spark, sf_dir):
+    """Token-budget corpus selection: per language, take documents in
+    descending quality order until the cumulative token count exceeds the
+    budget — "give me the best N tokens per language", the selection step
+    between scoring and packing in a training-data pipeline. One keyed
+    window shuffle on lang (running sum); ordering ties broken by doc_id so
+    the cutoff is deterministic and partition-invariant. At 100 TB the
+    per-language running sum is the only stateful op; candidates for a
+    language stream through one partition's window — if a single language
+    dominates, pre-aggregating per (lang, quality-bucket) counts picks the
+    cutoff quality first and turns the selection map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.quality_score(F.col("text")).alias("quality"),
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "lang", "quality", "n_tokens", "cum_tokens")
+    )
+
+
+def _gen_token_budget_sql() -> str:
+    return f"""
+WITH prof AS ({_gen_text_profile_sql()}),
+scored AS (
+  SELECT d.doc_id, d.lang, p.quality, p.n_tokens
+  FROM documents d JOIN prof p ON d.doc_id = p.doc_id
+),
+cum AS (
+  SELECT doc_id, lang, quality, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, quality, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+def orc_source_agg(spark, sf_dir):
+    """ORC file-source parity under the oracle (same pattern as
+    json_source_agg): events round-trip through an ORC write +
+    sources.files.read_table, then aggregate; the oracle runs the same
+    aggregate over the parquet fixture, so green means the ORC path is
+    lossless — doubles and timestamps survive bit-exact."""
+    stage = tempfile.mkdtemp(prefix="mda_orc_")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value", "ts")
+    ev.write.mode("overwrite").orc(stage)
+    back = files.read_table(spark, stage, fmt="orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("total_cents"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORC_SOURCE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       MAX(ts) AS last_ts,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -2474,6 +2585,12 @@ QUERIES["dedup_simhash_md5"] = dedup_simhash_md5
 ORACLES["dedup_simhash_md5"] = _gen_simhash_md5_sql(3, 15)
 QUERIES["dedup_incremental_new_docs"] = dedup_incremental_new_docs
 ORACLES["dedup_incremental_new_docs"] = INCREMENTAL_DEDUP_SQL
+QUERIES["scd2_user_event_history"] = scd2_user_event_history
+ORACLES["scd2_user_event_history"] = SCD2_SQL
+QUERIES["select_docs_token_budget"] = select_docs_token_budget
+ORACLES["select_docs_token_budget"] = _gen_token_budget_sql()
+QUERIES["orc_source_agg"] = orc_source_agg
+ORACLES["orc_source_agg"] = ORC_SOURCE_SQL
 QUERIES["decontaminate_training_docs"] = decontaminate_training_docs
 ORACLES["decontaminate_training_docs"] = DECONTAMINATE_SQL
 QUERIES["doc_repetition_stats"] = doc_repetition_stats
@@ -3634,6 +3751,9 @@ ORACLES["timeseries_gapfill_hourly"] = GAPFILL_SQL
 # ===========================================================================
 _CHECK_FIRST = [
     # --- new in round 3: never driver-checked ---
+    "scd2_user_event_history",
+    "select_docs_token_budget",
+    "orc_source_agg",
     "mask_faker_profile",
     "decontaminate_training_docs",
     "doc_repetition_stats",

@@ -61,4 +61,6 @@ def read_table(
         return reader.options(header="true", inferSchema=schema is None, **options).csv(path)
     if fmt == "json":
         return reader.options(**options).json(path)
+    if fmt == "orc":
+        return reader.options(**options).orc(path)
     raise ValueError(f"unsupported format: {fmt}")

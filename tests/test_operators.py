@@ -310,3 +310,65 @@ def test_repetition_stats_values(spark):
     assert abs(rows[1].dup_2gram_frac - (1 - 2 / 5)) < 1e-12
     assert rows[2].dup_word_frac == 0.0 and rows[2].dup_3gram_frac == 0.0
     assert rows[3].n_tokens == 1 and rows[3].dup_2gram_frac == 0.0
+
+
+# ---------------------------------------------------------------- scd2
+def test_scd2_history_segments_and_current(spark):
+    from mysql_data_anonymizer_spark.operators import scd
+
+    rows = [
+        # user 1: a,a,b,b,a -> segments a,b,a
+        (1, "a", 100, 1), (1, "a", 200, 2), (1, "b", 300, 3),
+        (1, "b", 400, 4), (1, "a", 500, 5),
+        # user 2: single value
+        (2, "x", 150, 6),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, v string, ts long, eid long")
+    hist = scd.scd2_history(df, "user_id", "v", "ts", "eid").collect()
+    by_user = {}
+    for r in sorted(hist, key=lambda r: (r.user_id, r.valid_from)):
+        by_user.setdefault(r.user_id, []).append(r)
+    segs = [(r.v, r.valid_from, r.valid_to, r.is_current) for r in by_user[1]]
+    assert segs == [("a", 100, 300, False), ("b", 300, 500, False), ("a", 500, None, True)]
+    assert [(r.v, r.is_current) for r in by_user[2]] == [("x", True)]
+    # exactly one open interval per key
+    for u, rs in by_user.items():
+        assert sum(r.is_current for r in rs) == 1
+
+
+def test_scd2_merge_equals_full_rebuild(spark, events):
+    from mysql_data_anonymizer_spark.operators import scd
+
+    ev = events.select("user_id", "event_type", "ts", "event_id")
+    cutoff = ev.approxQuantile("event_id", [0.7], 0.0)[0]
+    old = ev.where(F.col("event_id") <= cutoff)
+    # append-only contract: batch timestamps >= every open-interval start.
+    # Shift the delta's ts past the global max so it holds per key.
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    delta = ev.where(F.col("event_id") > cutoff).withColumn(
+        "ts", F.timestamp_micros(
+            F.unix_micros("ts") + F.lit(1) + F.unix_micros(F.lit(max_ts))
+            - F.unix_micros(F.min("ts").over(__import__("pyspark").sql.Window.partitionBy()))
+        )
+    )
+    full = scd.scd2_history(
+        old.unionByName(delta), "user_id", "event_type", "ts", "event_id"
+    )
+    merged = scd.scd2_merge(
+        scd.scd2_history(old, "user_id", "event_type", "ts", "event_id"),
+        delta, "user_id", "event_type", "ts", "event_id",
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from mysql_data_anonymizer_spark.sources import files as files_mod
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "id long, s string, v double"
+    )
+    dest = str(tmp_path / "orc_rt")
+    df.write.mode("overwrite").orc(dest)
+    back = files_mod.read_table(spark, dest, fmt="orc")
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == [(1, "a", 1.5), (2, "b", -2.25)]
