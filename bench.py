@@ -79,6 +79,7 @@ HEADLINE = [
     "events_hourly_window",
     "sessionize_events",
     "scd2_user_event_history",
+    "pit_join_future_event_state",
     "orc_source_agg",
     # text / dedup / similarity
     "text_profile",

@@ -61,6 +61,40 @@ def as_of_join(
     return u.where(F.col("__side") == 1).drop("__side", "__ts")
 
 
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key: str,
+    fact_ts: str,
+    value_cols: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Temporal (point-in-time) join: attach to each fact row the dimension
+    version valid at the fact's timestamp — key equality plus
+    ``valid_from <= ts < valid_to`` with a NULL ``valid_to`` meaning the
+    open (current) interval. The natural consumer of ``scd.scd2_history``
+    output.
+
+    Scale shape: the KEY equality is the join condition Catalyst hashes on
+    (broadcast or sort-merge — never a BNLJ); the interval predicate rides
+    along as a post-join filter. Per-key fanout before that filter is
+    bounded by the key's version count, which SCD2 change-compression keeps
+    small, so the cost is one keyed shuffle of the fact table — the same
+    bound as a plain FK join."""
+    f = facts.alias("__f")
+    h = dim_history.alias("__h")
+    ts = F.col(f"__f.{fact_ts}")
+    cond = (
+        (F.col(f"__f.{key}") == F.col(f"__h.{key}"))
+        & (F.col(f"__h.{valid_from}") <= ts)
+        & (F.col(f"__h.{valid_to}").isNull() | (ts < F.col(f"__h.{valid_to}")))
+    )
+    return f.join(h, cond, "left").select(
+        "__f.*", *[F.col(f"__h.{c}") for c in value_cols]
+    )
+
+
 def range_join_banded(
     left: DataFrame,
     right: DataFrame,

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from mysql_data_anonymizer_spark.blueprint import Blueprint
 from mysql_data_anonymizer_spark.functions.generator import DOMAINS, DeterministicGenerator
-from mysql_data_anonymizer_spark.operators import dedup, scd, similarity, text
+from mysql_data_anonymizer_spark.operators import dedup, joins, scd, similarity, text
 from mysql_data_anonymizer_spark.sources import files
 from mysql_data_anonymizer_spark.plans.compiler import compile_plan
 
@@ -1549,6 +1549,55 @@ FROM starts
 """
 
 
+def pit_join_future_event_state(spark, sf_dir):
+    """Point-in-time (temporal) join against SCD2 history: for each event,
+    look up the event_type version that will be active ONE HOUR after it —
+    key equality + interval containment (operators/joins.py::
+    point_in_time_join) over the history built by scd2_history. The join
+    hashes on user_id (SMJ/BHJ, never BNLJ); the interval predicate is a
+    post-join filter over the per-key version fanout, which SCD2 change
+    compression keeps small."""
+    ev = _t(spark, sf_dir, "events")
+    hist = scd.scd2_history(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id",
+    ).withColumnRenamed("event_type", "active_type")
+    facts = ev.select(
+        "event_id", "user_id", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("probe_ts")
+    )
+    out = joins.point_in_time_join(
+        facts, hist, "user_id", "probe_ts", ["active_type"]
+    )
+    return out.select("event_id", "user_id", "active_type")
+
+
+PIT_JOIN_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+),
+hist AS (
+  SELECT user_id, event_type AS active_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM starts
+),
+facts AS (
+  SELECT event_id, user_id, ts + INTERVAL 1 HOUR AS probe_ts FROM events
+)
+SELECT f.event_id, f.user_id, h.active_type
+FROM facts f
+LEFT JOIN hist h
+  ON f.user_id = h.user_id
+ AND h.valid_from <= f.probe_ts
+ AND (h.valid_to IS NULL OR f.probe_ts < h.valid_to)
+"""
+
+
 TOKEN_BUDGET = 10_000
 
 
@@ -2587,6 +2636,8 @@ QUERIES["dedup_incremental_new_docs"] = dedup_incremental_new_docs
 ORACLES["dedup_incremental_new_docs"] = INCREMENTAL_DEDUP_SQL
 QUERIES["scd2_user_event_history"] = scd2_user_event_history
 ORACLES["scd2_user_event_history"] = SCD2_SQL
+QUERIES["pit_join_future_event_state"] = pit_join_future_event_state
+ORACLES["pit_join_future_event_state"] = PIT_JOIN_SQL
 QUERIES["select_docs_token_budget"] = select_docs_token_budget
 ORACLES["select_docs_token_budget"] = _gen_token_budget_sql()
 QUERIES["orc_source_agg"] = orc_source_agg
@@ -3752,6 +3803,7 @@ ORACLES["timeseries_gapfill_hourly"] = GAPFILL_SQL
 _CHECK_FIRST = [
     # --- new in round 3: never driver-checked ---
     "scd2_user_event_history",
+    "pit_join_future_event_state",
     "select_docs_token_budget",
     "orc_source_agg",
     "mask_faker_profile",

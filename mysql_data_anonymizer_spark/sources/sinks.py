@@ -28,6 +28,33 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Hive-layout partitioned parquet sink — the 100 TB table layout.
+
+    ``dynamic=True`` uses dynamic partition overwrite: an overwrite replaces
+    ONLY the partitions present in ``df``, so incremental backfills (one
+    day, one source) never clobber the rest of the table. Readers get
+    partition PRUNING for free: a filter on a partition column eliminates
+    whole directories before any IO (PartitionFilters in the scan —
+    asserted in tests), which is what makes date/source-keyed 100 TB tables
+    queryable at interactive cost.
+
+    Choose partition columns with bounded cardinality (date, source, lang):
+    one directory per value; a high-cardinality key (user_id) creates
+    millions of tiny files — use bucketing (sources/bucketing.py) for
+    those instead."""
+    writer = df.write.mode(mode)
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
 def build_update_sql(table: str, set_cols: list[str], pk_cols: list[str]) -> str:
     """Parameterized UPDATE (the reference builds these per-row with string
     interpolation and addslashes — src/Anonymizer.php:345-371; we bind

@@ -169,3 +169,31 @@ def test_update_sink_sqlite_end_to_end(spark, customer, tmp_path):
     want = {r.c_custkey: r.c_name for r in masked.collect()}
     assert back == want
     assert all("@" in v for v in back.values())
+
+
+def test_partitioned_sink_prunes_and_dynamic_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mysql_data_anonymizer_spark.sources.sinks import write_parquet_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, part string, v double",
+    )
+    dest = str(tmp_path / "ptable")
+    write_parquet_partitioned(df, dest, ["part"])
+
+    back = spark.read.parquet(dest)
+    q = back.where(F.col("part") == "a")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the filter lands in PartitionFilters, and only
+    # the matching directory's files are scanned
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "part" in pf[1][:200] and "= a)" in pf[1][:200]
+    assert {r.id for r in q.collect()} == {1, 2}
+
+    # dynamic overwrite: rewriting only partition 'a' leaves b and c intact
+    delta = spark.createDataFrame([(9, "a", 99.0)], "id long, part string, v double")
+    write_parquet_partitioned(delta, dest, ["part"])
+    after = {r.id for r in spark.read.parquet(dest).collect()}
+    assert after == {9, 3, 4}
