@@ -581,6 +581,70 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_sign_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_sign_bits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-local semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into clusters, then
+    drop near-duplicates only WITHIN each cluster — trading cross-cluster
+    recall for a pair count bounded by cluster occupancy instead of O(n^2).
+
+    This variant makes the clustering deterministic and oracle-reproducible:
+    the cluster key is the sign pattern of the first ``n_sign_bits``
+    embedding dimensions (2^b buckets; a fixed random rotation upstream
+    de-correlates dimensions if the embedding space needs it). The paper's
+    keep-policy (retain the member closest to the centroid) is replaced by
+    a deterministic survivor rule — a row is dropped iff a LOWER-ID member
+    of its bucket is within ``threshold`` cosine — so the output is
+    run/partitioning-invariant and the DuckDB twin can replay it exactly.
+
+    Plan shape: one shuffle of each side on the bucket key, equi-join on
+    bucket with the (id_a < id_b) theta as a rider predicate (hash join,
+    never BNLJ), JVM-side unrolled dot product per candidate pair, one
+    distinct on dropped ids, one anti join. At 100 TB swap the sign buckets
+    for trained IVF centroids (``similarity.train_ivf_centroids`` +
+    ``ivf_assign_expr``) and raise the bucket count so per-bucket pair work
+    stays bounded; the dedup join is unchanged."""
+    from mysql_data_anonymizer_spark.operators.similarity import (
+        DEFAULT_DIM,
+        dot_expr,
+        norm_expr,
+    )
+
+    if dim is None:
+        dim = DEFAULT_DIM
+    bucket = sum(
+        (F.element_at(F.col(vec_col), i + 1) >= 0).cast("long") * (1 << i)
+        for i in range(n_sign_bits)
+    )
+    e = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm_expr(vec_col, dim).alias("__n"),
+        bucket.alias("bucket"),
+    )
+    a = e.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "bucket",
+    )
+    b = e.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "bucket",
+    )
+    pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    # ROUND(.., 4) absorbs the ~1 ulp accumulation-order drift vs the oracle
+    cos = F.round(dot_expr("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")), 4)
+    dropped = pairs.where(cos >= threshold).select(F.col("id_b").alias("__id")).distinct()
+    return e.join(dropped, ["__id"], "left_anti").select(
+        F.col("__id").alias(id_col), F.col("bucket").cast("long").alias("bucket")
+    )
+
+
 def embedding_near_dup_pairs_expr(
     df: DataFrame,
     id_col: str = "vec_id",

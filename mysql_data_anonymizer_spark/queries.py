@@ -1676,6 +1676,142 @@ FROM events GROUP BY event_type
 """
 
 
+def csv_source_agg(spark, sf_dir):
+    """CSV file-source parity under the oracle (same pattern as the JSON and
+    ORC round trips): events serialized to CSV with an explicit schema on
+    read-back and a 6-digit-fraction timestampFormat on BOTH sides — the
+    default CSV timestamp pattern keeps only milliseconds, which would
+    silently truncate the fixture's microsecond instants. Doubles survive
+    via Spark's shortest-round-trip repr. Green means the whole CSV
+    option-plumbing path (header, explicit schema, timestampFormat) is
+    lossless."""
+    stage = tempfile.mkdtemp(prefix="mda_csv_")
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value", "ts")
+    ev.write.mode("overwrite").option("header", "true").option("timestampFormat", ts_fmt).csv(stage)
+    back = files.read_table(
+        spark,
+        stage,
+        fmt="csv",
+        schema="event_id long, user_id long, event_type string, value double, ts timestamp",
+        timestampFormat=ts_fmt,
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("total_cents"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# oracle == the ORC twin: both round trips must reproduce the parquet truth
+CSV_SOURCE_SQL = ORC_SOURCE_SQL
+
+
+def binaryfile_media_manifest(spark, sf_dir):
+    """Media-lake ingestion manifest via Spark's built-in ``binaryFile``
+    source — the scale path for raw image/audio/video ingest: one row per
+    file with (path, length, content) and content staying an opaque binary
+    column (SURVEY multimodal contract). Here each document's UTF-8 bytes
+    are staged as its own ``doc_<id>.bin`` (executor-side writes through
+    foreachPartition — on a cluster the target would be shared storage; in
+    local mode a tempdir), then read back through the binaryFile reader and
+    manifested: id parsed from the path, byte length, and an md5 content
+    digest. The oracle derives the same manifest from the documents table
+    (DuckDB md5/strlen hash the same UTF-8 bytes), so green proves the
+    binary round trip is byte-exact. At 100 TB the reader splits by file
+    and prunes on the pushed path-glob filter; content bytes never transit
+    the driver."""
+    stage = tempfile.mkdtemp(prefix="mda_bin_")
+
+    def _write_files(rows):
+        for r in rows:
+            with open(os.path.join(stage, f"doc_{r.doc_id:08d}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.foreachPartition(_write_files)
+    back = files.read_table(spark, stage, fmt="binaryFile", pathGlobFilter="*.bin")
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+BINARYFILE_MANIFEST_SQL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
+FROM documents
+"""
+
+
+DOCS_PER_SOURCE_CAP = 40
+
+
+def cap_docs_per_source(spark, sf_dir):
+    """Per-domain document cap — standard web-corpus curation step (a few
+    hosts dominate any crawl; capping per registered domain bounds their
+    share): keep the top-K documents per source, longest first with a
+    deterministic doc_id tiebreak. One keyed window shuffle on ``source``;
+    at 100 TB rank-within-domain is a per-key top-K, so AQE skew splitting
+    plus a pre-filter on a per-(source, length-bucket) count sketch keeps a
+    mega-domain from serializing through one task."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= DOCS_PER_SOURCE_CAP)
+        .select("doc_id", "source", "n_chars", "rk")
+    )
+
+
+CAP_PER_SOURCE_SQL = f"""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= {DOCS_PER_SOURCE_CAP}
+"""
+
+
+N_TRAINING_SHARDS = 8
+
+
+def shard_training_corpus(spark, sf_dir):
+    """Deterministic corpus sharding for training-data export: every doc
+    gets a shard via an md5 hash gate (run/partitioning/cluster-size
+    invariant — unlike ``repartition(n)`` round-robin, the same doc always
+    lands in the same shard) and a within-shard position by hash order (a
+    deterministic global interleave, so sources/languages are well mixed
+    inside every shard instead of clumped in input order). The write side
+    is ``repartition(shard)`` + partitioned sink; position is one keyed
+    window sort per shard — embarrassingly parallel across shards at
+    100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % N_TRAINING_SHARDS).alias("shard")
+    w = Window.partitionBy("shard").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", d.alias("h"), shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos", "n_chars")
+    )
+
+
+def _gen_shard_corpus_sql() -> str:
+    d = "md5('shard:' || CAST(doc_id AS VARCHAR))"
+    gate = f"(strpos('{HEXD}', substr({d}, 1, 1)) - 1)"
+    for i in range(2, 9):
+        gate = f"({gate} * 16 + (strpos('{HEXD}', substr({d}, {i}, 1)) - 1))"
+    return f"""
+SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos, n_chars
+FROM (
+  SELECT doc_id, n_chars, {d} AS h, CAST({gate} % {N_TRAINING_SHARDS} AS BIGINT) AS shard
+  FROM documents
+)
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -1732,6 +1868,39 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 def dedup_embedding_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def semdedup_embeddings(spark, sf_dir):
+    """Cluster-local semantic dedup (SemDeDup): sign-bucket clustering +
+    within-bucket lowest-id-survivor cosine prune — the sub-quadratic
+    semantic companion to dedup_embedding_cosine's exact all-pairs. See
+    operators.dedup.semantic_dedup_sign_buckets for the full 100 TB story
+    (trained IVF centroids replace sign buckets at scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_sign_buckets(emb, threshold=0.4, n_sign_bits=6)
+
+
+def _gen_semdedup_sql(threshold: float = 0.4, n_sign_bits: int = 6) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_sign_bits)
+    )
+    cos = f"ROUND({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+         ({bucket}) AS bucket
+  FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+)
+SELECT e.vec_id, CAST(e.bucket AS BIGINT) AS bucket
+FROM e
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)
+"""
 
 
 # ===========================================================================
@@ -3793,6 +3962,16 @@ ORACLES["stats_corr_qty_price"] = STATS_CORR_SQL
 ORACLES["histogram_totalprice"] = HISTOGRAM_SQL
 ORACLES["ntile_deciles_acctbal"] = NTILE_SQL
 ORACLES["timeseries_gapfill_hourly"] = GAPFILL_SQL
+QUERIES["csv_source_agg"] = csv_source_agg
+ORACLES["csv_source_agg"] = CSV_SOURCE_SQL
+QUERIES["binaryfile_media_manifest"] = binaryfile_media_manifest
+ORACLES["binaryfile_media_manifest"] = BINARYFILE_MANIFEST_SQL
+QUERIES["cap_docs_per_source"] = cap_docs_per_source
+ORACLES["cap_docs_per_source"] = CAP_PER_SOURCE_SQL
+QUERIES["shard_training_corpus"] = shard_training_corpus
+ORACLES["shard_training_corpus"] = _gen_shard_corpus_sql()
+QUERIES["semdedup_embeddings"] = semdedup_embeddings
+ORACLES["semdedup_embeddings"] = _gen_semdedup_sql(0.4, 6)
 
 
 # ===========================================================================
@@ -3802,6 +3981,11 @@ ORACLES["timeseries_gapfill_hourly"] = GAPFILL_SQL
 # ===========================================================================
 _CHECK_FIRST = [
     # --- new in round 3: never driver-checked ---
+    "csv_source_agg",
+    "binaryfile_media_manifest",
+    "cap_docs_per_source",
+    "shard_training_corpus",
+    "semdedup_embeddings",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

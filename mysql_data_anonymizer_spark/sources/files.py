@@ -63,4 +63,12 @@ def read_table(
         return reader.options(**options).json(path)
     if fmt == "orc":
         return reader.options(**options).orc(path)
+    if fmt == "binaryFile":
+        # Built-in whole-file source for opaque media payloads: one row per
+        # file with (path, modificationTime, length, content binary). The
+        # reader parallelizes across files and pushes pathGlobFilter /
+        # modifiedAfter down to the listing, so a 100 TB media lake scans
+        # only the matching objects. (No schema parameter: the source's
+        # 4-column schema is fixed by Spark.)
+        return spark.read.format("binaryFile").options(**options).load(path)
     raise ValueError(f"unsupported format: {fmt}")

@@ -372,3 +372,43 @@ def test_orc_round_trip(spark, tmp_path):
     df.write.mode("overwrite").orc(dest)
     back = files_mod.read_table(spark, dest, fmt="orc")
     assert sorted((r.id, r.s, r.v) for r in back.collect()) == [(1, "a", 1.5), (2, "b", -2.25)]
+
+
+def test_semantic_dedup_drops_within_bucket_only(spark):
+    # v1/v2: same sign pattern (same bucket), nearly parallel -> 2 dropped.
+    # v3: identical direction to v1 but opposite sign on dim 1 -> different
+    # bucket, survives (the documented cluster-local recall trade).
+    # v4: same bucket as v1 but orthogonal-ish -> survives.
+    rows = [
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 1.001, 0.0, 0.0]),
+        (3, [-1.0, 1.0, 0.0, 0.0]),
+        (4, [0.001, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = dedup.semantic_dedup_sign_buckets(
+        df, threshold=0.9, n_sign_bits=2, dim=4
+    )
+    assert {r.vec_id for r in kept.collect()} == {1, 3, 4}
+
+
+def test_semantic_dedup_survivor_is_lowest_id(spark):
+    # a chain of near-identical vectors in one bucket: only the lowest id
+    # survives, regardless of input order / partitioning
+    rows = [(i, [1.0, float(i) * 1e-4, 1.0, 1.0]) for i in (7, 3, 9, 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(4)
+    kept = dedup.semantic_dedup_sign_buckets(df, threshold=0.99, n_sign_bits=3, dim=4)
+    assert [r.vec_id for r in kept.collect()] == [3]
+
+
+def test_binaryfile_read_table(spark, tmp_path):
+    from mysql_data_anonymizer_spark.sources import files as files_mod
+
+    (tmp_path / "a.bin").write_bytes(b"hello")
+    (tmp_path / "b.txt").write_bytes(b"nope")
+    back = files_mod.read_table(
+        spark, str(tmp_path), fmt="binaryFile", pathGlobFilter="*.bin"
+    )
+    rows = back.collect()
+    assert len(rows) == 1
+    assert rows[0].content == bytearray(b"hello") and rows[0].length == 5

@@ -35,6 +35,11 @@ NEW = [
     "histogram_totalprice",
     "ntile_deciles_acctbal",
     "timeseries_gapfill_hourly",
+    "csv_source_agg",
+    "binaryfile_media_manifest",
+    "cap_docs_per_source",
+    "shard_training_corpus",
+    "semdedup_embeddings",
 ]
 
 
