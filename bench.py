@@ -93,6 +93,10 @@ HEADLINE = [
     "select_docs_token_budget",
     "cap_docs_per_source",
     "shard_training_corpus",
+    "vocab_top_terms",
+    "explode_doc_sentences",
+    "doc_top_terms",
+    "winsorize_events_value",
     "text_winnowing",
     "dedup_exact",
     "dedup_ngram_jaccard",

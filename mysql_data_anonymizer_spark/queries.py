@@ -1812,6 +1812,148 @@ FROM (
 """
 
 
+VOCAB_TOP_N = 100
+
+
+def vocab_top_terms(spark, sf_dir):
+    """Corpus vocabulary induction — the first step of tokenizer training:
+    global term frequencies over the whole corpus, top-N with a
+    deterministic (count DESC, term ASC) total order. The classic two-phase
+    aggregate: map-side partial counts per partition, one shuffle keyed by
+    term, then TakeOrderedAndProject for the top-N (no global sort of the
+    vocabulary). At 100 TB the only hazard is hot terms ("the") — partial
+    aggregation absorbs them map-side, so the shuffle carries one row per
+    (partition, term), not per occurrence."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("term")).limit(VOCAB_TOP_N)
+
+
+VOCAB_TOP_SQL = f"""
+SELECT term, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+) WHERE term <> ''
+GROUP BY term ORDER BY n DESC, term ASC LIMIT {VOCAB_TOP_N}
+"""
+
+
+def explode_doc_sentences(spark, sf_dir):
+    """Sentence segmentation as a generator expression (the LATERAL VIEW /
+    UDTF pattern JVM-side): split on terminal punctuation runs, posexplode
+    to (array index, sentence), drop blank fragments, count tokens per
+    sentence. Pure map stage — `posexplode` is a codegen'd generator, so
+    one input row fans out to k output rows with zero shuffle and no
+    Python; the 0-based array index survives the blank filter, so both
+    engines agree on position regardless of empty-fragment handling."""
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("pos", "raw"),
+    )
+    return exploded.where(F.trim(F.col("raw")) != "").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.trim(F.col("raw")).alias("sentence"),
+        F.size(F.split(F.trim(F.col("raw")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+EXPLODE_SENTENCES_SQL = """
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, trim(raw) AS sentence,
+       CAST(len(regexp_split_to_array(trim(raw), '\\s+')) AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id, unnest(arr) AS raw, generate_subscripts(arr, 1) AS i
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS arr FROM documents)
+)
+WHERE trim(raw) <> ''
+"""
+
+
+TOP_TERMS_PER_DOC = 3
+
+
+def doc_top_terms(spark, sf_dir):
+    """TF-IDF-style per-document term scoring with an integer-exact rank:
+    term frequency per (doc, term), document frequency over the corpus,
+    top-K terms per doc ordered by (tf DESC, df ASC, term ASC) — highest
+    frequency first, rarer-corpus-wide breaking ties, exactly the ordering
+    tf*idf induces when tf dominates, but computed on exact integers so the
+    cross-engine comparison never rides on transcendental (ln) bit-parity.
+    Plan: one shuffle to aggregate (doc_id, term), the df table derived
+    from it (vocabulary-sized, broadcast back), one per-doc rank window.
+    At 100 TB the df side stays broadcastable because vocabulary grows
+    sub-linearly in corpus size (Heaps' law); if it ever doesn't, the join
+    falls back to a keyed shuffle on term."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), ["term"])
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_TERMS_PER_DOC)
+        .select("doc_id", "term", "tf", "df", "rk")
+    )
+
+
+DOC_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df, rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rk
+  FROM tf JOIN df USING (term)
+) WHERE rk <= {TOP_TERMS_PER_DOC}
+"""
+
+
+def winsorize_events_value(spark, sf_dir):
+    """Per-group winsorization (outlier clamping to the exact p05/p95
+    percentiles) — standard feature/metric cleaning before model training.
+    Exact linear-interpolation percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`), aggregated per event type (a tiny table), broadcast
+    back onto the stream, clamp = LEAST/GREATEST in codegen. One shuffle
+    for the percentile agg; the fact table itself never shuffles. At
+    100 TB swap the exact percentile for the mergeable GK sketch
+    (`approx_percentile`) when a single-pass-no-sort bound matters more
+    than exactness."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.05D, 0.95D))")
+    bounds = ev.groupBy("event_type").agg(
+        q[0].alias("p05"), q[1].alias("p95")
+    )
+    return ev.join(F.broadcast(bounds), ["event_type"]).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("value_w"),
+    )
+
+
+WINSORIZE_SQL = """
+WITH q AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS p05, quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       LEAST(GREATEST(e.value, q.p05), q.p95) AS value_w
+FROM events e JOIN q USING (event_type)
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -3972,6 +4114,14 @@ QUERIES["shard_training_corpus"] = shard_training_corpus
 ORACLES["shard_training_corpus"] = _gen_shard_corpus_sql()
 QUERIES["semdedup_embeddings"] = semdedup_embeddings
 ORACLES["semdedup_embeddings"] = _gen_semdedup_sql(0.4, 6)
+QUERIES["vocab_top_terms"] = vocab_top_terms
+ORACLES["vocab_top_terms"] = VOCAB_TOP_SQL
+QUERIES["explode_doc_sentences"] = explode_doc_sentences
+ORACLES["explode_doc_sentences"] = EXPLODE_SENTENCES_SQL
+QUERIES["doc_top_terms"] = doc_top_terms
+ORACLES["doc_top_terms"] = DOC_TOP_TERMS_SQL
+QUERIES["winsorize_events_value"] = winsorize_events_value
+ORACLES["winsorize_events_value"] = WINSORIZE_SQL
 
 
 # ===========================================================================
@@ -3986,6 +4136,10 @@ _CHECK_FIRST = [
     "cap_docs_per_source",
     "shard_training_corpus",
     "semdedup_embeddings",
+    "vocab_top_terms",
+    "explode_doc_sentences",
+    "doc_top_terms",
+    "winsorize_events_value",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

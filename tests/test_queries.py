@@ -40,6 +40,10 @@ NEW = [
     "cap_docs_per_source",
     "shard_training_corpus",
     "semdedup_embeddings",
+    "vocab_top_terms",
+    "explode_doc_sentences",
+    "doc_top_terms",
+    "winsorize_events_value",
 ]
 
 
