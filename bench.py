@@ -97,6 +97,10 @@ HEADLINE = [
     "explode_doc_sentences",
     "doc_top_terms",
     "winsorize_events_value",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "bigram_collocations",
+    "profile_orders_columns",
     "text_winnowing",
     "dedup_exact",
     "dedup_ngram_jaccard",

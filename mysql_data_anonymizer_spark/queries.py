@@ -1954,6 +1954,219 @@ FROM events e JOIN q USING (event_type)
 """
 
 
+def funnel_view_click_purchase(spark, sf_dir):
+    """Event-funnel analysis (product analytics over the events stream):
+    how many users viewed, then clicked AFTER their first view, then
+    purchased after that click — the ordered-milestone pattern. Expressed
+    as conditional MIN aggregates per user (first timestamp per stage) and
+    one global conditional count; both aggregations are map-side
+    combinable, the user-level intermediate is one keyed shuffle, and no
+    self-join of the fact stream is ever needed (the naive formulation
+    joins events to events per stage pair)."""
+    ev = _t(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    c2 = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    return stage.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(c2, 1)).alias("n_view_click"),
+        F.count(F.when(c2 & (F.col("t_purchase") > F.col("t_click")), 1)).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
+FUNNEL_SQL = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+       COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+             THEN 1 END) AS n_view_click_purchase
+FROM u
+"""
+
+
+def cohort_retention_weekly(spark, sf_dir):
+    """Cohort retention (the standard growth-analytics matrix): users
+    grouped by first-seen ISO week, distinct-active-user counts per
+    (cohort week, week offset). Two keyed aggregations — first-seen per
+    user, then the (cohort, offset) distinct count; the per-user cohort
+    table is user-cardinality (small relative to events) and broadcast
+    back onto the activity stream, so the event fact shuffles once for the
+    final distinct agg and never self-joins. Week truncation is ISO-Monday
+    in both engines; the offset stays exact integer arithmetic (both
+    sides of the datediff are Monday-truncated, so div 7 is exact)."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(F.broadcast(cohort), ["user_id"])
+        .select(
+            "user_id",
+            # FINAL cohort key as a 'YYYY-MM-DD' string: DATE-typed outputs
+            # canonicalize asymmetrically through pandas (datetime.date
+            # objects on the Spark side vs datetime64 from DuckDB), so the
+            # ISO string is the only hash-stable encoding of a calendar day
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_SQL = """
+WITH act AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.week) // 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+BIGRAM_MIN_COUNT = 5
+BIGRAM_TOP_N = 100
+
+
+def bigram_collocations(spark, sf_dir):
+    """Collocation mining: bigrams ranked by lift — the PMI ordering
+    (PMI = log lift, and log is monotonic) computed WITHOUT the log, so
+    the cross-engine comparison rides on exact integer counts and a single
+    IEEE division instead of transcendental bit-parity. Plan: one token
+    explode feeding both the unigram and bigram counts, corpus totals as
+    1-row aggregates cross-joined (broadcast) onto the bigram table,
+    unigram counts broadcast-joined twice (word1/word2 roles), TakeOrdered
+    top-N. Every product stays below 2^53 far beyond this corpus scale, so
+    the doubles are exact; at true web scale pre-filter bigrams on
+    ``min_count`` BEFORE the joins (done here) — the long tail of
+    singleton bigrams is the only unbounded term."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    )
+    uni = base.select(F.explode("toks").alias("w")).where(F.col("w") != "")
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    big = (
+        base.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")
+            ).alias("bg")
+        )
+    )
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n_xy"))
+    bc = bc.where(F.col("n_xy") >= BIGRAM_MIN_COUNT)
+    tot = uc.agg(
+        F.sum("n_w").cast("double").alias("t_uni")
+    ).crossJoin(bc.agg(F.sum("n_xy").cast("double").alias("t_bi")))
+    w1 = uc.select(F.col("w").alias("__w1"), F.col("n_w").alias("n_w1"))
+    w2 = uc.select(F.col("w").alias("__w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        bc.withColumn("__w1", F.split(F.col("bg"), " ")[0])
+        .withColumn("__w2", F.split(F.col("bg"), " ")[1])
+        .join(F.broadcast(w1), ["__w1"])
+        .join(F.broadcast(w2), ["__w2"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            "n_xy",
+            "n_w1",
+            "n_w2",
+            (
+                (F.col("n_xy").cast("double") * F.col("t_uni") * F.col("t_uni"))
+                / (F.col("t_bi") * F.col("n_w1") * F.col("n_w2"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("bg")).limit(BIGRAM_TOP_N)
+
+
+BIGRAM_SQL = f"""
+WITH d AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM d),
+uc AS (SELECT w, COUNT(*) AS n_w FROM uni WHERE w <> '' GROUP BY w),
+big AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM d WHERE len(toks) >= 2
+),
+bc AS (SELECT bg, COUNT(*) AS n_xy FROM big GROUP BY bg HAVING COUNT(*) >= {BIGRAM_MIN_COUNT}),
+tot AS (
+  SELECT (SELECT CAST(CAST(SUM(n_w) AS BIGINT) AS DOUBLE) FROM uc) AS t_uni,
+         (SELECT CAST(CAST(SUM(n_xy) AS BIGINT) AS DOUBLE) FROM bc) AS t_bi
+)
+SELECT bg, n_xy, n_w1, n_w2, lift FROM (
+  SELECT bc.bg, bc.n_xy, u1.n_w AS n_w1, u2.n_w AS n_w2,
+         (CAST(bc.n_xy AS DOUBLE) * tot.t_uni * tot.t_uni)
+           / (tot.t_bi * u1.n_w * u2.n_w) AS lift
+  FROM bc
+  JOIN uc u1 ON u1.w = split_part(bc.bg, ' ', 1)
+  JOIN uc u2 ON u2.w = split_part(bc.bg, ' ', 2)
+  CROSS JOIN tot
+) ORDER BY lift DESC, bg ASC LIMIT {BIGRAM_TOP_N}
+"""
+
+
+def profile_orders_columns(spark, sf_dir):
+    """Single-pass data-profiling operator (schema-drift / quality
+    monitoring): per column — null count, distinct count, min and max in
+    the column's native type then stringified. ONE scan computes every
+    metric (Catalyst expands the multi-distinct aggregate internally);
+    the wide 1-row result is unpivoted to long form via the codegen'd
+    `stack` generator, never a per-column re-scan. At 100 TB swap the
+    exact distinct counts for `approx_count_distinct` (HLL, mergeable) —
+    the plan shape is unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_null, n_distinct, min_s, max_s)"
+        )
+    )
+
+
+def _gen_profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM orders"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -4122,6 +4335,14 @@ QUERIES["doc_top_terms"] = doc_top_terms
 ORACLES["doc_top_terms"] = DOC_TOP_TERMS_SQL
 QUERIES["winsorize_events_value"] = winsorize_events_value
 ORACLES["winsorize_events_value"] = WINSORIZE_SQL
+QUERIES["funnel_view_click_purchase"] = funnel_view_click_purchase
+ORACLES["funnel_view_click_purchase"] = FUNNEL_SQL
+QUERIES["cohort_retention_weekly"] = cohort_retention_weekly
+ORACLES["cohort_retention_weekly"] = COHORT_SQL
+QUERIES["bigram_collocations"] = bigram_collocations
+ORACLES["bigram_collocations"] = BIGRAM_SQL
+QUERIES["profile_orders_columns"] = profile_orders_columns
+ORACLES["profile_orders_columns"] = _gen_profile_sql()
 
 
 # ===========================================================================
@@ -4140,6 +4361,10 @@ _CHECK_FIRST = [
     "explode_doc_sentences",
     "doc_top_terms",
     "winsorize_events_value",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "bigram_collocations",
+    "profile_orders_columns",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

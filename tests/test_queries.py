@@ -44,6 +44,10 @@ NEW = [
     "explode_doc_sentences",
     "doc_top_terms",
     "winsorize_events_value",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "bigram_collocations",
+    "profile_orders_columns",
 ]
 
 
