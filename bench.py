@@ -101,6 +101,10 @@ HEADLINE = [
     "cohort_retention_weekly",
     "bigram_collocations",
     "profile_orders_columns",
+    "snapshot_diff_orders",
+    "fuzzy_pairs_symdelete",
+    "kmeans_assign_step",
+    "media_frame_sample",
     "text_winnowing",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from mysql_data_anonymizer_spark.blueprint import Blueprint
 from mysql_data_anonymizer_spark.functions.generator import DOMAINS, DeterministicGenerator
-from mysql_data_anonymizer_spark.operators import dedup, joins, scd, similarity, text
+from mysql_data_anonymizer_spark.operators import dedup, diff, joins, scd, similarity, text
 from mysql_data_anonymizer_spark.sources import files
 from mysql_data_anonymizer_spark.plans.compiler import compile_plan
 
@@ -2165,6 +2165,209 @@ FROM orders"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def snapshot_diff_orders(spark, sf_dir):
+    """Snapshot diff (CDC validation / masking audit): classify every
+    primary key across two table versions as added / removed / changed.
+    The new snapshot is derived deterministically from the fixture (drop
+    keys % 97, rewrite priority for keys % 13, append shifted keys % 101),
+    so the oracle replays the exact same derivation. One full-outer
+    sort-merge join on the pk — see operators.diff.table_diff for the
+    scale contract (bucketing makes repeated diffs shuffle-free)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    changed = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.concat(F.lit("X-"), F.col("o_orderpriority"))
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    added = o.where(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        F.lit("NEW").alias("o_orderpriority"),
+    )
+    new = changed.unionByName(added)
+    return diff.table_diff(o, new, ["o_orderkey"], ["o_orderpriority"])
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH oldsnap AS (SELECT o_orderkey, o_orderpriority FROM orders),
+newsnap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X-' || o_orderpriority
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'NEW' FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT * FROM (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         o.o_orderpriority AS old_o_orderpriority,
+         n.o_orderpriority AS new_o_orderpriority
+  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+) WHERE status <> 'unchanged'
+"""
+
+
+KMEANS_K = 8
+
+
+def kmeans_assign_step(spark, sf_dir):
+    """One exact Lloyd (k-means) assignment step, the building block of the
+    distributed iterative loop: deterministic initial centroids (the first
+    K vectors by id), every vector assigned to its nearest centroid by
+    squared L2 distance with a lowest-centroid-id tiebreak. Distances use
+    the precomputed-squared-norm identity |a-c|^2 = |a|^2 + |c|^2 - 2a.c
+    with the same unrolled op sequence in both engines (bit-identical
+    before the 4-dp tie-rounding). The centroid side is K rows broadcast
+    onto the corpus — the same bounded-build BNLJ class as
+    knn_brute_force; the full loop alternates this map stage with one
+    K-row mean aggregation (see similarity.train_ivf_centroids for the
+    bounded-sample trainer this step would replace at full scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("__v"),
+        similarity.dot_expr("embedding", "embedding").alias("__sq"),
+    )
+    c = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("__cid"),
+        F.col("__v").alias("__cv"),
+        F.col("__sq").alias("__csq"),
+    )
+    d = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "__cid",
+        F.round(
+            F.col("__sq") + F.col("__csq") - F.lit(2.0) * similarity.dot_expr("__v", "__cv"),
+            4,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("__cid"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("__cid").alias("cluster"), "dist2")
+    )
+
+
+def _gen_kmeans_sql(k: int = KMEANS_K) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_sql_dot('embedding', 'embedding')} AS sq FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS ce, sq AS csq FROM e WHERE vec_id < {k}),
+d AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(e.sq + c.csq - 2 * {_sql_dot('e.embedding', 'c.ce')}, 4) AS dist2
+  FROM e CROSS JOIN c
+)
+SELECT vec_id, cluster, dist2 FROM (
+  SELECT vec_id, cid AS cluster, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+  FROM d
+) WHERE rn = 1
+"""
+
+
+def fuzzy_pairs_symdelete(spark, sf_dir):
+    """Scalable fuzzy-match self-join (edit distance <= 1) via the
+    symmetric-deletion trick: every string expands to itself plus its
+    single-character deletions, candidates are pairs sharing ANY variant
+    (an equi-join on the variant string — complete for distance 1:
+    equality shares the identity variant, substitution shares the deletion
+    at the differing position, insert/delete shares the shorter string),
+    then the exact Levenshtein verifies collisions only. Never an
+    all-pairs comparison: work scales with variant-bucket occupancy, the
+    same posting-list shape as the n-gram dedup family. Variant count is
+    len(s)+1 per row — bounded by key length, not corpus size."""
+    cust = _t(spark, sf_dir, "customer")
+    v = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("s"),
+        F.explode(
+            F.expr(
+                "array_union(array(c_name), transform(sequence(1, length(c_name)),"
+                " i -> concat(substr(c_name, 1, i-1), substr(c_name, i+1))))"
+            )
+        ).alias("var"),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), "var")
+    b = v.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "var")
+    cand = (
+        a.join(b, ["var"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "s_a", "id_b", "s_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b").cast("long"))
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+FUZZY_SYMDELETE_SQL = """
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS s,
+         unnest(list_distinct(list_concat([c_name],
+           list_transform(range(1, length(c_name)+1),
+                          i -> substr(c_name, 1, i-1) || substr(c_name, i+1, length(c_name)))))) AS var
+  FROM customer
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.s AS s_a, b.id AS id_b, b.s AS s_b
+  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(s_a, s_b) <= 1
+"""
+
+
+def media_frame_sample(spark, sf_dir):
+    """Video-timeline frame sampling plumbing (multimodal.frame_sample):
+    documents become opaque video payloads with deterministic metadata
+    (duration derived from n_chars), and the timeline explodes to one row
+    per sampled frame offset — the pattern that keeps per-task memory flat
+    when a 2-hour video becomes 7200 frame rows. The decode of each frame
+    goes through the same declared codec seam as decode_and_featurize; the
+    oracle checks the sampling grid and payload metadata exactly."""
+    from mysql_data_anonymizer_spark.multimodal.media import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(((F.col("n_chars") % 10 + 1) * 1000).alias("duration_ms")).alias("meta"),
+    )
+    out = frame_sample(media, every_ms=1000)
+    return out.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("offset_ms").cast("long").alias("offset_ms"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+       CAST(f * 1000 AS BIGINT) AS offset_ms,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM (
+  SELECT doc_id, text, unnest(range(0, n_chars % 10 + 1)) AS f
+  FROM documents WHERE doc_id % 3 = 2
+)
+"""
 
 
 def dedup_simhash_md5(spark, sf_dir):
@@ -4343,6 +4546,14 @@ QUERIES["bigram_collocations"] = bigram_collocations
 ORACLES["bigram_collocations"] = BIGRAM_SQL
 QUERIES["profile_orders_columns"] = profile_orders_columns
 ORACLES["profile_orders_columns"] = _gen_profile_sql()
+QUERIES["snapshot_diff_orders"] = snapshot_diff_orders
+ORACLES["snapshot_diff_orders"] = SNAPSHOT_DIFF_SQL
+QUERIES["kmeans_assign_step"] = kmeans_assign_step
+ORACLES["kmeans_assign_step"] = _gen_kmeans_sql()
+QUERIES["fuzzy_pairs_symdelete"] = fuzzy_pairs_symdelete
+ORACLES["fuzzy_pairs_symdelete"] = FUZZY_SYMDELETE_SQL
+QUERIES["media_frame_sample"] = media_frame_sample
+ORACLES["media_frame_sample"] = FRAME_SAMPLE_SQL
 
 
 # ===========================================================================
@@ -4365,6 +4576,10 @@ _CHECK_FIRST = [
     "cohort_retention_weekly",
     "bigram_collocations",
     "profile_orders_columns",
+    "snapshot_diff_orders",
+    "kmeans_assign_step",
+    "fuzzy_pairs_symdelete",
+    "media_frame_sample",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

@@ -412,3 +412,19 @@ def test_binaryfile_read_table(spark, tmp_path):
     rows = back.collect()
     assert len(rows) == 1
     assert rows[0].content == bytearray(b"hello") and rows[0].length == 5
+
+
+def test_table_diff_classification_and_null_semantics(spark):
+    from mysql_data_anonymizer_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d"), (5, "e")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, None), (6, "f")], "id long, v string"
+    )
+    out = {r.id: r.status for r in table_diff(old, new, ["id"], ["v"], include_unchanged=True).collect()}
+    # NULL -> NULL unchanged; value -> NULL changed; key 4 removed; key 6 added
+    assert out == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "changed", 6: "added"}
+    filtered = table_diff(old, new, ["id"], ["v"]).collect()
+    assert {r.id for r in filtered} == {2, 4, 5, 6}

@@ -48,6 +48,10 @@ NEW = [
     "cohort_retention_weekly",
     "bigram_collocations",
     "profile_orders_columns",
+    "snapshot_diff_orders",
+    "kmeans_assign_step",
+    "fuzzy_pairs_symdelete",
+    "media_frame_sample",
 ]
 
 

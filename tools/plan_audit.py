@@ -57,6 +57,10 @@ BNL_OK: set[str] = {
     # 1-row aggregate cross-joined onto the bigram table — bounded by
     # construction, same class as q11's threshold
     "bigram_collocations",
+    # k-means assignment: the K-row centroid table is the broadcast build
+    # side of the fact crossJoin — bounded by K, same class as
+    # knn_brute_force's query set
+    "kmeans_assign_step",
 }
 
 
