@@ -105,6 +105,9 @@ HEADLINE = [
     "fuzzy_pairs_symdelete",
     "kmeans_assign_step",
     "media_frame_sample",
+    "cdc_apply_changelog_orders",
+    "incremental_agg_users",
+    "compact_latest_events",
     "text_winnowing",
     "dedup_exact",
     "dedup_ngram_jaccard",

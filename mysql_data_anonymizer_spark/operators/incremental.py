@@ -1,0 +1,94 @@
+"""Incremental-maintenance operators: apply a changelog, merge a delta into
+a maintained aggregate, compact to latest-per-key.
+
+The batch counterparts of the streaming stateful operators and the SCD2
+merge (operators/scd.py): a 100 TB pipeline never recomputes a snapshot or
+an aggregate from scratch per load — it folds the delta in. The defining
+property of every operator here (and what the oracle queries assert) is
+**merge == full recompute**: applying the delta to the maintained state is
+row-identical to rebuilding from the union of all inputs.
+
+Scale shapes:
+- the delta is aggregated/deduplicated FIRST (delta-sized windows and
+  aggregates, never touching the base);
+- the base is touched by exactly one keyed join (anti or full-outer) whose
+  build side is delta-key-sized — broadcast when small, keyed shuffle
+  otherwise;
+- nothing here windows or re-sorts the base table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Compaction: keep exactly one row per key — the one ranked first by
+    ``order_cols`` descending (ties impossible if the last order column is
+    unique, e.g. an event id). The CDC-topic-compaction primitive; one
+    keyed window shuffle, map-side nothing to combine (row identity)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply an upsert/delete changelog to a base snapshot: the LAST entry
+    per key (by ``order_cols``) wins — ``U`` replaces/creates the row,
+    ``D`` removes it. Untouched base keys pass through verbatim.
+
+    The changelog must carry the base's non-key columns for its ``U`` rows
+    (ignored on ``D``). Plan: one delta-sized window picks the winning op,
+    one keyed LEFT ANTI join removes every touched key from the base, one
+    union appends the surviving upserts — the base is never windowed and
+    shuffles once, on its key."""
+    order_cols = order_cols or []
+    last = latest_by_key(changelog, key_cols, order_cols)
+    touched = last.select(*key_cols)
+    untouched = base.join(touched, key_cols, "left_anti")
+    upserts = last.where(F.col(op_col) == "U").select(*base.columns)
+    return untouched.unionByName(upserts)
+
+
+def merge_agg_delta(
+    state: DataFrame,
+    delta_agg: DataFrame,
+    key_cols: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for additive aggregates (COUNT / SUM
+    over exact integer domains): fold a pre-aggregated delta into the
+    maintained per-key state with one full-outer join + coalesced
+    addition. ``merge_agg_delta(agg(old), agg(new))`` is row-identical to
+    ``agg(old UNION new)`` for additive measures — the oracle queries
+    assert exactly this. Keys present on only one side pass through with
+    the other side treated as zero."""
+    s = state.select(
+        *key_cols, *[F.col(c).alias(f"__s_{c}") for c in add_cols]
+    )
+    d = delta_agg.select(
+        *key_cols, *[F.col(c).alias(f"__d_{c}") for c in add_cols]
+    )
+    merged = s.join(d, key_cols, "full_outer")
+    return merged.select(
+        *key_cols,
+        *[
+            (
+                F.coalesce(F.col(f"__s_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in add_cols
+        ],
+    )

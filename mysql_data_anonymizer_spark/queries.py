@@ -29,7 +29,15 @@ from pyspark.sql import functions as F
 
 from mysql_data_anonymizer_spark.blueprint import Blueprint
 from mysql_data_anonymizer_spark.functions.generator import DOMAINS, DeterministicGenerator
-from mysql_data_anonymizer_spark.operators import dedup, diff, joins, scd, similarity, text
+from mysql_data_anonymizer_spark.operators import (
+    dedup,
+    diff,
+    incremental,
+    joins,
+    scd,
+    similarity,
+    text,
+)
 from mysql_data_anonymizer_spark.sources import files
 from mysql_data_anonymizer_spark.plans.compiler import compile_plan
 
@@ -2153,7 +2161,7 @@ def profile_orders_columns(spark, sf_dir):
     )
 
 
-def _gen_profile_sql() -> str:
+def _gen_column_profile_sql() -> str:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
     parts = [
         f"""SELECT '{c}' AS column_name,
@@ -2367,6 +2375,107 @@ FROM (
   SELECT doc_id, text, unnest(range(0, n_chars % 10 + 1)) AS f
   FROM documents WHERE doc_id % 3 = 2
 )
+"""
+
+
+def cdc_apply_changelog_orders(spark, sf_dir):
+    """CDC changelog apply (operators.incremental.apply_changelog): a base
+    snapshot plus an ordered upsert/delete stream — last entry per key
+    wins. The changelog is derived deterministically from the fixture with
+    TWO entries per touched key (an interim 'TMP' upsert, then a final
+    upsert or delete), so the last-wins window is actually load-bearing;
+    the oracle replays the same derivation. The base never windows; it
+    shuffles once for the touched-key anti join."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    touched = o.where(F.col("o_orderkey") % 7 == 0)
+    e1 = touched.select(
+        "o_orderkey",
+        F.lit("TMP").alias("o_orderpriority"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    e2 = touched.select(
+        "o_orderkey",
+        F.concat(F.lit("FINAL-"), F.col("o_orderpriority")).alias("o_orderpriority"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    log = e1.unionByName(e2)
+    return incremental.apply_changelog(o, log, ["o_orderkey"], "op", ["seq"])
+
+
+CDC_APPLY_SQL = """
+WITH base AS (SELECT o_orderkey, o_orderpriority FROM orders),
+log AS (
+  SELECT o_orderkey, 'TMP' AS o_orderpriority, 'U' AS op, 1 AS seq
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'FINAL-' || o_orderpriority,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END, 2
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+last AS (
+  SELECT o_orderkey, o_orderpriority, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM log
+  ) WHERE rn = 1
+)
+SELECT b.o_orderkey, b.o_orderpriority
+FROM base b WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM last WHERE op = 'U'
+"""
+
+
+def incremental_agg_users(spark, sf_dir):
+    """Incremental view maintenance, value-proved: the maintained per-key
+    aggregate (state built from 80% of events, delta from the other 20%,
+    merged with operators.incremental.merge_agg_delta) must be
+    row-identical to aggregating everything at once — and the ORACLE IS
+    the full recompute, so the driver gate asserts exactly the
+    merge == rebuild property. Measures are exact integers (count, cents)
+    so additivity is bit-safe; both input aggregates are map-side
+    combinable, and the merge is one full-outer join on the key."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    def agg(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("total_cents")
+        )
+    state = agg(ev.where(F.col("event_id") % 5 != 0))
+    delta = agg(ev.where(F.col("event_id") % 5 == 0))
+    return incremental.merge_agg_delta(
+        state, delta, ["user_id", "event_type"], ["n", "total_cents"]
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def compact_latest_events(spark, sf_dir):
+    """Topic compaction (the batch twin of streaming dedup-by-key): keep
+    only the newest event per (user, type), ties broken by event id — the
+    state a compacted CDC topic or a latest-value cache would hold. One
+    keyed window shuffle; nothing else."""
+    ev = _t(spark, sf_dir, "events")
+    out = incremental.latest_by_key(
+        ev.select("user_id", "event_type", "event_id", "ts", "value"),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    )
+    return out
+
+
+COMPACT_LATEST_SQL = """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
 """
 
 
@@ -4545,7 +4654,7 @@ ORACLES["cohort_retention_weekly"] = COHORT_SQL
 QUERIES["bigram_collocations"] = bigram_collocations
 ORACLES["bigram_collocations"] = BIGRAM_SQL
 QUERIES["profile_orders_columns"] = profile_orders_columns
-ORACLES["profile_orders_columns"] = _gen_profile_sql()
+ORACLES["profile_orders_columns"] = _gen_column_profile_sql()
 QUERIES["snapshot_diff_orders"] = snapshot_diff_orders
 ORACLES["snapshot_diff_orders"] = SNAPSHOT_DIFF_SQL
 QUERIES["kmeans_assign_step"] = kmeans_assign_step
@@ -4554,6 +4663,12 @@ QUERIES["fuzzy_pairs_symdelete"] = fuzzy_pairs_symdelete
 ORACLES["fuzzy_pairs_symdelete"] = FUZZY_SYMDELETE_SQL
 QUERIES["media_frame_sample"] = media_frame_sample
 ORACLES["media_frame_sample"] = FRAME_SAMPLE_SQL
+QUERIES["cdc_apply_changelog_orders"] = cdc_apply_changelog_orders
+ORACLES["cdc_apply_changelog_orders"] = CDC_APPLY_SQL
+QUERIES["incremental_agg_users"] = incremental_agg_users
+ORACLES["incremental_agg_users"] = INCREMENTAL_AGG_SQL
+QUERIES["compact_latest_events"] = compact_latest_events
+ORACLES["compact_latest_events"] = COMPACT_LATEST_SQL
 
 
 # ===========================================================================
@@ -4580,6 +4695,9 @@ _CHECK_FIRST = [
     "kmeans_assign_step",
     "fuzzy_pairs_symdelete",
     "media_frame_sample",
+    "cdc_apply_changelog_orders",
+    "incremental_agg_users",
+    "compact_latest_events",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

@@ -428,3 +428,37 @@ def test_table_diff_classification_and_null_semantics(spark):
     assert out == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "changed", 6: "added"}
     filtered = table_diff(old, new, ["id"], ["v"]).collect()
     assert {r.id for r in filtered} == {2, 4, 5, 6}
+
+
+def test_apply_changelog_last_wins_and_delete(spark):
+    from mysql_data_anonymizer_spark.operators import incremental
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    log = spark.createDataFrame(
+        [
+            (2, "tmp", "U", 1),
+            (2, "b2", "U", 2),      # last wins
+            (3, "x", "U", 1),
+            (3, None, "D", 2),      # later delete removes the key
+            (4, "d", "U", 1),       # insert of a new key
+        ],
+        "id long, v string, op string, seq long",
+    )
+    out = {r.id: r.v for r in incremental.apply_changelog(base, log, ["id"], "op", ["seq"]).collect()}
+    assert out == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_merge_agg_delta_equals_full_recompute(spark, events):
+    from mysql_data_anonymizer_spark.operators import incremental
+    from pyspark.sql import functions as F
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    def agg(df):
+        return df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+    merged = incremental.merge_agg_delta(
+        agg(events.where(F.col("event_id") % 2 == 0)),
+        agg(events.where(F.col("event_id") % 2 != 0)),
+        ["user_id"], ["n", "c"],
+    )
+    full = agg(events)
+    assert merged.exceptAll(full).count() == 0 and full.exceptAll(merged).count() == 0

@@ -52,6 +52,9 @@ NEW = [
     "kmeans_assign_step",
     "fuzzy_pairs_symdelete",
     "media_frame_sample",
+    "cdc_apply_changelog_orders",
+    "incremental_agg_users",
+    "compact_latest_events",
 ]
 
 
