@@ -232,3 +232,46 @@ def test_dedup_stream_rejects_batch_frame(spark, sf_dir):
 
     with pytest.raises(ValueError, match="streaming"):
         dedup_stream(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def test_streaming_foreachbatch_incremental_agg(spark, events_stream, events_dir, tmp_path):
+    """Streaming IVM: a foreachBatch sink folds each micro-batch into a
+    maintained per-user aggregate with operators.incremental.merge_agg_delta;
+    after the bounded replay the maintained state must equal the batch
+    aggregate over all events (merge == rebuild, across micro-batch
+    boundaries)."""
+    from mysql_data_anonymizer_spark.operators import incremental
+
+    state_dir = str(tmp_path / "agg_state")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("total_cents")
+        )
+
+    def fold(batch_df, batch_id):
+        delta = agg(batch_df)
+        try:
+            state = batch_df.sparkSession.read.parquet(state_dir)
+            merged = incremental.merge_agg_delta(
+                state, delta, ["user_id"], ["n", "total_cents"]
+            )
+        except Exception:  # first batch: no state yet
+            merged = delta
+        # stage-then-swap: collect to driver-free temp write, then replace
+        out = str(tmp_path / f"agg_state_next_{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        batch_df.sparkSession.read.parquet(out).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.parquet(state_dir)
+    full = agg(spark.read.parquet(events_dir))
+    assert state.exceptAll(full).count() == 0 and full.exceptAll(state).count() == 0
