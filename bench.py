@@ -29,6 +29,9 @@ HEADLINE = [
     "mask_synchro_remap",
     "mask_generator_profile",
     "mask_faker_profile",
+    "k_anonymity_audit_customers",
+    "l_diversity_audit_customers",
+    "rtbf_forget_cascade",
     # relational
     "q1_pricing_summary",
     "q3_top_revenue_orders",

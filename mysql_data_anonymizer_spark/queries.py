@@ -34,6 +34,7 @@ from mysql_data_anonymizer_spark.operators import (
     diff,
     incremental,
     joins,
+    privacy,
     scd,
     similarity,
     text,
@@ -2479,6 +2480,91 @@ SELECT user_id, event_type, event_id, ts, value FROM (
 """
 
 
+def k_anonymity_audit_customers(spark, sf_dir):
+    """k-anonymity audit over the masked output's quasi-identifiers
+    (nation x segment): every returned row is a QI group small enough to
+    re-identify its members — the measurement step the reference engine
+    never had (it masks, it doesn't verify). One map-side-combinable hash
+    aggregate on the QI key."""
+    cust = _t(spark, sf_dir, "customer")
+    return privacy.k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+K_ANON_SQL = """
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 10
+"""
+
+
+def l_diversity_audit_customers(spark, sf_dir):
+    """l-diversity audit: QI groups whose sensitive attribute (account
+    balance band) shows fewer than l distinct values — a k-anonymous group
+    can still leak the attribute if everyone in it shares one value. The
+    distinct count rides the same QI-keyed shuffle as the group size."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "acctbal_band", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    return privacy.l_diversity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "acctbal_band", l=4
+    )
+
+
+L_DIV_SQL = """
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+       COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) AS n_sensitive
+FROM customer GROUP BY 1, 2
+HAVING COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) < 4
+"""
+
+
+def rtbf_forget_cascade(spark, sf_dir):
+    """Right-to-be-forgotten cascade (operators.privacy.forget_cascade):
+    a deterministic forget set of customers is erased from the customer
+    table AND their orders — the deletion mirror of the FK synchro remap.
+    The returned audit (rows before/after per table) is what an erasure
+    job must log for compliance; each erased table is one anti join
+    against the broadcast forget-key set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    forget = cust.where(F.col("c_custkey") % 53 == 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    erased = privacy.forget_cascade(
+        {"customer": cust, "orders": orders},
+        forget,
+        {"customer": "c_custkey", "orders": "o_custkey"},
+    )
+    parts = []
+    for name, before, after in [
+        ("customer", cust, erased["customer"]),
+        ("orders", orders, erased["orders"]),
+    ]:
+        for phase, frame in [("before", before), ("after", after)]:
+            parts.append(
+                frame.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                    F.lit(name).alias("table_name"),
+                    F.lit(phase).alias("phase"),
+                    "n_rows",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+RTBF_SQL = """
+SELECT 'customer' AS table_name, 'before' AS phase, COUNT(*) AS n_rows FROM customer
+UNION ALL
+SELECT 'customer', 'after', COUNT(*) FROM customer WHERE c_custkey % 53 <> 0
+UNION ALL
+SELECT 'orders', 'before', COUNT(*) FROM orders
+UNION ALL
+SELECT 'orders', 'after', COUNT(*) FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey % 53 = 0 AND c.c_custkey = o.o_custkey)
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -4669,6 +4755,12 @@ QUERIES["incremental_agg_users"] = incremental_agg_users
 ORACLES["incremental_agg_users"] = INCREMENTAL_AGG_SQL
 QUERIES["compact_latest_events"] = compact_latest_events
 ORACLES["compact_latest_events"] = COMPACT_LATEST_SQL
+QUERIES["k_anonymity_audit_customers"] = k_anonymity_audit_customers
+ORACLES["k_anonymity_audit_customers"] = K_ANON_SQL
+QUERIES["l_diversity_audit_customers"] = l_diversity_audit_customers
+ORACLES["l_diversity_audit_customers"] = L_DIV_SQL
+QUERIES["rtbf_forget_cascade"] = rtbf_forget_cascade
+ORACLES["rtbf_forget_cascade"] = RTBF_SQL
 
 
 # ===========================================================================
@@ -4698,6 +4790,9 @@ _CHECK_FIRST = [
     "cdc_apply_changelog_orders",
     "incremental_agg_users",
     "compact_latest_events",
+    "k_anonymity_audit_customers",
+    "l_diversity_audit_customers",
+    "rtbf_forget_cascade",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

@@ -55,6 +55,9 @@ NEW = [
     "cdc_apply_changelog_orders",
     "incremental_agg_users",
     "compact_latest_events",
+    "k_anonymity_audit_customers",
+    "l_diversity_audit_customers",
+    "rtbf_forget_cascade",
 ]
 
 
