@@ -197,3 +197,19 @@ def test_partitioned_sink_prunes_and_dynamic_overwrite(spark, tmp_path):
     write_parquet_partitioned(delta, dest, ["part"])
     after = {r.id for r in spark.read.parquet(dest).collect()}
     assert after == {9, 3, 4}
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on the lake: a second batch adds a column; reading
+    with mergeSchema=true unions the schemas and back-fills typed NULLs for
+    the old files — the contract an append-only 100 TB table relies on when
+    producers upgrade."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode("append").parquet(base)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
