@@ -32,6 +32,8 @@ HEADLINE = [
     "k_anonymity_audit_customers",
     "l_diversity_audit_customers",
     "rtbf_forget_cascade",
+    "mask_generalize_customers",
+    "suppress_small_groups",
     # relational
     "q1_pricing_summary",
     "q3_top_revenue_orders",

@@ -2565,6 +2565,72 @@ WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey % 53 = 0 AND c.c_cu
 """
 
 
+def mask_generalize_customers(spark, sf_dir):
+    """Generalization masking (the k-anonymity-friendly alternative to
+    substitution): numeric quasi-identifiers coarsen to labeled bands, the
+    key coarsens to a prefix group — recorded as plain Column expressions
+    through the same Blueprint surface as every other mask, all inside one
+    codegen'd projection (no shuffle, no Python)."""
+    cust = _t(spark, sf_dir, "customer")
+    band_lo = (F.floor(F.col("c_acctbal") / 2000) * 2000).cast("long")
+    bp = Blueprint("customer", lambda t: t.primary("c_custkey"))
+    bp.column("c_acctbal_band").replaceWith(
+        F.concat(F.lit("["), band_lo, F.lit(","), band_lo + 2000, F.lit(")"))
+    )
+    bp.column("c_key_group").replaceWith((F.col("c_custkey") / 100).cast("long") * 100)
+    base = cust.withColumn("c_acctbal_band", F.lit(None).cast("string")).withColumn(
+        "c_key_group", F.lit(None).cast("long")
+    )
+    out = compile_plan(base, bp.plan, seed=SEED).df
+    return out.select("c_custkey", "c_key_group", "c_acctbal_band", "c_mktsegment")
+
+
+MASK_GENERALIZE_SQL = """
+SELECT c_custkey,
+       CAST(FLOOR(c_custkey / 100) AS BIGINT) * 100 AS c_key_group,
+       '[' || CAST(CAST(FLOOR(c_acctbal / 2000) * 2000 AS BIGINT) AS VARCHAR) || ','
+           || CAST(CAST(FLOOR(c_acctbal / 2000) * 2000 + 2000 AS BIGINT) AS VARCHAR) || ')'
+         AS c_acctbal_band,
+       c_mktsegment
+FROM customer
+"""
+
+
+def suppress_small_groups(spark, sf_dir):
+    """k-anonymity remediation by suppression: quasi-identifier groups
+    below k get their QI values replaced with a suppression marker, so the
+    released table IS k-anonymous (every surviving QI combination has
+    >= k members — the suppressed rows pool into one group). One window
+    count on the QI key, one conditional projection; at scale the group
+    sizes come from the same aggregate the audit already computes, so
+    audit + repair share a single shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    sized = cust.withColumn("__gs", F.count(F.lit(1)).over(w))
+    small = F.col("__gs") < 10
+    return sized.select(
+        "c_custkey",
+        F.when(small, F.lit(-1)).otherwise(F.col("c_nationkey")).alias("c_nationkey"),
+        F.when(small, F.lit("[SUPPRESSED]")).otherwise(F.col("c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+        F.col("__gs").alias("orig_group_size"),
+    )
+
+
+SUPPRESS_SQL = """
+SELECT c_custkey,
+       CASE WHEN gs < 10 THEN -1 ELSE c_nationkey END AS c_nationkey,
+       CASE WHEN gs < 10 THEN '[SUPPRESSED]' ELSE c_mktsegment END AS c_mktsegment,
+       gs AS orig_group_size
+FROM (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS gs
+  FROM customer
+)
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -4761,6 +4827,10 @@ QUERIES["l_diversity_audit_customers"] = l_diversity_audit_customers
 ORACLES["l_diversity_audit_customers"] = L_DIV_SQL
 QUERIES["rtbf_forget_cascade"] = rtbf_forget_cascade
 ORACLES["rtbf_forget_cascade"] = RTBF_SQL
+QUERIES["mask_generalize_customers"] = mask_generalize_customers
+ORACLES["mask_generalize_customers"] = MASK_GENERALIZE_SQL
+QUERIES["suppress_small_groups"] = suppress_small_groups
+ORACLES["suppress_small_groups"] = SUPPRESS_SQL
 
 
 # ===========================================================================
@@ -4793,6 +4863,8 @@ _CHECK_FIRST = [
     "k_anonymity_audit_customers",
     "l_diversity_audit_customers",
     "rtbf_forget_cascade",
+    "mask_generalize_customers",
+    "suppress_small_groups",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

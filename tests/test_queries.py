@@ -58,6 +58,8 @@ NEW = [
     "k_anonymity_audit_customers",
     "l_diversity_audit_customers",
     "rtbf_forget_cascade",
+    "mask_generalize_customers",
+    "suppress_small_groups",
 ]
 
 
