@@ -88,6 +88,8 @@ HEADLINE = [
     "orc_source_agg",
     "csv_source_agg",
     "binaryfile_media_manifest",
+    "pydatasource_synth_agg",
+    "variant_events_agg",
     # text / dedup / similarity
     "text_profile",
     "text_fingerprint_groups",

@@ -2631,6 +2631,86 @@ FROM (
 """
 
 
+SYNTH_ROWS = 2000
+
+
+def pydatasource_synth_agg(spark, sf_dir):
+    """Custom connector through the Python DataSource API
+    (sources/pydatasource.py): a partitioned executor-side synthetic-row
+    source registered as format("synthrows"), aggregated per bucket. The
+    rows are md5-hash-constructed from their ids (same determinism
+    contract as the masking generator), so the DuckDB oracle replays the
+    ENTIRE source from generate_series — green certifies the connector's
+    partitioned read path end-to-end, not just its schema. (sf_dir unused:
+    the source is self-generating by construction.)"""
+    from mysql_data_anonymizer_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthrows")
+        .option("n_rows", SYNTH_ROWS)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("email").alias("min_email"),
+        F.max("email").alias("max_email"),
+        F.sum("id").alias("sum_id"),
+    )
+
+
+def _gen_pydatasource_sql() -> str:
+    d = f"md5('{SEED}:email|' || CAST(i AS VARCHAR))"
+    gate = f"(strpos('{HEXD}', substr(d, 1, 1)) - 1)"
+    for j in range(2, 9):
+        gate = f"({gate} * 16 + (strpos('{HEXD}', substr(d, {j}, 1)) - 1))"
+    return f"""
+WITH src AS (
+  SELECT i, 'u_' || substr(d, 1, 12) || '@example.com' AS email,
+         CAST({gate} % 10 AS BIGINT) AS bucket
+  FROM (SELECT i, {d} AS d FROM generate_series(0, {SYNTH_ROWS - 1}) AS t(i))
+)
+SELECT bucket, COUNT(*) AS n, MIN(email) AS min_email, MAX(email) AS max_email,
+       CAST(SUM(i) AS BIGINT) AS sum_id
+FROM src GROUP BY bucket
+"""
+
+
+def variant_events_agg(spark, sf_dir):
+    """Semi-structured analytics via VariantType (Spark 4): props parsed
+    ONCE to a binary variant, fields extracted with try_variant_get —
+    typed NULL for absent paths, the open-schema alternative to
+    from_json's fixed struct (json_props_struct). The oracle reads the
+    same fields through DuckDB's JSON path functions; agreement certifies
+    the variant encode/decode round trip, null semantics included."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json(F.col("props")))
+    k = F.try_variant_get("v", "$.k", "long")
+    cat = F.try_variant_get("v", "$.cat", "string")
+    return (
+        v.select(F.pmod(k, F.lit(10)).alias("k_mod"), k.alias("k"), cat.alias("cat"))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            # absent path -> typed NULL: count must be 0 on both engines
+            F.count("cat").alias("n_cat"),
+        )
+    )
+
+
+VARIANT_SQL = """
+SELECT ((CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) + 10) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(json_extract_string(props, '$.cat')) AS n_cat
+FROM events GROUP BY 1
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -4831,6 +4911,10 @@ QUERIES["mask_generalize_customers"] = mask_generalize_customers
 ORACLES["mask_generalize_customers"] = MASK_GENERALIZE_SQL
 QUERIES["suppress_small_groups"] = suppress_small_groups
 ORACLES["suppress_small_groups"] = SUPPRESS_SQL
+QUERIES["pydatasource_synth_agg"] = pydatasource_synth_agg
+ORACLES["pydatasource_synth_agg"] = _gen_pydatasource_sql()
+QUERIES["variant_events_agg"] = variant_events_agg
+ORACLES["variant_events_agg"] = VARIANT_SQL
 
 
 # ===========================================================================
@@ -4865,6 +4949,8 @@ _CHECK_FIRST = [
     "rtbf_forget_cascade",
     "mask_generalize_customers",
     "suppress_small_groups",
+    "pydatasource_synth_agg",
+    "variant_events_agg",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

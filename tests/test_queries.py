@@ -60,6 +60,8 @@ NEW = [
     "rtbf_forget_cascade",
     "mask_generalize_customers",
     "suppress_small_groups",
+    "pydatasource_synth_agg",
+    "variant_events_agg",
 ]
 
 
