@@ -4923,7 +4923,27 @@ ORACLES["variant_events_agg"] = VARIANT_SQL
 # re-checking queries that are already green.
 # ===========================================================================
 _CHECK_FIRST = [
-    # --- new in round 3: never driver-checked ---
+    # Ordering maximizes value of the driver's bounded (50-query) sample:
+    # (1) queries RED in CORRECTNESS_r02, fixed this round — must re-certify
+    "q19_disjunctive_revenue",
+    "q12_priority_by_linestatus",
+    "json_props_struct",
+    "json_source_agg",
+    "customer_order_keys_array",
+    "approx_quantiles_events_value",
+    # (2) fixed after r1, still never driver-rechecked (local green)
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "grouping_sets_orders",
+    "rollup_orders",
+    "cube_orders",
+    "running_total_per_customer",
+    "events_hourly_window",
+    # (3) new in round 3: never driver-checked (all locally oracle-verified)
     "csv_source_agg",
     "binaryfile_media_manifest",
     "cap_docs_per_source",
@@ -4960,26 +4980,7 @@ _CHECK_FIRST = [
     "doc_repetition_stats",
     "curate_corpus_pipeline",
     "streaming_dedup_events",
-    # --- round-3 fixes: red/blank in CORRECTNESS_r02, fixed this round ---
-    "q19_disjunctive_revenue",
-    "q12_priority_by_linestatus",
-    "json_props_struct",
-    "json_source_agg",
-    "customer_order_keys_array",
-    "approx_quantiles_events_value",
-    # --- fixed after r1, never driver-rechecked (local green) ---
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q22_idle_rich_customers",
-    "grouping_sets_orders",
-    "rollup_orders",
-    "cube_orders",
-    "running_total_per_customer",
-    "events_hourly_window",
-    # --- green in r1 but not re-sampled in r2: refresh certification ---
+    # (4) green in r1 but not re-sampled since: certification refresh
     "anti_join_customers_no_orders",
     "asof_last_order_per_event",
     "dedup_clusters",
