@@ -101,6 +101,8 @@ HEADLINE = [
     "cap_docs_per_source",
     "shard_training_corpus",
     "vocab_top_terms",
+    "chunk_docs_for_rag",
+    "approx_top_terms",
     "explode_doc_sentences",
     "doc_top_terms",
     "winsorize_events_value",

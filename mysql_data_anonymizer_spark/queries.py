@@ -2711,6 +2711,100 @@ FROM events GROUP BY 1
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_STEP = 48  # 16-token overlap
+
+
+def chunk_docs_for_rag(spark, sf_dir):
+    """Fixed-size token chunking with overlap — the retrieval/embedding
+    prep step of a RAG or pretraining pipeline: every document becomes
+    ceil(n/step) chunks of up to 64 tokens overlapping by 16. Pure
+    codegen'd array algebra (split once, transform over a stride sequence,
+    slice + join per chunk) — one input row fans out JVM-side with no
+    shuffle and no Python, so a 100 TB corpus chunks at scan speed; the
+    embedding stage downstream is where the compute lives."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.expr(
+            f"""explode(transform(
+                  sequence(0, size(split(trim(lower(text)), '\\\\s+')) - 1, {CHUNK_STEP}),
+                  s -> struct(
+                    s AS start,
+                    array_join(slice(split(trim(lower(text)), '\\\\s+'), s + 1, {CHUNK_TOKENS}), ' ') AS chunk,
+                    size(slice(split(trim(lower(text)), '\\\\s+'), s + 1, {CHUNK_TOKENS})) AS n_tok)))"""
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("c.start") / CHUNK_STEP).cast("long").alias("chunk_no"),
+        F.col("c.start").cast("long").alias("start_tok"),
+        F.col("c.chunk").alias("chunk_text"),
+        F.col("c.n_tok").cast("long").alias("n_tokens"),
+    ).where(F.col("chunk_text") != "")
+
+
+CHUNK_DOCS_SQL = f"""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+c AS (
+  SELECT doc_id, unnest(range(0, len(toks), {CHUNK_STEP})) AS s, toks FROM d
+)
+SELECT doc_id, CAST(s // {CHUNK_STEP} AS BIGINT) AS chunk_no, CAST(s AS BIGINT) AS start_tok,
+       array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, s + 1, s + {CHUNK_TOKENS})) AS BIGINT) AS n_tokens
+FROM c
+WHERE array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ') <> ''
+"""
+
+
+APPROX_TOP_K = 10
+
+
+def approx_top_terms(spark, sf_dir):
+    """Frequent-items sketch (approx_top_k — the heavy-hitters companion
+    to the HLL and GK sketches, all mergeable partials): sketch the top
+    terms, gate each against the exact count. FINAL columns are the exact
+    top-k twins plus `sketch_ok` — true iff the sketch tracked this term
+    with the exact count (guaranteed here: distinct terms are far below
+    the sketch's tracking budget, so estimates are exact; at true corpus
+    scale the gate loosens to a relative-error band). The DuckDB twin
+    asserts sketch_ok, so a drifting sketch turns the row red instead of
+    unverifiable."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    sk = uni.agg(F.expr(f"approx_top_k(term, {APPROX_TOP_K})").alias("sk"))
+    exact = (
+        uni.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(APPROX_TOP_K)
+    )
+    # Gate on what the sketch actually guarantees: a tracked term must carry
+    # the exact count; a term absent from the sketch is acceptable only if
+    # it TIES the sketch's k-th count (boundary ties are resolved
+    # arbitrarily by the sketch, deterministically by the exact ordering).
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "term",
+        "n",
+        F.expr(
+            "exists(sk, e -> e.item = term AND e.count = n)"
+            " OR n <= array_min(transform(sk, e -> e.count))"
+        ).alias("sketch_ok"),
+    )
+
+
+APPROX_TOP_TERMS_SQL = f"""
+SELECT term, n, TRUE AS sketch_ok FROM (
+  SELECT term, COUNT(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents
+  ) WHERE term <> ''
+  GROUP BY term ORDER BY n DESC, term ASC LIMIT {APPROX_TOP_K}
+)
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -4915,6 +5009,10 @@ QUERIES["pydatasource_synth_agg"] = pydatasource_synth_agg
 ORACLES["pydatasource_synth_agg"] = _gen_pydatasource_sql()
 QUERIES["variant_events_agg"] = variant_events_agg
 ORACLES["variant_events_agg"] = VARIANT_SQL
+QUERIES["chunk_docs_for_rag"] = chunk_docs_for_rag
+ORACLES["chunk_docs_for_rag"] = CHUNK_DOCS_SQL
+QUERIES["approx_top_terms"] = approx_top_terms
+ORACLES["approx_top_terms"] = APPROX_TOP_TERMS_SQL
 
 
 # ===========================================================================
@@ -4971,6 +5069,8 @@ _CHECK_FIRST = [
     "suppress_small_groups",
     "pydatasource_synth_agg",
     "variant_events_agg",
+    "chunk_docs_for_rag",
+    "approx_top_terms",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

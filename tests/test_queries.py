@@ -62,6 +62,8 @@ NEW = [
     "suppress_small_groups",
     "pydatasource_synth_agg",
     "variant_events_agg",
+    "chunk_docs_for_rag",
+    "approx_top_terms",
 ]
 
 

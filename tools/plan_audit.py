@@ -61,6 +61,9 @@ BNL_OK: set[str] = {
     # side of the fact crossJoin — bounded by K, same class as
     # knn_brute_force's query set
     "kmeans_assign_step",
+    # heavy hitters: the 1-row sketch aggregate cross-joined onto the k-row
+    # exact table — bounded scalar, same class as q11's threshold
+    "approx_top_terms",
 }
 
 
