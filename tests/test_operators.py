@@ -462,3 +462,54 @@ def test_merge_agg_delta_equals_full_recompute(spark, events):
     )
     full = agg(events)
     assert merged.exceptAll(full).count() == 0 and full.exceptAll(merged).count() == 0
+
+
+def test_python_udtf_chunker_matches_jvm_chunking(spark):
+    """The Python UDTF API (Spark 4) hosting the same chunking logic as the
+    JVM array-algebra path (queries.chunk_docs_for_rag): both must emit
+    identical (start, chunk) rows. The JVM path is the production one (no
+    Python workers); the UDTF is the extension seam for chunkers that need
+    a real tokenizer library."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start_tok int, chunk string")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.lower().strip().split()
+            for s in range(0, len(toks), 3):
+                piece = " ".join(toks[s : s + 4])
+                if piece:
+                    yield s, piece
+
+    spark.udtf.register("chunker", Chunker)
+    got = spark.sql(
+        "SELECT c.* FROM VALUES ('One two three four five six seven') t(txt), "
+        "LATERAL chunker(txt) c"
+    ).collect()
+    jvm = spark.sql(
+        """SELECT s AS start_tok,
+                  array_join(slice(split(trim(lower('One two three four five six seven')), '\\\\s+'), s + 1, 4), ' ') AS chunk
+           FROM (SELECT explode(sequence(0, 6, 3)) AS s)"""
+    ).collect()
+    assert sorted((r.start_tok, r.chunk) for r in got) == sorted(
+        (r.start_tok, r.chunk) for r in jvm
+    )
+
+
+def test_privacy_audits_edge_cases(spark):
+    from mysql_data_anonymizer_spark.operators import privacy
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "y"), (4, "b", "z")],
+        "id long, qi string, sens string",
+    )
+    # k=2: group 'b' (size 1) violates; 'a' (size 3) passes
+    kv = privacy.k_anonymity_audit(df, ["qi"], k=2).collect()
+    assert [(r.qi, r.group_size) for r in kv] == [("b", 1)]
+    # l=2: group 'b' has 1 distinct sensitive value; 'a' has 2
+    lv = privacy.l_diversity_audit(df, ["qi"], "sens", l=2).collect()
+    assert [(r.qi, r.n_sensitive) for r in lv] == [("b", 1)]
+    # empty forget set leaves every table untouched
+    empty = spark.createDataFrame([], "key long")
+    out = privacy.forget_cascade({"t": df}, empty, {"t": "id"})
+    assert out["t"].count() == 4
