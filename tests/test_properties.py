@@ -1,0 +1,87 @@
+"""Hypothesis property tests for the pure-Python engine logic.
+
+These run WITHOUT a SparkSession (the Python generator twin and the JDBC
+partition arithmetic are plain functions), so hypothesis can hammer them
+with hundreds of examples at unit-test cost. The Column twins are proven
+equal to these by the oracle-gated masking queries, so properties
+established here transfer to the distributed path.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mysql_data_anonymizer_spark.functions.generator import LOCALES, PyRowGenerator
+
+KEYS = st.one_of(st.integers(min_value=0, max_value=10**12), st.uuids().map(str))
+LOCALE = st.sampled_from(sorted(LOCALES))
+
+
+@given(seed=st.integers(0, 2**31 - 1), key=KEYS, locale=LOCALE)
+@settings(max_examples=200, deadline=None)
+def test_generator_is_deterministic(seed, key, locale):
+    a = PyRowGenerator(seed, key, "c", locale=locale)
+    b = PyRowGenerator(seed, key, "c", locale=locale)
+    for attr in ("email", "name", "city", "company", "ipv4", "uuid", "credit_card_number"):
+        assert getattr(a, attr) == getattr(b, attr)
+
+
+@given(seed=st.integers(0, 2**31 - 1), k1=KEYS, k2=KEYS)
+@settings(max_examples=100, deadline=None)
+def test_unique_email_injective_on_keys(seed, k1, k2):
+    """unique() embeds the pk: distinct keys can never collide (uniqueness
+    by construction, replacing the reference's retry loop)."""
+    if str(k1) == str(k2):
+        return
+    a = PyRowGenerator(seed, k1, "c").unique().email
+    b = PyRowGenerator(seed, k2, "c").unique().email
+    assert a != b
+
+
+@given(seed=st.integers(0, 2**31 - 1), key=KEYS)
+@settings(max_examples=200, deadline=None)
+def test_credit_card_passes_luhn(seed, key):
+    num = PyRowGenerator(seed, key, "c").credit_card_number
+    digits = [int(c) for c in num]
+    total = 0
+    for i, d in enumerate(reversed(digits), start=1):
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    assert total % 10 == 0, num
+    assert len(num) == 16 and num.startswith("4")
+
+
+@given(seed=st.integers(0, 2**31 - 1), key=KEYS, locale=LOCALE)
+@settings(max_examples=100, deadline=None)
+def test_generator_output_shapes(seed, key, locale):
+    g = PyRowGenerator(seed, key, "col", locale=locale)
+    assert "@" in g.email and g.email == g.email.lower()
+    octets = g.ipv4.split(".")
+    assert len(octets) == 4 and all(0 <= int(o) <= 255 for o in octets)
+    u = g.uuid
+    assert [len(p) for p in u.split("-")] == [8, 4, 4, 4, 12]
+    # DOB_BASE 2008-01-01 minus [18y, 18y+72y) days
+    assert 1917 <= g.date_of_birth.year <= 1990
+
+
+@given(
+    lower=st.integers(-(10**9), 10**9),
+    span=st.integers(0, 10**9),
+    n=st.integers(1, 64),
+)
+@settings(max_examples=200, deadline=None)
+def test_jdbc_partition_options_cover_range(lower, span, n):
+    """Partitioned-scan options: bounds round-trip as strings and the
+    requested partition count survives (Spark slices [lower, upper] into
+    numPartitions ranges covering every row)."""
+    from mysql_data_anonymizer_spark.sources.jdbc import JdbcConfig, partition_options
+
+    upper = lower + span
+    cfg = JdbcConfig(url="jdbc:mysql://127.0.0.1:3306/db", num_partitions=n)
+    opts = partition_options(cfg, "id", lower, upper)
+    assert int(opts["lowerBound"]) == lower
+    assert int(opts["upperBound"]) == upper
+    assert int(opts["numPartitions"]) == n
+    assert opts["partitionColumn"] == "id"
