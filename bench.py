@@ -26,6 +26,7 @@ HEADLINE = [
     "mask_global_where",
     "mask_chain_fields",
     "mask_unique_uuid",
+    "mask_guarded",
     "mask_synchro_remap",
     "mask_generator_profile",
     "mask_faker_profile",
@@ -74,7 +75,14 @@ HEADLINE = [
     "asof_last_order_per_event",
     "range_join_close_prices",
     "semi_join_parts_ordered",
+    "anti_join_customers_no_orders",
+    "distinct_nations_per_segment",
+    "except_rich_customers_without_orders",
+    "intersect_rich_customers_with_orders",
+    "top_supplier_per_nation",
+    "approx_distinct_users_daily",
     "json_events_agg",
+    "json_source_agg",
     "json_props_struct",
     "customer_order_keys_array",
     "running_total_per_customer",
@@ -93,6 +101,7 @@ HEADLINE = [
     # text / dedup / similarity
     "text_profile",
     "text_fingerprint_groups",
+    "text_lang_source_stats",
     "corpus_quality_filter",
     "stratified_sample_docs",
     "scrub_documents_pii",
