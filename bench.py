@@ -109,6 +109,8 @@ HEADLINE = [
     "select_docs_token_budget",
     "cap_docs_per_source",
     "shard_training_corpus",
+    "rebalance_corpus_mix",
+    "importance_sample_docs",
     "vocab_top_terms",
     "chunk_docs_for_rag",
     "approx_top_terms",

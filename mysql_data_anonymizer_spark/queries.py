@@ -2805,6 +2805,110 @@ SELECT term, n, TRUE AS sketch_ok FROM (
 """
 
 
+TARGET_MIX = {"en": 0.30, "de": 0.20, "fr": 0.20, "es": 0.15, "zh": 0.15}
+
+
+def _lang_share_expr():
+    expr = F.lit(None).cast("double")
+    chain = None
+    for lang, share in TARGET_MIX.items():
+        cond = F.when(F.col("lang") == lang, F.lit(share))
+        chain = cond if chain is None else chain.when(F.col("lang") == lang, F.lit(share))
+    return chain.otherwise(expr)
+
+
+def rebalance_corpus_mix(spark, sf_dir):
+    """Data-mixture rebalancing (the pretraining 'data mixing' step): given
+    target language proportions, downsample each language with a
+    deterministic hash gate so the output approximates the target mix —
+    the achievable total is bounded by the scarcest language
+    (T = min_l n_l / share_l; keep-rate_l = T * share_l / n_l <= 1).
+    Per-language counts are a tiny aggregate; the achievable-total scalar
+    is a broadcast 1-row cross join (bounded, allowlisted); the rate table
+    broadcasts back onto the corpus and the gate is one codegen'd
+    predicate — the corpus itself never shuffles. The hash gate makes the
+    keep-set run/partitioning-invariant AND oracle-replayable; rates are
+    doubles derived from exact integer counts with the same op sequence in
+    both engines, so the floor'd thresholds agree bit-exactly."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("lang").isin(*TARGET_MIX.keys())
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    counts = counts.withColumn("share", _lang_share_expr())
+    t_min = counts.select(
+        F.min(F.col("n_l").cast("double") / F.col("share")).alias("t")
+    )
+    rates = counts.crossJoin(F.broadcast(t_min)).select(
+        "lang",
+        "n_l",
+        (F.col("t") * F.col("share") / F.col("n_l").cast("double")).alias("keep_rate"),
+    )
+    d = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    gate = F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % 1000000
+    return (
+        docs.join(F.broadcast(rates), ["lang"])
+        .where(gate < F.floor(F.col("keep_rate") * 1000000).cast("long"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _gen_rebalance_sql() -> str:
+    share_case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {share}" for lang, share in TARGET_MIX.items()
+    ) + " END"
+    langs = ", ".join(f"'{lang}'" for lang in TARGET_MIX)
+    d = "md5('mix:' || CAST(doc_id AS VARCHAR))"
+    gate = f"(strpos('{HEXD}', substr({d}, 1, 1)) - 1)"
+    for i in range(2, 9):
+        gate = f"({gate} * 16 + (strpos('{HEXD}', substr({d}, {i}, 1)) - 1))"
+    return f"""
+WITH eligible AS (SELECT * FROM documents WHERE lang IN ({langs})),
+counts AS (
+  SELECT lang, COUNT(*) AS n_l, {share_case} AS share
+  FROM eligible GROUP BY lang
+),
+tmin AS (SELECT MIN(CAST(n_l AS DOUBLE) / share) AS t FROM counts),
+rates AS (
+  SELECT lang, t * share / CAST(n_l AS DOUBLE) AS keep_rate
+  FROM counts CROSS JOIN tmin
+)
+SELECT e.doc_id, e.lang, e.source
+FROM eligible e JOIN rates r USING (lang)
+WHERE {gate} % 1000000 < CAST(FLOOR(r.keep_rate * 1000000) AS BIGINT)
+"""
+
+
+def importance_sample_docs(spark, sf_dir):
+    """Quality-weighted importance sampling (data mixing by example-level
+    weight instead of per-stratum rate): each document keeps with
+    probability quality * 0.5 through the deterministic hash gate — higher
+    quality, higher survival, reproducible across runs/partitionings and
+    replayable by the oracle. Map-only: the quality score and the gate are
+    one codegen'd predicate on the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.md5(F.concat(F.lit("imp:"), F.col("doc_id").cast("string")))
+    gate = F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % 1000000
+    q = text.quality_score(F.col("text"))
+    return (
+        docs.withColumn("quality", q)
+        .where(gate < F.floor(F.col("quality") * 500000).cast("long"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+def _gen_importance_sample_sql() -> str:
+    d = "md5('imp:' || CAST(doc_id AS VARCHAR))"
+    gate = f"(strpos('{HEXD}', substr({d}, 1, 1)) - 1)"
+    for i in range(2, 9):
+        gate = f"({gate} * 16 + (strpos('{HEXD}', substr({d}, {i}, 1)) - 1))"
+    return f"""
+WITH prof AS ({_gen_text_profile_sql()})
+SELECT d.doc_id, d.lang, p.quality
+FROM documents d JOIN prof p ON d.doc_id = p.doc_id
+WHERE {gate.replace("doc_id", "d.doc_id")} % 1000000 < CAST(FLOOR(p.quality * 500000) AS BIGINT)
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -5013,6 +5117,10 @@ QUERIES["chunk_docs_for_rag"] = chunk_docs_for_rag
 ORACLES["chunk_docs_for_rag"] = CHUNK_DOCS_SQL
 QUERIES["approx_top_terms"] = approx_top_terms
 ORACLES["approx_top_terms"] = APPROX_TOP_TERMS_SQL
+QUERIES["rebalance_corpus_mix"] = rebalance_corpus_mix
+ORACLES["rebalance_corpus_mix"] = _gen_rebalance_sql()
+QUERIES["importance_sample_docs"] = importance_sample_docs
+ORACLES["importance_sample_docs"] = _gen_importance_sample_sql()
 
 
 # ===========================================================================
@@ -5071,6 +5179,8 @@ _CHECK_FIRST = [
     "variant_events_agg",
     "chunk_docs_for_rag",
     "approx_top_terms",
+    "rebalance_corpus_mix",
+    "importance_sample_docs",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

@@ -513,3 +513,19 @@ def test_privacy_audits_edge_cases(spark):
     empty = spark.createDataFrame([], "key long")
     out = privacy.forget_cascade({"t": df}, empty, {"t": "id"})
     assert out["t"].count() == 4
+
+
+def test_rebalance_mix_approximates_target(spark, sf_dir):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    out = Q.rebalance_corpus_mix(spark, sf_dir).collect()
+    n = len(out)
+    assert n > 0
+    from collections import Counter
+
+    mix = Counter(r.lang for r in out)
+    for lang, share in Q.TARGET_MIX.items():
+        # hash-gate sampling: achieved share within +-8pp of target at
+        # fixture size (binomial noise), and nothing above its target by
+        # more than the noise band (downsample-only guarantee)
+        assert abs(mix[lang] / n - share) < 0.08, (lang, mix[lang] / n, share)

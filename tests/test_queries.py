@@ -64,6 +64,8 @@ NEW = [
     "variant_events_agg",
     "chunk_docs_for_rag",
     "approx_top_terms",
+    "rebalance_corpus_mix",
+    "importance_sample_docs",
 ]
 
 

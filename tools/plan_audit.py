@@ -64,6 +64,9 @@ BNL_OK: set[str] = {
     # heavy hitters: the 1-row sketch aggregate cross-joined onto the k-row
     # exact table — bounded scalar, same class as q11's threshold
     "approx_top_terms",
+    # mixture rebalance: the 1-row achievable-total scalar cross-joined onto
+    # the per-language count table (|langs| rows) — bounded by construction
+    "rebalance_corpus_mix",
 }
 
 
