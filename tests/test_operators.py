@@ -529,3 +529,29 @@ def test_rebalance_mix_approximates_target(spark, sf_dir):
         # fixture size (binomial noise), and nothing above its target by
         # more than the noise band (downsample-only guarantee)
         assert abs(mix[lang] / n - share) < 0.08, (lang, mix[lang] / n, share)
+
+
+def test_operators_survive_empty_input(spark):
+    """Zero-row inputs must produce zero-row outputs, never crash — the
+    guard for sequence()/min()/window edge cases that only fire on empty
+    partitions or empty delta batches."""
+    from mysql_data_anonymizer_spark.operators import incremental, privacy
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    kv = spark.createDataFrame([], "id long, v string")
+
+    assert dedup.exact_dedup(docs, ["text"], "doc_id").count() == 0
+    assert dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count() == 0
+    assert dedup.semantic_dedup_sign_buckets(emb, dim=4, n_sign_bits=2).count() == 0
+    assert text.analyze(docs).count() == 0
+    assert privacy.k_anonymity_audit(kv, ["v"], k=2).count() == 0
+    assert privacy.forget_cascade({"t": kv}, kv.select(F.col("id").alias("key")), {"t": "id"})["t"].count() == 0
+    # empty delta folds into state as identity; empty state adopts the delta
+    state = spark.createDataFrame([(1, 2)], "k long, n long")
+    nil = spark.createDataFrame([], "k long, n long")
+    out = {r.k: r.n for r in incremental.merge_agg_delta(state, nil, ["k"], ["n"]).collect()}
+    assert out == {1: 2}
+    out2 = {r.k: r.n for r in incremental.merge_agg_delta(nil, state, ["k"], ["n"]).collect()}
+    assert out2 == {1: 2}
+    assert incremental.apply_changelog(kv, spark.createDataFrame([], "id long, v string, op string, seq long"), ["id"], "op", ["seq"]).count() == 0
