@@ -111,6 +111,7 @@ HEADLINE = [
     "shard_training_corpus",
     "rebalance_corpus_mix",
     "importance_sample_docs",
+    "pretraining_pipeline_e2e",
     "vocab_top_terms",
     "chunk_docs_for_rag",
     "approx_top_terms",

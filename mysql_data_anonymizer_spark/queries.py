@@ -2909,6 +2909,114 @@ WHERE {gate.replace("doc_id", "d.doc_id")} % 1000000 < CAST(FLOOR(p.quality * 50
 """
 
 
+def pretraining_pipeline_e2e(spark, sf_dir):
+    """The full pretraining-data pipeline as ONE lazy plan — the capstone
+    composition: quality gate -> exact fingerprint dedup -> language-mix
+    rebalance -> token chunking -> deterministic sharding -> per-shard
+    manifest. Catalyst fuses the gates into the scan; the plan's only
+    shuffles are the fingerprint-dedup window, the tiny per-language count
+    aggregate, and the final shard rollup — chunk fan-out happens JVM-side
+    with no extra stage. Every stage is individually oracle-gated
+    elsewhere (corpus_quality_filter, dedup_exact, rebalance_corpus_mix,
+    chunk_docs_for_rag, shard_training_corpus); this query proves the
+    COMPOSITION end to end: same doc survives every gate, lands in the
+    same shard, with the same chunk count, in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_score(F.col("text"))
+    base = docs.where(
+        (q >= 0.4) & F.col("lang").isin(*TARGET_MIX.keys())
+    ).select("doc_id", "lang", "text", text.fingerprint(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    deduped = base.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    counts = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    counts = counts.withColumn("share", _lang_share_expr())
+    t_min = counts.select(F.min(F.col("n_l").cast("double") / F.col("share")).alias("t"))
+    rates = counts.crossJoin(F.broadcast(t_min)).select(
+        "lang", (F.col("t") * F.col("share") / F.col("n_l").cast("double")).alias("keep_rate")
+    )
+    dmix = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    mix_gate = F.conv(F.substring(dmix, 1, 8), 16, 10).cast("long") % 1000000
+    mixed = deduped.join(F.broadcast(rates), ["lang"]).where(
+        mix_gate < F.floor(F.col("keep_rate") * 1000000).cast("long")
+    )
+    chunks = mixed.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"""explode(transform(
+                  sequence(0, size(split(trim(lower(text)), '\\\\s+')) - 1, {CHUNK_STEP}),
+                  s -> struct(
+                    array_join(slice(split(trim(lower(text)), '\\\\s+'), s + 1, {CHUNK_TOKENS}), ' ') AS chunk,
+                    size(slice(split(trim(lower(text)), '\\\\s+'), s + 1, {CHUNK_TOKENS})) AS n_tok)))"""
+        ).alias("c"),
+    ).where(F.col("c.chunk") != "")
+    dsh = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(dsh, 1, 8), 16, 10).cast("long") % N_TRAINING_SHARDS).alias(
+        "shard"
+    )
+    return (
+        chunks.select("doc_id", shard, F.col("c.n_tok").alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def _gen_pretraining_pipeline_sql() -> str:
+    share_case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {share}" for lang, share in TARGET_MIX.items()
+    ) + " END"
+    langs = ", ".join(f"'{lang}'" for lang in TARGET_MIX)
+
+    def _gate(salt: str, col: str) -> str:
+        d = f"md5('{salt}:' || CAST({col} AS VARCHAR))"
+        g = f"(strpos('{HEXD}', substr({d}, 1, 1)) - 1)"
+        for i in range(2, 9):
+            g = f"({g} * 16 + (strpos('{HEXD}', substr({d}, {i}, 1)) - 1))"
+        return g
+
+    return f"""
+WITH prof AS ({_gen_text_profile_sql()}),
+base AS (
+  SELECT d.doc_id, d.lang, d.text, p.fingerprint AS fp
+  FROM documents d JOIN prof p ON d.doc_id = p.doc_id
+  WHERE p.quality >= 0.4 AND d.lang IN ({langs})
+),
+deduped AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM base
+  ) WHERE rn = 1
+),
+counts AS (SELECT lang, COUNT(*) AS n_l, {share_case} AS share FROM deduped GROUP BY lang),
+tmin AS (SELECT MIN(CAST(n_l AS DOUBLE) / share) AS t FROM counts),
+rates AS (SELECT lang, t * share / CAST(n_l AS DOUBLE) AS keep_rate FROM counts CROSS JOIN tmin),
+mixed AS (
+  SELECT dd.doc_id, dd.lang, dd.text
+  FROM deduped dd JOIN rates r USING (lang)
+  WHERE {_gate("mix", "dd.doc_id")} % 1000000 < CAST(FLOOR(r.keep_rate * 1000000) AS BIGINT)
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ') AS chunk,
+         len(list_slice(toks, s + 1, s + {CHUNK_TOKENS})) AS n_tok
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STEP})) AS s
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM mixed)
+  )
+),
+sharded AS (
+  SELECT doc_id, CAST({_gate("shard", "doc_id")} % {N_TRAINING_SHARDS} AS BIGINT) AS shard, n_tok
+  FROM chunks WHERE chunk <> ''
+)
+SELECT shard, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM sharded GROUP BY shard
+"""
+
+
 def dedup_simhash_md5(spark, sf_dir):
     """SimHash made value-verifiable: the 60-bit md5-derived fingerprint
     pipeline (token hash -> per-bit sign sums -> packed fingerprint ->
@@ -5121,6 +5229,8 @@ QUERIES["rebalance_corpus_mix"] = rebalance_corpus_mix
 ORACLES["rebalance_corpus_mix"] = _gen_rebalance_sql()
 QUERIES["importance_sample_docs"] = importance_sample_docs
 ORACLES["importance_sample_docs"] = _gen_importance_sample_sql()
+QUERIES["pretraining_pipeline_e2e"] = pretraining_pipeline_e2e
+ORACLES["pretraining_pipeline_e2e"] = _gen_pretraining_pipeline_sql()
 
 
 # ===========================================================================
@@ -5181,6 +5291,7 @@ _CHECK_FIRST = [
     "approx_top_terms",
     "rebalance_corpus_mix",
     "importance_sample_docs",
+    "pretraining_pipeline_e2e",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

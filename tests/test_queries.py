@@ -66,6 +66,7 @@ NEW = [
     "approx_top_terms",
     "rebalance_corpus_mix",
     "importance_sample_docs",
+    "pretraining_pipeline_e2e",
 ]
 
 

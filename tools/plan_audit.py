@@ -67,6 +67,7 @@ BNL_OK: set[str] = {
     # mixture rebalance: the 1-row achievable-total scalar cross-joined onto
     # the per-language count table (|langs| rows) — bounded by construction
     "rebalance_corpus_mix",
+    "pretraining_pipeline_e2e",  # same rebalance scalar inside the composition
 }
 
 
