@@ -213,3 +213,25 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_observe_metrics_on_write(spark, customer, tmp_path):
+    """df.observe(): accumulator-style data-quality metrics collected during
+    the WRITE pass itself (no second scan) — how a production sink records
+    row counts and domain checks for its audit log."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    out = customer.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+        F.min("c_custkey").alias("min_key"),
+    )
+    dest = str(tmp_path / "observed")
+    out.write.mode("overwrite").parquet(dest)
+    m = obs.get
+    assert m["n_rows"] == customer.count()
+    assert m["n_negative"] == customer.filter("c_acctbal < 0").count()
+    assert m["min_key"] == customer.agg(F.min("c_custkey")).collect()[0][0]
