@@ -612,7 +612,12 @@ def except_rich_customers_without_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    # subtract RECENT orderers only — with all-time orders the result is
+    # empty at every fixture SF (every customer has some order), making the
+    # set-op check vacuous
+    with_orders = orders.where(
+        F.col("o_orderdate") >= F.lit("1998-05-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
     return rich.subtract(with_orders)  # EXCEPT (distinct) semantics
 
 
@@ -620,21 +625,29 @@ EXCEPT_SQL = """
 SELECT c_custkey FROM customer WHERE c_acctbal > 5000
 EXCEPT
 SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-05-01'
 """
 
 
 def anti_join_customers_no_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    # Anti join against RECENT orders only (the unfiltered variant is empty
+    # at every fixture SF — a vacuous check): the filter prunes the build
+    # side before the anti join, and the result is non-empty at all SFs so
+    # the oracle actually exercises the join semantics.
+    recent = orders.where(F.col("o_orderdate") >= F.lit("1998-05-01").cast("timestamp"))
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name, c_acctbal
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-05-01')
 """
 
 
