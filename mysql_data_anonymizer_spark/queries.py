@@ -934,7 +934,12 @@ def intersect_rich_customers_with_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    # recent orderers only: with all-time orders the right side contains
+    # EVERY customer, so the intersect degenerates to the left filter and
+    # cannot catch broken set semantics
+    with_orders = orders.where(
+        F.col("o_orderdate") >= F.lit("1998-05-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
     return rich.intersect(with_orders)
 
 
@@ -942,6 +947,7 @@ INTERSECT_SQL = """
 SELECT c_custkey FROM customer WHERE c_acctbal > 5000
 INTERSECT
 SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-05-01'
 """
 
 
