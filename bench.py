@@ -154,6 +154,7 @@ HEADLINE = [
     "streaming_stateful_user_totals",
     "streaming_stream_join",
     "streaming_dedup_events",
+    "streaming_dedup_then_window",
 ]
 
 

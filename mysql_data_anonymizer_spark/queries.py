@@ -3725,6 +3725,63 @@ FROM events GROUP BY 1, 2
 """
 
 
+def streaming_dedup_then_window(spark, sf_dir):
+    """CHAINED stateful streaming operators, value-checked — the streaming
+    capstone: at-least-once redelivery (fixture staged twice) flows through
+    `dropDuplicatesWithinWatermark` and INTO a tumbling-window aggregate in
+    ONE query (two stateful operators back to back, append mode). Append
+    emits only FINALIZED windows (window_end <= final watermark = max event
+    time - 30min), so the oracle aggregates the distinct events and keeps
+    exactly those windows — green proves dedup state, watermark
+    propagation across the chain, and window finalization all compose."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import (
+        dedup_stream,
+        tumbling_aggregates,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events_b.parquet")
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        deduped = dedup_stream(stream, ["event_id"], watermark="30 minutes")
+        # watermark=None: the dedup stage already defined it; Spark forbids
+        # redefinition downstream and propagates the upstream one
+        agg = tumbling_aggregates(deduped, window="30 minutes", watermark=None)
+        name = f"stream_chain_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        _dbl(F.col("total_value")).alias("total_value"),
+    )
+
+
+STREAMING_CHAIN_SQL = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING window_start + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -5250,6 +5307,8 @@ QUERIES["importance_sample_docs"] = importance_sample_docs
 ORACLES["importance_sample_docs"] = _gen_importance_sample_sql()
 QUERIES["pretraining_pipeline_e2e"] = pretraining_pipeline_e2e
 ORACLES["pretraining_pipeline_e2e"] = _gen_pretraining_pipeline_sql()
+QUERIES["streaming_dedup_then_window"] = streaming_dedup_then_window
+ORACLES["streaming_dedup_then_window"] = STREAMING_CHAIN_SQL
 
 
 # ===========================================================================
@@ -5311,6 +5370,7 @@ _CHECK_FIRST = [
     "rebalance_corpus_mix",
     "importance_sample_docs",
     "pretraining_pipeline_e2e",
+    "streaming_dedup_then_window",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",

@@ -43,12 +43,18 @@ def mask_stream(stream: DataFrame, plan: MaskingPlan, seed: int = 42) -> DataFra
 def tumbling_aggregates(
     stream: DataFrame,
     window: str = "1 hour",
-    watermark: str = "30 minutes",
+    watermark: str | None = "30 minutes",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Event-time tumbling-window counts/sums with bounded state."""
+    """Event-time tumbling-window counts/sums with bounded state.
+
+    Pass ``watermark=None`` when the input already carries one (chained
+    stateful operators — Spark disallows redefining the watermark
+    downstream; the upstream definition propagates through the chain)."""
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
     return (
-        stream.withWatermark(ts_col, watermark)
+        stream
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -67,6 +67,7 @@ NEW = [
     "rebalance_corpus_mix",
     "importance_sample_docs",
     "pretraining_pipeline_e2e",
+    "streaming_dedup_then_window",
 ]
 
 
