@@ -275,3 +275,52 @@ def test_streaming_foreachbatch_incremental_agg(spark, events_stream, events_dir
     state = spark.read.parquet(state_dir)
     full = agg(spark.read.parquet(events_dir))
     assert state.exceptAll(full).count() == 0 and full.exceptAll(state).count() == 0
+
+
+def test_checkpoint_restart_exactly_once_file_sink(spark, events_dir, tmp_path):
+    """Kill-and-resume: a checkpointed file-sink query stopped mid-stream
+    and restarted from the same checkpoint must deliver every input row
+    exactly once — the recovery contract a production job relies on."""
+    import time
+
+    batch = spark.read.parquet(events_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # stage the input as several files so progress is interruptible
+    src = str(tmp_path / "src")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(batch.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    # wait for at least one committed batch, then kill mid-stream
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress.get("sink", {}).get("numOutputRows", -1) != -1:
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination(30)
+    # resume from the same checkpoint and drain the rest
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q2.lastProgress
+        if p and p.get("numInputRows") == 0 and p.get("batchId", 0) > 0:
+            break
+        time.sleep(0.25)
+    q2.stop()
+    q2.awaitTermination(30)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == batch.count()  # no loss, no duplication
+    assert got.select("event_id").distinct().count() == batch.count()
