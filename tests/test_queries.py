@@ -191,3 +191,37 @@ def test_sketch_queries_within_tolerance(spark, sf_dir):
     for r in rows:
         p50, p95 = ex[r.event_type]
         assert r.p50 == p50 and r.p95 == p95, (r.event_type, r.p50, p50, r.p95, p95)
+
+
+INVARIANCE_SAMPLE = [
+    # hash gates, windows, double arithmetic — the shapes where hidden
+    # partition-order dependence would bite first
+    "shard_training_corpus",
+    "rebalance_corpus_mix",
+    "bigram_collocations",
+    "running_total_per_customer",
+    "semdedup_embeddings",
+    "kmeans_assign_step",
+]
+
+
+@pytest.mark.parametrize("name", INVARIANCE_SAMPLE)
+def test_result_invariant_to_shuffle_partitioning(spark, sf_dir, name):
+    """The same query under a different spark.sql.shuffle.partitions must
+    produce value-identical rows — results may never depend on partition
+    count or intra-partition order (the property that makes them valid at
+    ANY cluster size)."""
+    fn = Q.QUERIES[name]
+    def run():
+        df = fn(spark, sf_dir)
+        cols = sorted(df.columns)
+        return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
