@@ -555,3 +555,33 @@ def test_operators_survive_empty_input(spark):
     out2 = {r.k: r.n for r in incremental.merge_agg_delta(nil, state, ["k"], ["n"]).collect()}
     assert out2 == {1: 2}
     assert incremental.apply_changelog(kv, spark.createDataFrame([], "id long, v string, op string, seq long"), ["id"], "op", ["seq"]).count() == 0
+
+
+def test_embedding_dedup_expr_matches_blas_path(spark, embeddings):
+    """The pure-Catalyst expression variant (kept for Arrow-less
+    environments) must emit exactly the pairs the BLAS block-join path
+    emits — same ids, same 4-dp cosines."""
+    blas = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_near_dup_pairs(embeddings, threshold=0.4).collect()
+    }
+    expr = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_near_dup_pairs_expr(embeddings, threshold=0.4).collect()
+    }
+    assert blas == expr and blas
+
+
+def test_cosine_expr_matches_numpy(spark):
+    import numpy as np
+
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [-1.0, 0.5, 2.0, -3.0])]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    pair = df.alias("a").crossJoin(df.alias("b")).where("a.id < b.id").select(
+        similarity.cosine_expr(F.col("a.v"), F.col("b.v"), dim=4).alias("c")
+    )
+    got = pair.collect()[0].c
+    a = np.array(rows[0][1], dtype=np.float32).astype(np.float64)
+    b = np.array(rows[1][1], dtype=np.float32).astype(np.float64)
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got - want) < 1e-12
