@@ -57,3 +57,37 @@ def test_features_feed_similarity(spark, media_df):
     # nearest neighbor of row 1 is its duplicate row 2
     top = sorted(out.collect(), key=lambda r: r.rank)
     assert top[0].neighbor_id == 2
+
+
+def test_mapinarrow_batch_feature_extraction(spark, embeddings):
+    """mapInArrow — the lowest-overhead Python seam (raw Arrow
+    RecordBatches, no pandas conversion): per-batch L2 norms must match the
+    JVM-side unrolled expression exactly. Completes the Python-integration
+    matrix (pandas UDF / grouped map / mapInPandas / UDTF / state / Arrow)."""
+    import pyarrow as pa
+    import numpy as np
+    from pyspark.sql import functions as F
+    from mysql_data_anonymizer_spark.operators import similarity
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            vecs = batch.column("embedding").to_pylist()
+            out = [float(np.linalg.norm(np.asarray(v, dtype=np.float64))) for v in vecs]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.float64())], names=["vec_id", "nrm"]
+            )
+
+    got = {
+        r.vec_id: r.nrm
+        for r in embeddings.mapInArrow(norms, "vec_id long, nrm double").collect()
+    }
+    want = {
+        r.vec_id: r.nrm
+        for r in embeddings.select(
+            "vec_id", similarity.norm_expr("embedding").alias("nrm")
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
