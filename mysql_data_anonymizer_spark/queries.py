@@ -1298,8 +1298,55 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def dedup_simhash(spark, sf_dir):
+    """Production 64-bit xxhash64 SimHash made driver-verifiable via the
+    exact-twin + accuracy-gate pattern (proved on approx_quantiles_events_value):
+    xxhash64 is not reproducible in DuckDB, so the FINAL pair columns are the
+    fully-oracled md5-fingerprint twin (same pipeline as dedup_simhash_md5)
+    and the xx variant is asserted through two Spark-computed gate booleans
+    the oracle emits as literals:
+
+      - ``exactdup_ok`` (a theorem about the pipeline): every pair of docs
+        with an identical token MULTISET must be found by the xx variant at
+        hamming 0 — same tokens => same per-token xxhash64 => same sign sums
+        => same fingerprint => shares every band. Any miss means tokenize /
+        fold / band / verify broke.
+      - ``pair_ratio_ok``: |xx pairs| within 3x of |md5 pairs| (measured
+        ratio 1.16-1.46x across sf0.001/0.01/0.1) — catches a silently
+        empty or exploding xx pipeline.
+
+    The three gate aggregates are 1-row broadcasts cross-joined onto the
+    pair output (bounded by construction — plan_audit BNL_OK)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    xx = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    md5 = dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, band_bits=15, variant="md5"
+    )
+    # identical-token-multiset pairs (same normalization as _simhash_impl:
+    # split on \s+, drop empties, docs with zero tokens excluded)
+    toks = F.array_sort(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "")
+    )
+    keyed = docs.select(
+        F.col("doc_id"), F.md5(F.concat_ws("", toks)).alias("__k")
+    ).where(F.size(toks) > 0)
+    a = keyed.select(F.col("doc_id").alias("id_a"), "__k")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "__k")
+    exact_pairs = a.join(b, "__k").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    missed = exact_pairs.join(
+        xx.where(F.col("hamming") == 0).select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("__missed"))
+    n_xx = xx.agg(F.count(F.lit(1)).alias("__nxx"))
+    n_md5 = md5.agg(F.count(F.lit(1)).alias("__nmd5"))
+    gates = missed.crossJoin(F.broadcast(n_xx)).crossJoin(F.broadcast(n_md5))
+    return md5.crossJoin(F.broadcast(gates)).select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("hamming"),
+        (F.col("__missed") == 0).alias("exactdup_ok"),
+        ((F.col("__nxx") * 3 >= F.col("__nmd5")) & (F.col("__nxx") <= F.col("__nmd5") * 3)).alias(
+            "pair_ratio_ok"
+        ),
+    )
 
 
 def dedup_incremental_new_docs(spark, sf_dir):
@@ -3137,15 +3184,47 @@ def knn_brute_force(spark, sf_dir):
 
 
 def knn_lsh(spark, sf_dir):
+    """Multi-table sign-LSH ANN, driver-verifiable via the exact-twin +
+    accuracy-gate pattern: approximate results are engine-specific, so the
+    FINAL columns are the exact brute-force top-k twin (same oracle as
+    knn_brute_force) plus ``recall_ok`` — a per-query gate asserting the LSH
+    path recovered >= 3 of the 5 true neighbors (measured recall is 1.0 per
+    query at sf0.001/0.01/0.1; 8 tables x 4 bits, multiprobe). A recall
+    regression turns the driver row red instead of unverifiable."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, queries, k=5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("__hits"))
+    return (
+        exact.join(F.broadcast(hits), "query_id", "left")
+        .withColumn("recall_ok", F.coalesce(F.col("__hits"), F.lit(0)) >= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank", "recall_ok")
+    )
 
 
 def knn_ivf(spark, sf_dir):
+    """IVF ANN (16 trained cells, nprobe=8), driver-verifiable the same way
+    as knn_lsh: exact brute-force twin columns + ``recall_ok``, here a
+    GLOBAL gate (hits >= 13 of 25 true pairs = recall >= 0.52; measured
+    0.76-0.92 across sf0.001/0.01/0.1) because IVF recall is per-query
+    noisier — centroids come from a seeded sample whose content shifts with
+    partition layout. The 1-row hit count is a bounded broadcast crossJoin
+    (plan_audit BNL_OK)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries, k=5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, nprobe=8).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    return (
+        exact.crossJoin(F.broadcast(hits))
+        .withColumn("recall_ok", F.col("__hits") >= 13)
+        .select("query_id", "neighbor_id", "cosine", "rank", "recall_ok")
+    )
 
 
 def knn_matmul(spark, sf_dir):
@@ -3390,13 +3469,37 @@ FROM customer GROUP BY c_mktsegment
 def approx_distinct_users_daily(spark, sf_dir):
     """HyperLogLog++ sketch aggregate — THE 100 TB cardinality operator
     (mergeable partial sketches, no exact-distinct shuffle of raw values).
-    No value oracle: sketch estimates are engine-specific (rows-only check);
-    the exact twin `distinct_nations_per_segment` is value-checked."""
+
+    Driver-verifiable via the exact-twin + accuracy-gate pattern: the HLL
+    estimate itself is engine-specific, so the FINAL columns are the exact
+    ``COUNT(DISTINCT)`` twin plus ``hll_ok`` — a Spark-side gate asserting
+    the rsd=0.02 sketch lands within max(10%, 5) of the exact count per day
+    (measured max relative error 1.4% across sf0.001/0.01/0.1; HLL register
+    merges are order-insensitive, so the gate is partitioning-stable). The
+    DuckDB twin emits ``hll_ok`` as TRUE, so sketch drift turns the driver
+    row red instead of unverifiable. Day is emitted as an ISO string (DATE
+    canonicalizes asymmetrically between engines)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    out = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    hll_ok = F.abs(F.col("__approx") - F.col("exact_users")) <= F.greatest(
+        F.col("exact_users") * 0.10, F.lit(5.0)
+    )
+    return out.select("day", "exact_users", "n_events", hll_ok.alias("hll_ok"))
+
+
+APPROX_DISTINCT_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       TRUE AS hll_ok
+FROM events GROUP BY 1
+"""
 
 
 def approx_quantiles_events_value(spark, sf_dir):
@@ -4104,8 +4207,24 @@ QUERIES["knn_matmul"] = knn_matmul
 ORACLES["knn_matmul"] = _gen_knn_sql(5)
 ORACLES["dedup_clusters"] = _gen_dedup_clusters_sql(0.6)
 ORACLES["dedup_canonical_docs"] = _gen_dedup_canonical_sql(0.6)
-# dedup_simhash (xxhash64 not in DuckDB) and knn_lsh (approximate by design)
-# intentionally have no oracle -> driver does the rows-only check
+# the approximate/sketch family (xxhash64 simhash, LSH/IVF ANN, HLL) is
+# oracle-checked via the exact-twin + accuracy-gate pattern: the query's
+# FINAL columns are the exact oracle-able twin plus Spark-computed gate
+# booleans the SQL side emits as literals — a drifting sketch/recall turns
+# the driver row red instead of unverifiable
+ORACLES["approx_distinct_users_daily"] = APPROX_DISTINCT_SQL
+ORACLES["dedup_simhash"] = (
+    "SELECT id_a, id_b, hamming, TRUE AS exactdup_ok, TRUE AS pair_ratio_ok "
+    f"FROM ({_gen_simhash_md5_sql(3, 15)}) t"
+)
+ORACLES["knn_lsh"] = (
+    "SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok "
+    f"FROM ({_gen_knn_sql(5)}) t"
+)
+ORACLES["knn_ivf"] = (
+    "SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok "
+    f"FROM ({_gen_knn_sql(5)}) t"
+)
 
 QUERIES["mask_faker_profile"] = mask_faker_profile
 from mysql_data_anonymizer_spark.functions.faker_adapter import HAS_FAKER as _HAS_FAKER  # noqa: E402
@@ -5318,59 +5437,15 @@ ORACLES["streaming_dedup_then_window"] = STREAMING_CHAIN_SQL
 # ===========================================================================
 _CHECK_FIRST = [
     # Ordering maximizes value of the driver's bounded (50-query) sample:
-    # (1) queries RED in CORRECTNESS_r02, fixed this round — must re-certify
-    "q19_disjunctive_revenue",
-    "q12_priority_by_linestatus",
-    "json_props_struct",
-    "json_source_agg",
-    "customer_order_keys_array",
-    "approx_quantiles_events_value",
-    # (2) fixed after r1, still never driver-rechecked (local green)
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q22_idle_rich_customers",
-    "grouping_sets_orders",
-    "rollup_orders",
-    "cube_orders",
-    "running_total_per_customer",
-    "events_hourly_window",
-    # (3) new in round 3: never driver-checked (all locally oracle-verified)
-    "csv_source_agg",
-    "binaryfile_media_manifest",
-    "cap_docs_per_source",
-    "shard_training_corpus",
-    "semdedup_embeddings",
-    "vocab_top_terms",
-    "explode_doc_sentences",
-    "doc_top_terms",
-    "winsorize_events_value",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "bigram_collocations",
-    "profile_orders_columns",
-    "snapshot_diff_orders",
-    "kmeans_assign_step",
-    "fuzzy_pairs_symdelete",
-    "media_frame_sample",
-    "cdc_apply_changelog_orders",
-    "incremental_agg_users",
-    "compact_latest_events",
-    "k_anonymity_audit_customers",
-    "l_diversity_audit_customers",
-    "rtbf_forget_cascade",
-    "mask_generalize_customers",
-    "suppress_small_groups",
-    "pydatasource_synth_agg",
-    "variant_events_agg",
-    "chunk_docs_for_rag",
-    "approx_top_terms",
-    "rebalance_corpus_mix",
-    "importance_sample_docs",
-    "pretraining_pipeline_e2e",
-    "streaming_dedup_then_window",
+    # (1) the four r1-red no_oracle rows, rebuilt this round on the
+    # exact-twin + accuracy-gate pattern — must re-certify first
+    "approx_distinct_users_daily",
+    "dedup_simhash",
+    "knn_lsh",
+    "knn_ivf",
+    # (2) carried-over queries NEVER driver-sampled (locally oracle-green in
+    # r3 and r4; r3's ordering pushed them to positions 51-59, outside the
+    # ~50-query sample — ADVICE r3)
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "select_docs_token_budget",
@@ -5380,7 +5455,11 @@ _CHECK_FIRST = [
     "doc_repetition_stats",
     "curate_corpus_pipeline",
     "streaming_dedup_events",
-    # (4) green in r1 but not re-sampled since: certification refresh
+    # (3) new in round 4: never driver-checked (all locally oracle-verified)
+    "jdbc_roundtrip_agg",
+    "semdedup_ivf",
+    "streaming_chain_watermark_boundary",
+    # (4) last driver-sampled in r1 — stalest greens, refresh next
     "anti_join_customers_no_orders",
     "asof_last_order_per_event",
     "dedup_clusters",
@@ -5407,6 +5486,18 @@ _CHECK_FIRST = [
     "text_winnowing",
     "top_supplier_per_nation",
     "topk_customers_per_segment",
+    # (5) last driver-sampled in r2 — next-stalest; the driver's ~50-query
+    # sample reaches a few slots into this block
+    "mask_chain_fields",
+    "mask_synchro_remap",
+    "mask_row_template",
+    "dedup_simhash_md5",
+    "knn_matmul",
+    "multimodal_featurize",
+    "q1_pricing_summary",
+    "streaming_stream_join",
+    "dedup_incremental_new_docs",
+    "mask_unique_uuid",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},

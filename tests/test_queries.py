@@ -202,6 +202,13 @@ INVARIANCE_SAMPLE = [
     "running_total_per_customer",
     "semdedup_embeddings",
     "kmeans_assign_step",
+    # gate-boolean queries: the accuracy gates (recall, HLL error, pair
+    # agreement) must hold under ANY partitioning — knn_ivf especially,
+    # whose centroid sample shifts with partition layout
+    "approx_distinct_users_daily",
+    "dedup_simhash",
+    "knn_lsh",
+    "knn_ivf",
 ]
 
 

@@ -47,6 +47,13 @@ GLOBAL_WINDOW_OK = {
 # embedding-cosine expr variant (not the default) has the same shape.
 BNL_OK: set[str] = {
     "knn_brute_force",
+    # knn_lsh / knn_ivf embed the brute-force exact twin (same bounded
+    # broadcast theta join as knn_brute_force) for their recall gate; knn_ivf
+    # and dedup_simhash additionally crossJoin 1-row broadcast gate
+    # aggregates — bounded by construction, same class as q11's threshold
+    "knn_lsh",
+    "knn_ivf",
+    "dedup_simhash",
     # q11: the global threshold is a BROADCAST 1-row aggregate cross-joined
     # onto the 25-row per-nation table — bounded by construction
     "q11_important_nations",
