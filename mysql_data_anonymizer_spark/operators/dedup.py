@@ -645,6 +645,64 @@ def semantic_dedup_sign_buckets(
     )
 
 
+def semantic_dedup_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup with TRAINED IVF cells as the clusters — the corpus-scale
+    swap documented in ``semantic_dedup_sign_buckets``: data-adaptive
+    k-means centroids (``similarity.train_ivf_centroids``, bounded
+    driver-side sample) replace the fixed sign pattern, so occupancy tracks
+    the actual embedding distribution and per-cell pair work stays bounded
+    as ``n_cells`` scales with the corpus. Assignment is ONE Arrow-batched
+    matmul per row (``ivf_assign_expr`` with nprobe=1); the survivor rule
+    and the cluster-local dedup join are identical to the sign-bucket
+    variant (dropped iff a LOWER-ID same-cell member is within
+    ``threshold`` cosine), so results stay deterministic GIVEN the
+    centroids. Returns survivors as (id_col, cell)."""
+    from mysql_data_anonymizer_spark.operators.similarity import (
+        DEFAULT_DIM,
+        dot_expr,
+        ivf_assign_expr,
+        norm_expr,
+        train_ivf_centroids,
+    )
+
+    if dim is None:
+        dim = DEFAULT_DIM
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(df, vec_col, n_cells=n_cells, seed=seed)
+    )
+    e = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm_expr(vec_col, dim).alias("__n"),
+        F.element_at(ivf_assign_expr(vec_col, cents, 1), 1).cast("long").alias("cell"),
+    )
+    a = e.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cell",
+    )
+    b = e.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cell",
+    )
+    pairs = a.join(b, ["cell"]).where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(dot_expr("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")), 4)
+    dropped = pairs.where(cos >= threshold).select(F.col("id_b").alias("__id")).distinct()
+    return e.join(dropped, ["__id"], "left_anti").select(
+        F.col("__id").alias(id_col), "cell"
+    )
+
+
 def embedding_near_dup_pairs_expr(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -29,7 +29,16 @@ def latest_by_key(
     """Compaction: keep exactly one row per key — the one ranked first by
     ``order_cols`` descending (ties impossible if the last order column is
     unique, e.g. an event id). The CDC-topic-compaction primitive; one
-    keyed window shuffle, map-side nothing to combine (row identity)."""
+    keyed window shuffle, map-side nothing to combine (row identity).
+
+    ``order_cols`` must be non-empty: "latest" is undefined without an
+    ordering (and an empty window ordering is an AnalysisException anyway)."""
+    if not order_cols:
+        raise ValueError(
+            "latest_by_key needs at least one order column — 'latest' is "
+            "undefined without an ordering (e.g. a change timestamp or "
+            "monotonic change id)"
+        )
     w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -49,12 +58,20 @@ def apply_changelog(
     per key (by ``order_cols``) wins — ``U`` replaces/creates the row,
     ``D`` removes it. Untouched base keys pass through verbatim.
 
+    ``order_cols`` is required (kept keyword-optional only for signature
+    stability): "last entry wins" is undefined without an ordering, and
+    ``latest_by_key`` raises on an empty one.
+
     The changelog must carry the base's non-key columns for its ``U`` rows
     (ignored on ``D``). Plan: one delta-sized window picks the winning op,
     one keyed LEFT ANTI join removes every touched key from the base, one
     union appends the surviving upserts — the base is never windowed and
     shuffles once, on its key."""
-    order_cols = order_cols or []
+    if not order_cols:
+        raise ValueError(
+            "apply_changelog needs order_cols — 'last entry per key wins' is "
+            "undefined without an ordering (e.g. ['change_ts', 'change_id'])"
+        )
     last = latest_by_key(changelog, key_cols, order_cols)
     touched = last.select(*key_cols)
     untouched = base.join(touched, key_cols, "left_anti")

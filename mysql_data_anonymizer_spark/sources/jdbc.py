@@ -81,3 +81,44 @@ def jdbc_reader(
     opts = config.base_options() | {"dbtable": src}
     opts |= partition_options(config, partition_column, lower_bound, upper_bound)
     return spark.read.format("jdbc").options(**opts).load()
+
+
+# ---------------------------------------------------------------------------
+# Embedded-Derby harness: the only JDBC database shipped with Spark itself
+# (derby*.jar backs the Hive metastore), so the engine's JDBC read/write
+# paths can be exercised end-to-end with ZERO extra dependencies. In
+# production the same code runs against MySQL by swapping JdbcConfig.
+# ---------------------------------------------------------------------------
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_config(db_dir: str, num_partitions: int = 4) -> JdbcConfig:
+    """JdbcConfig for an embedded Derby database rooted at ``db_dir``
+    (created on first connect). Embedded Derby is single-JVM, which matches
+    Spark local mode exactly: every task connects in-process."""
+    return JdbcConfig(
+        url=f"jdbc:derby:{db_dir}/db;create=true",
+        driver=DERBY_DRIVER,
+        num_partitions=num_partitions,
+    )
+
+
+def run_control_ddl(spark: SparkSession, config: JdbcConfig, statements: list[str]) -> None:
+    """Execute DDL (e.g. ``staging_swap_sql``) on ONE control connection via
+    the driver JVM — the same role as the reference's single setup
+    connection (src/Anonymizer.php:152-157). Uses java.sql.DriverManager
+    through py4j, so no Python-side JDBC bridge is needed."""
+    jvm = spark._jvm  # noqa: SLF001
+    jvm.java.lang.Class.forName(config.driver)
+    conn = (
+        jvm.java.sql.DriverManager.getConnection(config.url, config.user, config.password)
+        if config.user
+        else jvm.java.sql.DriverManager.getConnection(config.url)
+    )
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            st.execute(sql)
+        st.close()
+    finally:
+        conn.close()

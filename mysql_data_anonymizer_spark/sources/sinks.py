@@ -104,15 +104,29 @@ def updates_via_foreach_partition(
     df.select(*cols).foreachPartition(handle_partition)
 
 
-def staging_swap_sql(table: str, staging: str | None = None) -> list[str]:
+def staging_swap_sql(
+    table: str, staging: str | None = None, dialect: str = "mysql"
+) -> list[str]:
     """DDL sequence for the staging-table swap strategy: write the masked
     DataFrame to ``staging`` with Spark's parallel JDBC INSERT
     (``df.write.format('jdbc').option('dbtable', staging).save()``), then
-    run these statements on one control connection."""
+    run these statements on one control connection.
+
+    ``dialect='mysql'`` uses the single atomic multi-rename (the reference's
+    target database); ``dialect='ansi'`` emits one RENAME per statement for
+    databases without multi-rename (Derby, Postgres-style) — not atomic
+    across statements, so run inside a transaction where the DB allows
+    transactional DDL."""
     staging = staging or f"{table}__mda_staging"
     old = f"{table}__mda_old"
+    if dialect == "mysql":
+        return [
+            f"RENAME TABLE {table} TO {old}, {staging} TO {table}",
+            f"DROP TABLE {old}",
+        ]
     return [
-        f"RENAME TABLE {table} TO {old}, {staging} TO {table}",
+        f"RENAME TABLE {table} TO {old}",
+        f"RENAME TABLE {staging} TO {table}",
         f"DROP TABLE {old}",
     ]
 

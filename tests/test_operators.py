@@ -401,6 +401,40 @@ def test_semantic_dedup_survivor_is_lowest_id(spark):
     assert [r.vec_id for r in kept.collect()] == [3]
 
 
+def test_semantic_dedup_ivf_fixed_centroids(spark):
+    """With explicit centroids the IVF variant is fully deterministic:
+    vectors in the same cell dedup by the lowest-id survivor rule; a near
+    duplicate in a DIFFERENT cell survives (the cluster-local trade)."""
+    import numpy as np
+
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    rows = [
+        (1, [1.0, 0.1, 0.0, 0.0]),   # cell 0
+        (2, [1.0, 0.1001, 0.0, 0.0]),  # cell 0, near-dup of 1 -> dropped
+        (3, [0.1, 1.0, 0.0, 0.0]),   # cell 1, survives despite cosine<thresh to 1
+        (4, [0.0, 1.0, 0.5, 0.0]),   # cell 1, not near 3 -> survives
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = dedup.semantic_dedup_ivf(df, threshold=0.99, dim=4, centroids=cents)
+    got = {r.vec_id: r.cell for r in kept.collect()}
+    assert set(got) == {1, 3, 4}
+    assert got[1] == 0 and got[3] == 1 and got[4] == 1
+
+
+def test_semantic_dedup_ivf_superset_of_global(spark, embeddings):
+    """Theorem: cluster-local (IVF) dedup drops a SUBSET of global dedup's
+    drops, for any trained centroids — every global survivor is an IVF
+    survivor."""
+    ivf = dedup.semantic_dedup_ivf(embeddings, threshold=0.4, n_cells=8)
+    exact_dropped = (
+        dedup.embedding_near_dup_pairs(embeddings, threshold=0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    exact_surv = embeddings.select("vec_id").join(exact_dropped, "vec_id", "left_anti")
+    assert exact_surv.join(ivf.select("vec_id"), "vec_id", "left_anti").count() == 0
+
+
 def test_binaryfile_read_table(spark, tmp_path):
     from mysql_data_anonymizer_spark.sources import files as files_mod
 
@@ -446,6 +480,22 @@ def test_apply_changelog_last_wins_and_delete(spark):
     )
     out = {r.id: r.v for r in incremental.apply_changelog(base, log, ["id"], "op", ["seq"]).collect()}
     assert out == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_apply_changelog_requires_order_cols(spark):
+    """'Last entry per key wins' is undefined without an ordering — omitting
+    order_cols must fail loudly, not with an AnalysisException from an empty
+    window ordering (ADVICE r3)."""
+    import pytest as _pytest
+
+    from mysql_data_anonymizer_spark.operators import incremental
+
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    log = spark.createDataFrame([(1, "b", "U", 1)], "id long, v string, op string, seq long")
+    with _pytest.raises(ValueError, match="order"):
+        incremental.apply_changelog(base, log, ["id"], "op")
+    with _pytest.raises(ValueError, match="order"):
+        incremental.latest_by_key(log, ["id"], [])
 
 
 def test_merge_agg_delta_equals_full_recompute(spark, events):

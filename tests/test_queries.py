@@ -168,15 +168,17 @@ def test_sketch_queries_within_tolerance(spark, sf_dir):
     from mysql_data_anonymizer_spark import queries as Q
 
     ev = Q._t(spark, sf_dir, "events")
-    # HLL vs exact per day
-    approx = {r.day: r.approx_users
-              for r in Q.approx_distinct_users_daily(spark, sf_dir).collect()}
+    # HLL accuracy is gated INSIDE the query now (hll_ok column, exact-twin
+    # oracle pattern): every per-day gate must hold, and the exact twin must
+    # match an independent recompute
+    rows = Q.approx_distinct_users_daily(spark, sf_dir).collect()
+    assert rows and all(r.hll_ok for r in rows), [(r.day, r.hll_ok) for r in rows]
+    got = {r.day: r.exact_users for r in rows}
     exact = {r.day: r.n
-             for r in ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             for r in ev.groupBy(F.date_format(F.date_trunc("day", F.col("ts")),
+                                               "yyyy-MM-dd").alias("day"))
                         .agg(F.countDistinct("user_id").alias("n")).collect()}
-    assert approx.keys() == exact.keys()
-    for day, n in exact.items():
-        assert abs(approx[day] - n) <= max(2, 0.1 * n), (day, approx[day], n)
+    assert got == exact
 
     # The query's final columns are the exact percentiles (cross-engine
     # hashable); the GK sketch is gated by its sketch_ok bracket column.

@@ -235,3 +235,53 @@ def test_observe_metrics_on_write(spark, customer, tmp_path):
     assert m["n_rows"] == customer.count()
     assert m["n_negative"] == customer.filter("c_acctbal < 0").count()
     assert m["min_key"] == customer.agg(F.min("c_custkey")).collect()[0][0]
+
+
+def test_staging_swap_sql_ansi_dialect():
+    stmts = sinks.staging_swap_sql("users", dialect="ansi")
+    assert stmts == [
+        "RENAME TABLE users TO users__mda_old",
+        "RENAME TABLE users__mda_staging TO users",
+        "DROP TABLE users__mda_old",
+    ]
+
+
+def test_derby_jdbc_end_to_end(spark, customer, tmp_path):
+    """Spark's REAL JDBC data source driven end-to-end against embedded
+    Derby (the JDBC database bundled with Spark): parallel staging write
+    (write_jdbc_staging), rename swap on a control connection
+    (run_control_ddl + ansi staging_swap_sql), then a range-partitioned
+    jdbc_reader scan — asserting 4 concurrent range partitions and value
+    equality with the source. This is the reference's core runtime
+    (src/Anonymizer.php:152-195) through an actual JDBC connection, not the
+    sqlite DBAPI proxy."""
+    db_dir = str(tmp_path / "derby")
+    spark._jvm.java.lang.System.setProperty("derby.system.home", db_dir)  # noqa: SLF001
+    cfg = jdbc.derby_config(db_dir, num_partitions=4)
+
+    # initial load under the live name, then a masked staging write + swap
+    sinks.write_jdbc_staging(customer, cfg.url, "customer", cfg.base_options(), staging="customer")
+    masked = customer.withColumn("c_name", F.concat(F.lit("ANON-"), F.col("c_custkey")))
+    swap = sinks.write_jdbc_staging(masked, cfg.url, "customer", cfg.base_options())
+    assert swap[0].startswith("RENAME TABLE customer TO customer__mda_old")
+    jdbc.run_control_ddl(spark, cfg, sinks.staging_swap_sql("customer", dialect="ansi"))
+
+    lo, hi = customer.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    back = jdbc.jdbc_reader(
+        spark, cfg, "customer", partition_column="c_custkey", lower_bound=lo, upper_bound=hi
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == customer.count()
+    # the swap must have promoted the MASKED rows
+    assert back.where(~F.col("c_name").startswith("ANON-")).count() == 0
+    # value fidelity through Derby types (long/double/string) and back
+    src = {r["c_custkey"]: (r["c_acctbal"], r["c_mktsegment"]) for r in customer.collect()}
+    got = {r["c_custkey"]: (r["c_acctbal"], r["c_mktsegment"]) for r in back.collect()}
+    assert got == src
+
+    # predicate pushdown into the remote query (globalWhere parity). The
+    # predicate is RAW dialect SQL passed through verbatim (like the
+    # reference's globalWhere): Spark's JDBC writer creates case-sensitive
+    # quoted columns in Derby, so the identifier must be quoted here.
+    pushed = jdbc.jdbc_reader(spark, cfg, "customer", predicate='"c_acctbal" < 0')
+    assert pushed.count() == customer.where("c_acctbal < 0").count()

@@ -54,6 +54,7 @@ BNL_OK: set[str] = {
     "knn_lsh",
     "knn_ivf",
     "dedup_simhash",
+    "semdedup_ivf",
     # q11: the global threshold is a BROADCAST 1-row aggregate cross-joined
     # onto the 25-row per-nation table — bounded by construction
     "q11_important_nations",
