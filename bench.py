@@ -98,6 +98,7 @@ HEADLINE = [
     "binaryfile_media_manifest",
     "pydatasource_synth_agg",
     "variant_events_agg",
+    "jdbc_roundtrip_agg",
     # text / dedup / similarity
     "text_profile",
     "text_fingerprint_groups",
@@ -143,6 +144,7 @@ HEADLINE = [
     "curate_corpus_pipeline",
     "dedup_embedding_cosine",
     "semdedup_embeddings",
+    "semdedup_ivf",
     "knn_brute_force",
     "knn_matmul",
     "knn_lsh",

@@ -359,3 +359,153 @@ def lsh_bucketed_pairs(
         "cosine", F.round(dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb")), 4)
     )
     return out.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine").distinct()
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011, 'Product
+    Quantization for Nearest Neighbor Search'): split the (normalized)
+    vector into ``m`` subspaces and k-means each subspace independently on a
+    seeded driver-side sample — same bounded-training contract as
+    ``train_ivf_centroids`` (the corpus is never iterated for training).
+    Returns an (m, k_codes, dim/m) float64 array."""
+    frac = min(1.0, sample_size / max(df.count(), 1))
+    sample = df.sample(fraction=frac, seed=seed).select(vec_col).collect()
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    assert dim % m == 0, "dim must divide into m subspaces"
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_codes, dsub))
+    for j in range(m):
+        xj = x[:, j * dsub : (j + 1) * dsub]
+        cents = xj[rng.choice(len(xj), size=min(k_codes, len(xj)), replace=False)]
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = xj[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, : len(cents)] = cents
+        if len(cents) < k_codes:  # degenerate tiny sample: pad with repeats
+            books[j, len(cents):] = cents[0]
+    return books
+
+
+def pq_encode_expr(vec_col: str, codebooks: np.ndarray) -> Column:
+    """PQ codes as array<int> of length m — ~32x smaller than the float
+    vector (m bytes of information vs dim*4). Arrow-batched: one
+    (batch x dsub x k) distance evaluation per subspace. At 100 TB the codes
+    column is what lives hot (RAM/SSD); raw vectors stay cold and are only
+    fetched for the final re-rank."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k_codes, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    @pandas_udf("array<int>")
+    def _encode(v):
+        import pandas as pd
+
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            xj = mat[:, j * dsub : (j + 1) * dsub]  # batch x dsub
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over codes
+            d2 = -2.0 * (xj @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return _encode(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    refine: int = 8,
+    seed: int = 42,
+    dim: int | None = DEFAULT_DIM,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: the memory-bounded billion-scale ANN path.
+
+    Corpus vectors are PQ-encoded (m small ints each); each query builds an
+    m x k_codes lookup table of subspace dot products (LUT[j][c] =
+    q_j . codebook[j][c]), so scoring a corpus row is m table lookups + a
+    sum — no float vector is touched during the scan (asymmetric distance
+    computation). Each partition emits only its local top ``refine*k``
+    candidates per query; the tiny candidate set is exactly re-ranked with
+    true cosine. Recall < 1 by construction (quantization error in the
+    candidate stage); gated against ``brute_force_topk`` like lsh/ivf."""
+    import pandas as pd
+
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        df, vec_col, m=m, k_codes=k_codes, seed=seed
+    )
+    dsub = books.shape[2]
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_unit = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # LUTs: |Q| x m x k_codes — a few KB, broadcast with the codebooks
+    luts = np.einsum("qjd,jkd->qjk", q_unit.reshape(len(q_unit), m, dsub), books)
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, books, luts))
+    n_cand = refine * k
+    out_schema = f"query_id long, {id_col} long"
+
+    def part_candidates(batches):
+        q_ids_l, books_l, luts_l = b.value
+        best: dict[int, list] = {}
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                xj = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = -2.0 * (xj @ books_l[j].T) + (books_l[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1)
+            # ADC score: sum_j LUT[q][j][code_j] — lookups only
+            for qi, qid in enumerate(q_ids_l):
+                scores = luts_l[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                mask = ids != qid
+                pool = best.setdefault(int(qid), [])
+                pool.extend(zip(scores[mask], ids[mask]))
+                pool.sort(key=lambda t: (-t[0], t[1]))
+                del pool[n_cand:]
+        rows = [(qid, int(nid)) for qid, pool in best.items() for _, nid in pool]
+        yield pd.DataFrame(rows, columns=["query_id", id_col])
+
+    cand = df.select(id_col, vec_col).mapInPandas(part_candidates, out_schema).distinct()
+    # exact re-rank of the candidate set only (true cosine, oracle-stable
+    # rounding + tie-break identical to brute_force_topk)
+    c = df.select(
+        F.col(id_col), F.col(vec_col).alias("__cv"), norm_expr(vec_col, dim).alias("__cn")
+    ).join(cand, id_col).withColumnRenamed(id_col, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(vec_col, dim).alias("__qn"),
+    )
+    scored = c.join(F.broadcast(q), "query_id").withColumn(
+        "cosine", F.round(dot_expr("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
+    return out.select("query_id", "neighbor_id", "cosine", "rank")

@@ -7,9 +7,13 @@ executors each issue a range-bounded SELECT (partitionColumn BETWEEN lo AND
 hi), so a 100 TB table scans as thousands of concurrent range scans with
 predicate/column pushdown into the database.
 
-No MySQL server exists in the test environment; this module is exercised by
-unit tests over its option-building logic and is the documented production
-path.
+No MySQL server exists in the test environment; the module is exercised
+END-TO-END against embedded Derby (the JDBC database bundled with Spark —
+see ``derby_config``): real ``format('jdbc')`` reads and writes, the
+staging-swap DDL on a control connection, and range-partitioned scans are
+all driven by ``tests/test_sources_sinks.py::test_derby_jdbc_end_to_end``
+and certified by the ``jdbc_roundtrip_agg`` registry query. Production
+retargets MySQL by swapping ``JdbcConfig``.
 """
 
 from __future__ import annotations

@@ -1,0 +1,170 @@
+"""Scaling-slope harness: measure the heaviest operator families at two
+scale points ABOVE the bench sf (sf0.1) and record wall-clock growth.
+
+The driver fixtures stop at sf0.1 (5k documents / 2k embeddings), which is
+enough for correctness but says nothing about the *slope* — whether a family
+grows ~linearly (healthy: scan/shuffle-bound with bounded per-key work) or
+super-linearly (a 100 TB red flag). This tool derives 5x and 10x slices from
+the sf0.1 tables (under .scaledata/, inside the repo — /root/testdata is
+read-only) and times each family on local[32] exactly like bench.py
+(sf0.001 warm-up first, cache cleared between runs).
+
+Derivation preserves workload shape instead of inflating it:
+  - documents: K copies; copy k>0 prefixes every token with ``c<k>·`` so the
+    within-copy duplicate/shingle structure is replicated exactly while NO
+    cross-copy shingles collide -> dup pairs, posting lists, and signature
+    work all scale by K, not K^2.
+  - embeddings: K copies; copy k>0 deterministically flips the sign of
+    every dim where (dim + k) % 5 == 0 — norms preserved, directions
+    de-correlated, so the near-dup pair population stays ~K-proportional
+    (a handful of cross-copy pairs may still cross the 0.4 threshold;
+    fine — the workload just has to stay pair-bounded).
+
+Usage: python tools/scale_slope.py [--families f1,f2] [--scales 5,10]
+Emits a markdown table on stdout (paste into SCALE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mysql_data_anonymizer_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WARM = "/root/testdata/sf0.001"
+OUT_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaledata")
+
+# the families the 100 TB story leans on (VERDICT r3 'Next round' #4)
+FAMILIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "semdedup_embeddings",
+    "dedup_embedding_cosine",
+    "knn_brute_force",
+    "knn_matmul",
+    "knn_lsh",
+    "knn_ivf",
+    "curate_corpus_pipeline",
+    "text_winnowing",
+    "pretraining_pipeline_e2e",
+]
+
+
+def build_slice(spark, k: int) -> str:
+    """Materialize the Kx slice (documents + embeddings only — these
+    families touch no other table). Idempotent: skips if present."""
+    out = os.path.join(OUT_ROOT, f"x{k}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    n_vecs = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    doc_parts = []
+    for c in range(k):
+        d = docs.select(
+            (F.col("doc_id") + F.lit(c * n_docs)).alias("doc_id"),
+            (
+                F.col("text")
+                if c == 0
+                else F.regexp_replace(F.col("text"), r"(\S+)", f"c{c}·$1")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        doc_parts.append(d)
+    big_docs = doc_parts[0]
+    for d in doc_parts[1:]:
+        big_docs = big_docs.unionByName(d)
+    big_docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb_parts = []
+    for c in range(k):
+        flip = F.expr(
+            "transform(embedding, (v, i) -> "
+            f"CASE WHEN (i + {c}) % 5 = 0 AND {c} > 0 THEN -v ELSE v END)"
+        )
+        e = emb.select(
+            (F.col("vec_id") + F.lit(c * n_vecs)).alias("vec_id"),
+            flip.alias("embedding"),
+            "label",
+        )
+        emb_parts.append(e)
+    big_emb = emb_parts[0]
+    for e in emb_parts[1:]:
+        big_emb = big_emb.unionByName(e)
+    big_emb.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    open(marker, "w").close()
+    return out
+
+
+def time_family(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    import mysql_data_anonymizer_spark.queries as Q
+
+    t0 = time.time()
+    n = Q.QUERIES[name](spark, sf_dir).count()
+    dt = time.time() - t0
+    spark.catalog.clearCache()
+    return round(dt, 3), n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    ap.add_argument("--scales", default="5,10")
+    args = ap.parse_args()
+    families = args.families.split(",")
+    scales = [int(s) for s in args.scales.split(",")]
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("mda-scale-slope", master=f"local[{cpus}]")
+    import mysql_data_anonymizer_spark.queries as Q  # noqa: F401
+
+    dirs = {1: BASE}
+    for k in scales:
+        print(f"# building x{k} slice ...", file=sys.stderr)
+        dirs[k] = build_slice(spark, k)
+
+    # warm-up: same rationale as bench.py (JIT/codegen priming)
+    for name in families:
+        try:
+            time_family(spark, name, WARM)
+        except Exception as exc:
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()
+
+    ks = [1] + scales
+    results: dict[str, dict[int, tuple[float, int]]] = {}
+    for name in families:
+        results[name] = {}
+        for k in ks:
+            results[name][k] = time_family(spark, name, dirs[k])
+            print(f"# {name} x{k}: {results[name][k]}", file=sys.stderr)
+
+    hdr = "| family | " + " | ".join(f"x{k} s (rows)" for k in ks)
+    hdr += " | slope x%d/x1 | slope x%d/x%d |" % (scales[0], scales[-1], scales[0])
+    print(hdr)
+    print("|" + "---|" * (len(ks) + 3))
+    for name in families:
+        r = results[name]
+        cells = " | ".join(f"{r[k][0]} ({r[k][1]})" for k in ks)
+        s1 = r[scales[0]][0] / max(r[1][0], 1e-9)
+        s2 = r[scales[-1]][0] / max(r[scales[0]][0], 1e-9)
+        print(f"| {name} | {cells} | {s1:.2f}x | {s2:.2f}x |")
+
+
+if __name__ == "__main__":
+    main()
