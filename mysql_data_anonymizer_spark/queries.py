@@ -1322,12 +1322,15 @@ def dedup_simhash(spark, sf_dir):
         docs, "doc_id", "text", max_hamming=3, band_bits=15, variant="md5"
     )
     # identical-token-multiset pairs (same normalization as _simhash_impl:
-    # split on \s+, drop empties, docs with zero tokens excluded)
+    # split on \s+, drop empties, docs with zero tokens excluded). Tokens
+    # are split on \s+ so they cannot contain a space -- a ' ' separator
+    # makes the multiset key provably unambiguous (ADVICE r4: the previous
+    # separator was not in the token alphabet's complement).
     toks = F.array_sort(
         F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "")
     )
     keyed = docs.select(
-        F.col("doc_id"), F.md5(F.concat_ws("", toks)).alias("__k")
+        F.col("doc_id"), F.md5(F.concat_ws(" ", toks)).alias("__k")
     ).where(F.size(toks) > 0)
     a = keyed.select(F.col("doc_id").alias("id_a"), "__k")
     b = keyed.select(F.col("doc_id").alias("id_b"), "__k")
@@ -3950,10 +3953,12 @@ def streaming_dedup_then_window(spark, sf_dir):
     capstone: at-least-once redelivery (fixture staged twice) flows through
     `dropDuplicatesWithinWatermark` and INTO a tumbling-window aggregate in
     ONE query (two stateful operators back to back, append mode). Append
-    emits only FINALIZED windows (window_end STRICTLY before the final
-    watermark = max event time - 30min; Spark's eviction predicate is
-    end <= watermark - 1ms, so an exact tie is withheld), so the oracle
-    aggregates the distinct events and keeps exactly those windows — green
+    emits only FINALIZED windows — window_end <= the final watermark
+    (= max event time - 30min); a window whose end ties the watermark
+    exactly IS emitted (empirically pinned by
+    tests/test_streaming.py::test_append_mode_emits_watermark_tie_window),
+    so the oracle aggregates the distinct events and keeps exactly those
+    windows with an inclusive boundary — green
     proves dedup state, watermark propagation across the chain, and window
     finalization all compose."""
     import uuid
@@ -4000,12 +4005,12 @@ SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
--- STRICT comparison: Spark append mode emits only windows strictly before
--- the watermark (eviction predicate is end <= watermark - 1ms), so a window
--- whose end lands EXACTLY on max(ts) - 30min is withheld by Spark and must
--- be excluded here too (ADVICE r3: <= was green only because the fixture's
--- microsecond timestamps avoid the tie)
-HAVING window_start + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+-- INCLUSIVE comparison: empirically verified on this Spark (see
+-- tests/test_streaming.py::test_append_mode_emits_watermark_tie_window) —
+-- append mode DOES emit a window whose end lands exactly on the final
+-- watermark max(ts) - 30min, so the oracle keeps window_end <= watermark.
+-- (ADVICE r4 reverted the r3 strict-< change, which was a latent false-red.)
+HAVING window_start + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
 """
 
 
@@ -5564,70 +5569,57 @@ ORACLES["streaming_dedup_then_window"] = STREAMING_CHAIN_SQL
 # re-checking queries that are already green.
 # ===========================================================================
 _CHECK_FIRST = [
-    # Ordering maximizes value of the driver's bounded (50-query) sample:
-    # (1) the four r1-red no_oracle rows, rebuilt this round on the
-    # exact-twin + accuracy-gate pattern — must re-certify first
-    "approx_distinct_users_daily",
-    "dedup_simhash",
-    "knn_lsh",
-    "knn_ivf",
-    # (2) carried-over queries NEVER driver-sampled (locally oracle-green in
-    # r3 and r4; r3's ordering pushed them to positions 51-59, outside the
-    # ~50-query sample — ADVICE r3)
-    "scd2_user_event_history",
-    "pit_join_future_event_state",
-    "select_docs_token_budget",
-    "orc_source_agg",
-    "mask_faker_profile",
-    "decontaminate_training_docs",
-    "doc_repetition_stats",
-    "curate_corpus_pipeline",
-    "streaming_dedup_events",
-    # (3) new in round 4: never driver-checked (all locally oracle-verified)
-    "jdbc_roundtrip_agg",
-    "semdedup_ivf",
-    # streaming_dedup_then_window oracle got the strict watermark-boundary
-    # fix (ADVICE r3) — re-certify
-    "streaming_dedup_then_window",
-    # (4) last driver-sampled in r1 — stalest greens, refresh next
-    "anti_join_customers_no_orders",
-    "asof_last_order_per_event",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "distinct_nations_per_segment",
-    "except_rich_customers_without_orders",
-    "intersect_rich_customers_with_orders",
-    "json_events_agg",
-    "knn_brute_force",
-    "order_gaps_lag_lead",
-    "pivot_orders_status",
-    "q17_small_quantity_revenue",
-    "q4_order_priority",
-    "quantiles_acctbal_per_segment",
-    "range_join_close_prices",
-    "semi_join_parts_ordered",
-    "sessionize_events",
-    "text_fingerprint_groups",
-    "text_lang_source_stats",
-    "text_profile",
-    "text_winnowing",
-    "top_supplier_per_nation",
-    "topk_customers_per_segment",
-    # (5) last driver-sampled in r2 — next-stalest; the driver's ~50-query
-    # sample reaches a few slots into this block
-    "mask_chain_fields",
-    "mask_synchro_remap",
-    "mask_row_template",
-    "dedup_simhash_md5",
-    "knn_matmul",
-    "multimodal_featurize",
-    "q1_pricing_summary",
-    "streaming_stream_join",
-    "dedup_incremental_new_docs",
+    # Ordering maximizes value of the driver's bounded (~50-query) sample
+    # (VERDICT r4 #1): lead with the 36 queries whose latest driver
+    # CORRECTNESS row is r2 — the engine's reference-parity masking core,
+    # grouping-set family, r2-era TPC-H block, and streaming window aggs —
+    # so round 5 refreshes the stalest certifications first.
+    # (1) §2.1 masking core, last checked r2
+    "mask_static",
+    "mask_guarded",
+    "mask_global_where",
     "mask_unique_uuid",
+    "mask_generator_email",
+    "mask_generator_profile",
+    # (2) r2-era TPC-H block
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_nations",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_volume_share_suppliers",
+    "q21_waiting_suppliers",
+    # (3) streaming window aggs, last checked r2
+    "streaming_tumbling_agg",
+    "streaming_sliding_agg",
+    "streaming_session_agg",
+    "streaming_stateful_user_totals",
+    # (4) remaining r2-stale analytics / curation rows
+    "ntile_deciles_acctbal",
+    "zscore_acctbal_per_segment",
+    "histogram_totalprice",
+    "stats_corr_qty_price",
+    "rolling_30d_order_stats",
+    "order_window_features",
+    "timeseries_gapfill_hourly",
+    "unpivot_lineitem_charges",
+    "segment_nation_list",
+    "corpus_quality_filter",
+    "scrub_documents_pii",
+    "stratified_sample_docs",
+    "pack_docs_token_bins",
+    "dedup_canonical_docs",
+    "dedup_incremental_new_docs",
+    # (5) changed or new THIS round — must re-certify
+    "streaming_dedup_then_window",  # oracle boundary reverted to <= (ADVICE r4)
+    "dedup_simhash",  # exactdup multiset key separator fix (ADVICE r4)
+    "semdedup_ivf",  # exact twin bounded (VERDICT r4 #2)
+    "jdbc_roundtrip_agg",  # Derby lifecycle fix (ADVICE r4)
+    "knn_pq",  # new: PQ family wired with exact-twin + recall gate
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},

@@ -324,3 +324,53 @@ def test_checkpoint_restart_exactly_once_file_sink(spark, events_dir, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == batch.count()  # no loss, no duplication
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_append_mode_emits_watermark_tie_window(spark, tmp_path):
+    """Pin the watermark BOUNDARY semantics the STREAMING_CHAIN_SQL oracle
+    depends on (ADVICE r4): in append mode, a window whose end lands
+    EXACTLY on the final watermark (max event time - delay) IS emitted.
+    The oracle therefore uses the inclusive `window_end <= watermark`
+    comparison; if a Spark upgrade ever flips this to strict eviction,
+    this test goes red before the driver's correctness gate does.
+
+    Layout (30-min windows, 30-min delay): max ts = 11:30:00 exactly, so
+    the final watermark is 11:00:00. Window [10:30, 11:00) has
+    end == watermark — the tie. Windows ending after 11:00 stay withheld.
+    """
+    import uuid
+    from datetime import datetime
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import tumbling_aggregates
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    rows = [
+        (t(10, 5), "click", 1.0),   # window [10:00, 10:30): end < wm
+        (t(10, 35), "click", 1.0),  # window [10:30, 11:00): end == wm (tie)
+        (t(10, 45), "click", 1.0),  # same tie window
+        (t(11, 5), "click", 1.0),   # window [11:00, 11:30): end > wm
+        (t(11, 30), "click", 1.0),  # max ts; watermark = 11:00:00 exactly
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    stream_dir = str(tmp_path / "tie_in")
+    df.coalesce(1).write.parquet(stream_dir)
+    stream = spark.readStream.schema(df.schema).parquet(stream_dir)
+    agg = tumbling_aggregates(stream, window="30 minutes", watermark="30 minutes")
+    name = f"tie_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {r.window_start for r in spark.table(name).collect()}
+    assert t(10, 0) in emitted, f"pre-watermark window missing: {emitted}"
+    assert t(10, 30) in emitted, (
+        "tie window (end == watermark) was withheld — Spark's boundary "
+        f"semantics changed; flip STREAMING_CHAIN_SQL back to strict <: {emitted}"
+    )
+    assert t(11, 0) not in emitted and t(11, 30) not in emitted, (
+        f"unfinalized window leaked into append output: {emitted}"
+    )
