@@ -378,10 +378,13 @@ def train_pq_codebooks(
     Returns an (m, k_codes, dim/m) float64 array."""
     frac = min(1.0, sample_size / max(df.count(), 1))
     sample = df.sample(fraction=frac, seed=seed).select(vec_col).collect()
+    if not sample:
+        raise ValueError("train_pq_codebooks: empty training sample (empty corpus?)")
     x = np.array([r[0] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dim = x.shape[1]
-    assert dim % m == 0, "dim must divide into m subspaces"
+    if dim % m:
+        raise ValueError(f"vector dim {dim} must divide into m={m} subspaces")
     dsub = dim // m
     rng = np.random.RandomState(seed)
     books = np.empty((m, k_codes, dsub))

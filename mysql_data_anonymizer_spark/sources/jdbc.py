@@ -107,6 +107,95 @@ def derby_config(db_dir: str, num_partitions: int = 4) -> JdbcConfig:
     )
 
 
+class _Py4jDbapiCursor:
+    """Minimal DBAPI cursor over a java.sql Connection: just enough surface
+    (``executemany`` + ``close``) for ``sinks.updates_via_foreach_partition``.
+    Parameters bind through PreparedStatement.setObject — py4j converts
+    Python int/float/str/None to the matching java.sql types."""
+
+    def __init__(self, jconn):
+        self._jconn = jconn
+
+    def executemany(self, sql: str, rows) -> None:
+        ps = self._jconn.prepareStatement(sql)
+        try:
+            for row in rows:
+                for i, v in enumerate(row):
+                    ps.setObject(i + 1, v)
+                ps.addBatch()
+            ps.executeBatch()
+        finally:
+            ps.close()
+
+    def close(self) -> None:
+        pass
+
+
+class _Py4jDbapiConnection:
+    """DBAPI-shaped wrapper around a java.sql Connection obtained through a
+    py4j gateway. Owns the gateway: ``close()`` tears both down."""
+
+    def __init__(self, gateway, jconn):
+        self._gateway = gateway
+        self._jconn = jconn
+
+    def cursor(self) -> _Py4jDbapiCursor:
+        return _Py4jDbapiCursor(self._jconn)
+
+    def commit(self) -> None:
+        self._jconn.commit()
+
+    def close(self) -> None:
+        try:
+            self._jconn.close()
+        finally:
+            self._gateway.close()
+
+
+def py4j_dbapi_factory(spark: SparkSession, config: JdbcConfig):
+    """Build a picklable ``connection_factory`` for
+    ``sinks.updates_via_foreach_partition`` that opens a REAL JDBC
+    connection from an executor-side Python worker.
+
+    How: the worker opens its own py4j client to the driver's JVM gateway
+    (host/port/auth captured here as plain values) and drives
+    ``java.sql.DriverManager`` through it — so ANY JDBC driver on the Spark
+    classpath (Derby, MySQL, Postgres) serves the reference's per-partition
+    batched-UPDATE path (src/Anonymizer.php:274-288) with no Python-side DB
+    client installed. In local mode this lands every connection in the one
+    JVM that hosts embedded Derby; on a cluster the same factory works for
+    network databases (MySQL) since DriverManager runs driver-side per
+    connection — for cluster-scale fan-out prefer a native DBAPI driver on
+    the executors, this shim is the zero-dependency fallback.
+
+    autoCommit is disabled so the DBAPI ``commit()`` contract holds
+    (java.sql forbids explicit commit while autoCommit is on)."""
+    gp = spark.sparkContext._gateway.gateway_parameters  # noqa: SLF001
+    address, port, token = gp.address, gp.port, gp.auth_token
+    url, driver, user, password = config.url, config.driver, config.user, config.password
+
+    def factory():
+        from py4j.java_gateway import GatewayParameters, JavaGateway
+
+        gw = JavaGateway(
+            gateway_parameters=GatewayParameters(
+                address=address, port=port, auth_token=token, auto_convert=True
+            )
+        )
+        try:
+            jvm = gw.jvm
+            jvm.java.lang.Class.forName(driver)
+            dm = jvm.java.sql.DriverManager
+            jconn = dm.getConnection(url, user, password) if user else dm.getConnection(url)
+            jconn.setAutoCommit(False)
+        except Exception:
+            gw.close()
+            raise
+        return _Py4jDbapiConnection(gw, jconn)
+
+    return factory
+
+
 def run_control_ddl(spark: SparkSession, config: JdbcConfig, statements: list[str]) -> None:
     """Execute DDL (e.g. ``staging_swap_sql``) on ONE control connection via
     the driver JVM — the same role as the reference's single setup

@@ -55,13 +55,22 @@ def write_parquet_partitioned(
     writer.partitionBy(*partition_cols).parquet(path)
 
 
-def build_update_sql(table: str, set_cols: list[str], pk_cols: list[str]) -> str:
+def build_update_sql(
+    table: str, set_cols: list[str], pk_cols: list[str], quote: str | None = None
+) -> str:
     """Parameterized UPDATE (the reference builds these per-row with string
     interpolation and addslashes — src/Anonymizer.php:345-371; we bind
     parameters instead, closing its escaping bug on the replaceByFields
-    path, SURVEY §4.2 item 4)."""
-    sets = ", ".join(f"{c} = %s" for c in set_cols)
-    wheres = " AND ".join(f"{c} = %s" for c in pk_cols)
+    path, SURVEY §4.2 item 4).
+
+    ``quote`` wraps COLUMN identifiers for case-sensitive targets: Spark's
+    JDBC writer creates quoted (case-preserving) columns in Derby, so
+    updates back into a Spark-written table need ``quote='"'``; MySQL with
+    reserved-word columns takes ``quote='`'``. The table name is passed
+    through verbatim (Spark writes it unquoted)."""
+    q = (lambda c: f"{quote}{c}{quote}") if quote else (lambda c: c)
+    sets = ", ".join(f"{q(c)} = %s" for c in set_cols)
+    wheres = " AND ".join(f"{q(c)} = %s" for c in pk_cols)
     return f"UPDATE {table} SET {sets} WHERE {wheres}"
 
 
@@ -73,13 +82,17 @@ def updates_via_foreach_partition(
     connection_factory: Callable[[], object],
     batch_size: int = 1000,
     paramstyle: str = "%s",
+    quote: str | None = None,
 ) -> None:
     """Execute batched keyed UPDATEs from every partition in parallel.
 
     ``connection_factory`` runs on the executor and must return a DBAPI
-    connection (e.g. a mysql-connector ``connect`` closure). ``batch_size``
-    plays the role of NB_MAX_PROMISE_IN_LOOP (reference README.md:36)."""
-    sql = build_update_sql(table, set_cols, pk_cols)
+    connection (e.g. a mysql-connector ``connect`` closure, or
+    ``sources.jdbc.py4j_dbapi_factory`` for any JDBC driver loaded in the
+    driver JVM). ``batch_size`` plays the role of NB_MAX_PROMISE_IN_LOOP
+    (reference README.md:36). ``quote`` wraps column identifiers in the
+    generated SQL only — row values are still read by the raw name."""
+    sql = build_update_sql(table, set_cols, pk_cols, quote=quote)
     if paramstyle != "%s":
         sql = sql.replace("%s", paramstyle)
     cols = list(set_cols) + list(pk_cols)
@@ -129,6 +142,58 @@ def staging_swap_sql(
         f"RENAME TABLE {staging} TO {table}",
         f"DROP TABLE {old}",
     ]
+
+
+def parse_swap_ddl(statements: list[str]) -> dict:
+    """Parse a ``staging_swap_sql`` DDL sequence into its SEMANTICS so tests
+    can assert the swap CONTRACT instead of string equality (VERDICT r4):
+
+    returns ``{"renames": [(src, dst), ...] in execution order,
+    "atomic_rename": bool (all renames in ONE statement — MySQL's
+    multi-rename guarantee), "drops": [table, ...]}``.
+
+    The contract any dialect must satisfy for table ``t`` with staging
+    ``s``: renames == [(t, old), (s, t)] for some ``old``, and drops ==
+    [old] — i.e. the live name atomically (or as atomically as the dialect
+    allows) switches from the old rows to the staged masked rows, and the
+    old rows are discarded."""
+    import re as _re
+
+    renames: list[tuple[str, str]] = []
+    atomic = False
+    drops: list[str] = []
+    for stmt in statements:
+        s = stmt.strip().rstrip(";")
+        m = _re.match(r"(?i)^RENAME\s+TABLE\s+(.+)$", s)
+        if m:
+            pairs = [p.strip() for p in m.group(1).split(",")]
+            if len(pairs) > 1:
+                atomic = True
+            for p in pairs:
+                pm = _re.match(r"(?i)^(\S+)\s+TO\s+(\S+)$", p)
+                if not pm:
+                    raise ValueError(f"unparseable rename clause: {p!r}")
+                renames.append((pm.group(1), pm.group(2)))
+            continue
+        m = _re.match(r"(?i)^DROP\s+TABLE\s+(\S+)$", s)
+        if m:
+            drops.append(m.group(1))
+            continue
+        raise ValueError(f"unexpected statement in swap DDL: {stmt!r}")
+    return {"renames": renames, "atomic_rename": atomic, "drops": drops}
+
+
+def assert_swap_contract(statements: list[str], table: str, staging: str) -> None:
+    """Raise AssertionError unless ``statements`` implement the staging-swap
+    contract for (table, staging) — see ``parse_swap_ddl``."""
+    sem = parse_swap_ddl(statements)
+    renames = sem["renames"]
+    assert len(renames) == 2, f"expected 2 renames, got {renames}"
+    (src1, old), (src2, dst2) = renames
+    assert src1 == table, f"first rename must move the live table: {renames}"
+    assert (src2, dst2) == (staging, table), f"second rename must promote staging: {renames}"
+    assert old not in (table, staging), f"old-name collision: {renames}"
+    assert sem["drops"] == [old], f"must drop exactly the parked old table: {sem}"
 
 
 def write_jdbc_staging(

@@ -635,3 +635,50 @@ def test_cosine_expr_matches_numpy(spark):
     b = np.array(rows[1][1], dtype=np.float32).astype(np.float64)
     want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert abs(got - want) < 1e-12
+
+
+def test_pq_topk_recall_and_fixed_codebooks(spark, embeddings):
+    """PQ/ADC ANN (similarity.pq_topk): recall against brute force with
+    trained codebooks, plus determinism — identical seeds train identical
+    codebooks, and explicitly passed codebooks reproduce the result."""
+    import numpy as np
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in similarity.brute_force_topk(embeddings, q, k=5).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in similarity.pq_topk(embeddings, q, k=5, k_codes=32, refine=32).collect()}
+    assert len(bf & pq) / len(bf) >= 0.5
+    a = similarity.train_pq_codebooks(embeddings, m=8, k_codes=16, seed=7)
+    b = similarity.train_pq_codebooks(embeddings, m=8, k_codes=16, seed=7)
+    assert np.array_equal(a, b)
+    # fixed external codebooks: same result on repeat invocation
+    r1 = sorted((r.query_id, r.neighbor_id, r.rank)
+                for r in similarity.pq_topk(embeddings, q, k=5, codebooks=a).collect())
+    r2 = sorted((r.query_id, r.neighbor_id, r.rank)
+                for r in similarity.pq_topk(embeddings, q, k=5, codebooks=a).collect())
+    assert r1 == r2
+
+
+def test_pq_train_rejects_bad_inputs(spark, embeddings):
+    """ADVICE r4 edge hazards: empty training sample and a vector dim that
+    does not divide into m subspaces must raise cleanly, not IndexError."""
+    empty = embeddings.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.train_pq_codebooks(empty)
+    with pytest.raises(ValueError, match="subspaces"):
+        similarity.train_pq_codebooks(embeddings, m=7)
+
+
+def test_pq_encode_expr_codes_shape(spark, embeddings):
+    """pq_encode_expr yields m codes in [0, k_codes) per vector — the
+    compressed hot column a 100 TB deployment scans instead of floats."""
+    books = similarity.train_pq_codebooks(embeddings, m=8, k_codes=16, seed=7)
+    rows = (
+        embeddings.limit(50)
+        .select(similarity.pq_encode_expr("embedding", books).alias("codes"))
+        .collect()
+    )
+    assert len(rows) == 50
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)

@@ -211,6 +211,7 @@ INVARIANCE_SAMPLE = [
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",
+    "knn_pq",
 ]
 
 
