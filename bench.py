@@ -162,6 +162,18 @@ HEADLINE = [
 
 
 def main() -> None:
+    # optional subset: `bench.py --queries a,b,c` times only those HEADLINE
+    # entries (used by tools/certify_changed.py to attribute perf deltas to
+    # a specific change without a full 135-query sweep)
+    headline = HEADLINE
+    argv = sys.argv[1:]
+    if "--queries" in argv:
+        wanted = argv[argv.index("--queries") + 1].split(",")
+        unknown = [q for q in wanted if q not in HEADLINE]
+        if unknown:
+            print(f"# not in HEADLINE, skipping: {unknown}", file=sys.stderr)
+        headline = [q for q in HEADLINE if q in wanted]
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -182,7 +194,7 @@ def main() -> None:
     warm_dir = sf_dir.replace(m.group(0), "sf0.001") if m else sf_dir
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in headline:
         try:
             Q.QUERIES[name](spark, warm_dir).count()
         except Exception as exc:  # never let warmup sink the bench
@@ -205,7 +217,7 @@ def main() -> None:
     # so every rep measures the same cold-cache plan.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = Q.QUERIES[name]
         samples: list[float] = []
         for _ in range(reps):
@@ -231,7 +243,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "reps": reps,
-                "metric": "headline query wall-clock, median of 3 reps/query (engine ops + relational + dedup/similarity/text)",
+                "metric": f"headline query wall-clock, median of {reps} reps/query (engine ops + relational + dedup/similarity/text)",
                 "unit": "sec",
                 "value": total,
             }

@@ -5680,6 +5680,23 @@ _CHECK_FIRST = [
     "semdedup_ivf",  # exact twin bounded (VERDICT r4 #2)
     "jdbc_roundtrip_agg",  # Derby lifecycle fix (ADVICE r4)
     "knn_pq",  # new: PQ family wired with exact-twin + recall gate
+    # (6) tail of the ~50-query sample window: oldest r3-certified rows
+    # (grouping-set family, r3-era TPC-H, source formats) so the sample's
+    # overflow refreshes 1-round-old greens instead of r4-fresh ones
+    "grouping_sets_orders",
+    "rollup_orders",
+    "cube_orders",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "csv_source_agg",
+    "json_source_agg",
+    "variant_events_agg",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},

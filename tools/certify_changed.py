@@ -131,6 +131,12 @@ def affected_queries(base: str) -> tuple[list[str], bool]:
     return sorted(hits), False
 
 
+def _bench_headline() -> list[str]:
+    import bench
+
+    return bench.HEADLINE
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--run"]
     run = "--run" in sys.argv[1:]
@@ -142,11 +148,17 @@ def main() -> None:
     scope = "ALL (global file touched)" if everything else f"{len(names)} affected"
     print(f"# {scope} queries vs {base}:")
     print("#   " + " ".join(names))
+    bench_subset = [n for n in names if n in _bench_headline()]
     cmds = [
         ["python3", "tools/compare_oracle.py", "/root/testdata/sf0.01", *names],
         ["python3", "tools/hash_lint.py", *names],
         ["python3", "tools/plan_audit.py"],  # plan audit is all-or-nothing (writes PLANS.md)
     ]
+    if bench_subset:
+        # perf attribution (VERDICT r4 #7): time ONLY the affected queries,
+        # so a regression shows up against the same entries in the last
+        # BENCH_r*.json instead of hiding inside a full-sweep total
+        cmds.append(["python3", "bench.py", "--queries", ",".join(bench_subset)])
     for c in cmds:
         print("$ " + " ".join(c))
     if run:

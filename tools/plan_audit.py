@@ -53,6 +53,7 @@ BNL_OK: set[str] = {
     # aggregates — bounded by construction, same class as q11's threshold
     "knn_lsh",
     "knn_ivf",
+    "knn_pq",
     "dedup_simhash",
     "semdedup_ivf",
     # q11: the global threshold is a BROADCAST 1-row aggregate cross-joined
