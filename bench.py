@@ -140,6 +140,8 @@ HEADLINE = [
     "dedup_canonical_docs",
     "dedup_incremental_new_docs",
     "decontaminate_training_docs",
+    "decontaminate_semantic_embeddings",
+    "dedup_chunks_reconstruct",
     "doc_repetition_stats",
     "curate_corpus_pipeline",
     "dedup_embedding_cosine",

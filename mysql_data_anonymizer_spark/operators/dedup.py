@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -893,3 +894,130 @@ def connected_components_star(
         comp.select(F.col("node").alias("n")), "n", "left_anti"
     ).select(F.col("n").alias("node"), F.col("n").alias("component"))
     return comp.union(roots)
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding) benchmark decontamination
+# ---------------------------------------------------------------------------
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_digits: int = 4,
+    max_bench: int = 100_000,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic complement
+    of n-gram ``decontaminate``: annotate every corpus vector with its max
+    cosine against ANY benchmark vector (paraphrased eval leakage that
+    surface n-grams miss). Returns ``(id_col, max_bench_cosine,
+    contaminated)`` for every corpus row; callers drop ``contaminated``.
+
+    100 TB design: eval benchmarks are tiny by contract (MBs against the
+    corpus), so the benchmark matrix is collected once and BROADCAST; the
+    corpus side is a single Arrow-batched ``mapInPandas`` pass computing a
+    blocked C @ B^T — ZERO shuffles, cost = one corpus scan x |bench| BLAS
+    columns (same shape as ``similarity.matmul_topk``). ``max_bench`` guards
+    the contract: a benchmark too large to broadcast raises instead of
+    silently building an O(N*M) driver matrix. Per-pair cosines are rounded
+    to ``round_digits`` BEFORE the max so the result is bit-reproducible
+    against a sequential oracle (float64 matmul summation-order ulps)."""
+    import pandas as pd
+
+    n_bench = bench.count()
+    if n_bench == 0:
+        raise ValueError("semantic_decontaminate: empty benchmark set")
+    if n_bench > max_bench:
+        raise ValueError(
+            f"benchmark has {n_bench} vectors > max_bench={max_bench}; "
+            "a benchmark that size cannot broadcast — shard it or raise the cap"
+        )
+    b_rows = bench.select(vec_col).collect()
+    b_mat = np.array([r[0] for r in b_rows], dtype=np.float64)
+    b_norm = np.maximum(np.linalg.norm(b_mat, axis=1), 1e-12)
+    b = corpus.sparkSession.sparkContext.broadcast((b_mat, b_norm))
+
+    out_schema = f"{id_col} long, max_bench_cosine double"
+
+    def part_maxcos(batches):
+        b_mat_l, b_norm_l = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_norm = np.maximum(np.linalg.norm(c, axis=1), 1e-12)
+            scores = np.round((c @ b_mat_l.T) / np.outer(c_norm, b_norm_l), round_digits)
+            yield pd.DataFrame({id_col: ids, "max_bench_cosine": scores.max(axis=1)})
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(part_maxcos, out_schema)
+    return scored.select(
+        id_col,
+        "max_bench_cosine",
+        (F.col("max_bench_cosine") >= threshold).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup with document reconstruction (C4/CCNet line dedup)
+# ---------------------------------------------------------------------------
+def chunk_dedup_reconstruct(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-wide exact dedup at sub-document granularity with document
+    RECONSTRUCTION — the C4 "three-sentence span" / CCNet line-dedup shape:
+    split every document into fixed ``chunk_tokens`` spans, keep only the
+    globally FIRST occurrence of each span (ordered by ``(doc_id,
+    chunk_offset)``), and reassemble each document from its surviving spans
+    in order. Documents whose every span appeared earlier vanish entirely
+    (C4 drops emptied docs). Returns ``(id_col, total_chunks, kept_chunks,
+    dedup_text)``.
+
+    100 TB design: first-occurrence is computed as a ``min(struct(doc,
+    offset))`` AGGREGATE per span — partial map-side combine absorbs hot
+    boilerplate spans (the skew case that would break a window
+    ``row_number`` over the span key), then one equi-join on the span text
+    marks keepers and one keyed aggregate per doc rebuilds the text. Two
+    shuffle keys total (span, doc), both hash-partitioned; chunking itself
+    is codegen'd array algebra (sequence/slice/array_join), zero Python."""
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        ).alias("__t"),
+    )
+    chunks = toks.select(
+        id_col,
+        F.expr(
+            f"explode(transform(sequence(0, size(__t) - 1, {chunk_tokens}), "
+            f"s -> struct(CAST(s AS LONG) AS chunk_idx, "
+            f"array_join(slice(__t, s + 1, {chunk_tokens}), ' ') AS chunk)))"
+        ).alias("c"),
+    ).select(id_col, "c.chunk_idx", "c.chunk").where(F.col("chunk") != "")
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("i"))).alias("__first")
+    )
+    marked = chunks.join(firsts, "chunk").withColumn(
+        "__keep",
+        (F.col("__first.d") == F.col(id_col)) & (F.col("__first.i") == F.col("chunk_idx")),
+    )
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long").alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return out.where(F.col("kept_chunks") > 0)

@@ -1447,6 +1447,65 @@ WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def decontaminate_semantic_embeddings(spark, sf_dir):
+    """EMBEDDING-space benchmark decontamination — the semantic complement
+    of decontaminate_training_docs: vectors with vec_id % 17 == 0 play the
+    held-out benchmark; every remaining corpus vector is annotated with its
+    max cosine against ANY benchmark vector and flagged at >= 0.4
+    (paraphrased eval leakage that n-gram overlap misses; e.g. the
+    contamination check of Llama/GPT-4-class data pipelines).
+
+    operators/dedup.py::semantic_decontaminate: benchmark matrix broadcasts
+    (eval sets are MBs against a 100 TB corpus — a max_bench guard raises
+    if the contract is violated), corpus side is ONE Arrow-batched
+    mapInPandas BLAS pass, zero shuffles. Per-pair cosines round to 4dp
+    before the max, so the DuckDB all-pairs oracle is bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 17 == 0)
+    corpus = emb.where(F.col("vec_id") % 17 != 0)
+    return dedup.semantic_decontaminate(corpus, bench, threshold=0.4)
+
+
+def dedup_chunks_reconstruct(spark, sf_dir):
+    """Sub-document dedup with RECONSTRUCTION (C4's three-sentence-span /
+    CCNet's line-level dedup): every document splits into fixed 16-token
+    spans, only the globally FIRST occurrence of each span survives
+    (ordered by doc_id, offset), and documents are reassembled from their
+    surviving spans — fully emptied documents vanish, exactly like C4.
+
+    operators/dedup.py::chunk_dedup_reconstruct: first-occurrence is a
+    min-struct AGGREGATE per span (map-side partial combine absorbs hot
+    boilerplate spans — the skew that breaks a row_number window over the
+    span key at 100 TB), then one equi-join marks keepers and one keyed
+    aggregate per doc rebuilds the text. Chunking is codegen'd array
+    algebra; zero Python anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.chunk_dedup_reconstruct(docs, "doc_id", "text", chunk_tokens=16)
+
+
+DEDUP_CHUNKS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS chunk_idx,
+         array_to_string(t[u.s + 1 : u.s + 16], ' ') AS chunk
+  FROM toks, UNNEST(range(0, len(t), 16)) AS u(s)
+),
+marked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks WHERE chunk <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx) AS dedup_text
+FROM marked GROUP BY doc_id HAVING kept_chunks > 0
+"""
+
+
 def curate_corpus_pipeline(spark, sf_dir):
     """Flagship end-to-end curation DAG — the nightly chain of a training
     -data job, composed from four operator families into ONE lazy plan:
@@ -4350,6 +4409,20 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def _gen_decon_semantic_sql(threshold: float = 0.4) -> str:
+    return f"""
+WITH b AS (SELECT embedding AS be, sqrt({_sql_dot('embedding', 'embedding')}) AS bn
+           FROM embeddings WHERE vec_id % 17 = 0),
+c AS (SELECT vec_id, embedding AS ce, sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+      FROM embeddings WHERE vec_id % 17 <> 0),
+scored AS (
+  SELECT c.vec_id, MAX(ROUND({_sql_dot('c.ce', 'b.be')} / (c.cn * b.bn), 4)) AS max_bench_cosine
+  FROM c CROSS JOIN b GROUP BY c.vec_id
+)
+SELECT vec_id, max_bench_cosine, max_bench_cosine >= {threshold} AS contaminated FROM scored
+"""
+
+
 ORACLES["q4_order_priority"] = Q4_SQL
 ORACLES["q17_small_quantity_revenue"] = Q17_SQL
 ORACLES["q22_idle_rich_customers"] = Q22_SQL
@@ -4409,6 +4482,10 @@ ORACLES["knn_ivf"] = (
     "SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok "
     f"FROM ({_gen_knn_sql(5)}) t"
 )
+QUERIES["decontaminate_semantic_embeddings"] = decontaminate_semantic_embeddings
+ORACLES["decontaminate_semantic_embeddings"] = _gen_decon_semantic_sql(0.4)
+QUERIES["dedup_chunks_reconstruct"] = dedup_chunks_reconstruct
+ORACLES["dedup_chunks_reconstruct"] = DEDUP_CHUNKS_SQL
 QUERIES["knn_pq"] = knn_pq
 ORACLES["knn_pq"] = (
     "SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok "
@@ -5680,6 +5757,8 @@ _CHECK_FIRST = [
     "semdedup_ivf",  # exact twin bounded (VERDICT r4 #2)
     "jdbc_roundtrip_agg",  # Derby lifecycle fix (ADVICE r4)
     "knn_pq",  # new: PQ family wired with exact-twin + recall gate
+    "decontaminate_semantic_embeddings",  # new: embedding-space decon
+    "dedup_chunks_reconstruct",  # new: C4-style span dedup + reconstruction
     # (6) tail of the ~50-query sample window: oldest r3-certified rows
     # (grouping-set family, r3-era TPC-H, source formats) so the sample's
     # overflow refreshes 1-round-old greens instead of r4-fresh ones

@@ -682,3 +682,39 @@ def test_pq_encode_expr_codes_shape(spark, embeddings):
     assert len(rows) == 50
     assert all(len(r.codes) == 8 for r in rows)
     assert all(0 <= c < 16 for r in rows for c in r.codes)
+
+
+def test_semantic_decontaminate_flags_known_pair(spark, embeddings):
+    """A corpus vector IDENTICAL to a benchmark vector must flag with
+    max_bench_cosine == 1.0; guards (empty bench, oversize bench) raise."""
+    bench = embeddings.filter(F.col("vec_id") < 3)
+    # corpus includes the benchmark vectors re-labeled with shifted ids
+    clones = bench.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = embeddings.filter(F.col("vec_id") >= 3).select("vec_id", "embedding").unionByName(clones)
+    out = {r.vec_id: (r.max_bench_cosine, r.contaminated)
+           for r in dedup.semantic_decontaminate(corpus, bench, threshold=0.95).collect()}
+    assert len(out) == corpus.count()
+    for cid in (100000, 100001, 100002):
+        cos, flagged = out[cid]
+        assert cos == 1.0 and flagged, (cid, cos, flagged)
+    with pytest.raises(ValueError, match="empty"):
+        dedup.semantic_decontaminate(corpus, embeddings.filter(F.col("vec_id") < 0))
+    with pytest.raises(ValueError, match="max_bench"):
+        dedup.semantic_decontaminate(corpus, bench, max_bench=2)
+
+
+def test_chunk_dedup_reconstruct_semantics(spark):
+    """Crafted corpus: doc 1 owns both spans; doc 2 repeats doc 1's first
+    span then adds a new one (reconstruction drops the repeat, keeps order);
+    doc 3 is entirely doc 1's content and must VANISH (C4 empty-doc drop)."""
+    a = " ".join(f"a{i}" for i in range(4))
+    b = " ".join(f"b{i}" for i in range(4))
+    c = " ".join(f"c{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} {c}"), (3, f"{b} {a}")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup_reconstruct(docs, chunk_tokens=4).collect()}
+    assert out[1].kept_chunks == 2 and out[1].dedup_text == f"{a} {b}"
+    assert out[2].total_chunks == 2 and out[2].kept_chunks == 1 and out[2].dedup_text == c
+    assert 3 not in out  # both spans already seen -> doc dropped entirely

@@ -212,6 +212,10 @@ INVARIANCE_SAMPLE = [
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
+    # min-struct first-occurrence + float max-reduction: partition-order
+    # independence is the property under test
+    "dedup_chunks_reconstruct",
+    "decontaminate_semantic_embeddings",
 ]
 
 
