@@ -160,6 +160,7 @@ HEADLINE = [
     "streaming_stream_join",
     "streaming_dedup_events",
     "streaming_dedup_then_window",
+    "streaming_jdbc_upsert_agg",
 ]
 
 

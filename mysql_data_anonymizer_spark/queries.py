@@ -1845,6 +1845,22 @@ def csv_source_agg(spark, sf_dir):
 CSV_SOURCE_SQL = ORC_SOURCE_SQL
 
 
+def _session_derby_cfg(spark, num_partitions: int = 4):
+    """ONE embedded-Derby database per SparkSession, reused across
+    invocations (ADVICE r4: a fresh mkdtemp per call accumulated booted
+    Derby databases in the driver JVM and re-mutated derby.system.home on
+    every certification/bench rep). Queries overwrite their own tables, so
+    re-running against the shared database is idempotent."""
+    from mysql_data_anonymizer_spark.sources import jdbc as jdbc_src
+
+    db_dir = getattr(spark, "_mda_derby_dir", None)
+    if db_dir is None:
+        db_dir = tempfile.mkdtemp(prefix="mda_derby_")
+        spark._jvm.java.lang.System.setProperty("derby.system.home", db_dir)  # noqa: SLF001
+        spark._mda_derby_dir = db_dir
+    return jdbc_src.derby_config(db_dir, num_partitions=num_partitions)
+
+
 def jdbc_roundtrip_agg(spark, sf_dir):
     """The reference's ACTUAL runtime surface — read and write a relational
     database over JDBC (src/Anonymizer.php:152-195, 274-288) — driven
@@ -1868,17 +1884,7 @@ def jdbc_roundtrip_agg(spark, sf_dir):
     from mysql_data_anonymizer_spark.sources import jdbc as jdbc_src
     from mysql_data_anonymizer_spark.sources import sinks
 
-    # ONE embedded-Derby database per SparkSession, reused across
-    # invocations (ADVICE r4: a fresh mkdtemp per call accumulated booted
-    # Derby databases in the driver JVM and re-mutated derby.system.home on
-    # every certification/bench rep). Every step below overwrites its
-    # table, so re-running against the same database is idempotent.
-    db_dir = getattr(spark, "_mda_derby_dir", None)
-    if db_dir is None:
-        db_dir = tempfile.mkdtemp(prefix="mda_derby_")
-        spark._jvm.java.lang.System.setProperty("derby.system.home", db_dir)  # noqa: SLF001
-        spark._mda_derby_dir = db_dir
-    cfg = jdbc_src.derby_config(db_dir, num_partitions=4)
+    cfg = _session_derby_cfg(spark)
     cust = _t(spark, sf_dir, "customer")
     # 1. initial load (live table is just a staging write under the live name)
     sinks.write_jdbc_staging(cust, cfg.url, "customer", cfg.base_options(), staging="customer")
@@ -4112,6 +4118,75 @@ def streaming_dedup_then_window(spark, sf_dir):
     )
 
 
+def streaming_jdbc_upsert_agg(spark, sf_dir):
+    """Streaming keyed writeback into a REAL database — the streaming face
+    of the reference's UPDATE loop (src/Anonymizer.php:274-288), and the
+    last mile of a production pipeline: micro-batches land in a JDBC table
+    with exactly-once EFFECT under at-least-once delivery.
+
+    The events slice (event_id % 13 == 0) is staged TWICE (redelivery) and
+    replayed as 2 micro-batches (maxFilesPerTrigger=1) through a
+    ``foreachBatch`` upsert sink (streaming/stream_ops.py::jdbc_upsert_sink):
+    each batch bulk-loads into a Derby staging table via Spark's parallel
+    JDBC writer, then ONE control-connection MERGE upserts it into the
+    indexed target — set-based, no per-row driver round-trips, idempotent
+    per key. The read-back aggregate equals the batch truth over the slice
+    iff redelivered rows converged to one row per key — which is exactly
+    what the oracle asserts."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.sources import jdbc as jdbc_src
+    from mysql_data_anonymizer_spark.sources import sinks
+    from mysql_data_anonymizer_spark.streaming.stream_ops import jdbc_upsert_sink
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cfg = _session_derby_cfg(spark)
+    target = "evt_upsert"
+    # target table: schema-only create + unique key index (point-merges)
+    ev = _t(spark, sf_dir, "events")
+    sl_cols = ["event_id", "event_type", "value"]
+    sinks.write_jdbc_staging(
+        ev.select(*sl_cols).limit(0), cfg.url, target, cfg.base_options(), staging=target
+    )
+    jdbc_src.run_control_ddl(
+        spark, cfg, [f'CREATE UNIQUE INDEX {target}_pk ON {target} ("event_id")']
+    )
+    # at-least-once source: the same fixture delivered twice, one file per
+    # micro-batch
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events_b.parquet")
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        sliced = stream.where(F.col("event_id") % 13 == 0).select(*sl_cols)
+        q = (
+            sliced.writeStream.foreachBatch(
+                jdbc_upsert_sink(cfg, target, key_cols=["event_id"],
+                                 set_cols=["event_type", "value"])
+            )
+            .queryName(f"upsert_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    back = jdbc_src.jdbc_reader(spark, cfg, target)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("value_cents"),
+    )
+
+
+STREAMING_JDBC_UPSERT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events WHERE event_id % 13 = 0 GROUP BY event_type
+"""
+
+
 STREAMING_CHAIN_SQL = """
 WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
 SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
@@ -5696,6 +5771,8 @@ QUERIES["importance_sample_docs"] = importance_sample_docs
 ORACLES["importance_sample_docs"] = _gen_importance_sample_sql()
 QUERIES["pretraining_pipeline_e2e"] = pretraining_pipeline_e2e
 ORACLES["pretraining_pipeline_e2e"] = _gen_pretraining_pipeline_sql()
+QUERIES["streaming_jdbc_upsert_agg"] = streaming_jdbc_upsert_agg
+ORACLES["streaming_jdbc_upsert_agg"] = STREAMING_JDBC_UPSERT_SQL
 QUERIES["streaming_dedup_then_window"] = streaming_dedup_then_window
 ORACLES["streaming_dedup_then_window"] = STREAMING_CHAIN_SQL
 
@@ -5759,6 +5836,7 @@ _CHECK_FIRST = [
     "knn_pq",  # new: PQ family wired with exact-twin + recall gate
     "decontaminate_semantic_embeddings",  # new: embedding-space decon
     "dedup_chunks_reconstruct",  # new: C4-style span dedup + reconstruction
+    "streaming_jdbc_upsert_agg",  # new: streaming MERGE upsert into Derby
     # (6) tail of the ~50-query sample window: oldest r3-certified rows
     # (grouping-set family, r3-era TPC-H, source formats) so the sample's
     # overflow refreshes 1-round-old greens instead of r4-fresh ones

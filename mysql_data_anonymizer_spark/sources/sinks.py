@@ -216,3 +216,30 @@ def write_jdbc_staging(
         .save()
     )
     return staging_swap_sql(table, staging)
+
+
+def jdbc_upsert_merge_sql(
+    target: str,
+    staging: str,
+    key_cols: list[str],
+    set_cols: list[str],
+    quote: str = '"',
+) -> str:
+    """Set-based upsert DDL: MERGE the staged micro-batch into ``target``
+    keyed on ``key_cols`` — the scalable streaming-writeback statement
+    (ANSI MERGE: Derby 10.11+, MySQL 8 via INSERT..ON DUPLICATE KEY, which
+    ``dialect`` callers can swap in). One statement upserts the whole
+    batch; per-row driver round-trips never happen, and re-merging the
+    same keys overwrites idempotently — at-least-once delivery upstream
+    becomes exactly-once effect in the table."""
+    q = lambda c: f"{quote}{c}{quote}" if quote else c
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in set_cols)
+    all_cols = list(key_cols) + list(set_cols)
+    ins_cols = ", ".join(q(c) for c in all_cols)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in all_cols)
+    return (
+        f"MERGE INTO {target} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )

@@ -215,3 +215,32 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None
 def _has_aggregate(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()  # noqa: SLF001
     return "Aggregate" in plan
+
+
+def jdbc_upsert_sink(config, target: str, key_cols: list[str], set_cols: list[str]):
+    """``foreachBatch`` sink: keyed UPSERT of every micro-batch into a JDBC
+    table — the streaming face of the reference's keyed UPDATE writeback
+    (src/Anonymizer.php:274-288) at micro-batch granularity.
+
+    Per batch: (1) Spark's parallel JDBC writer bulk-loads the batch into a
+    staging table (JVM-side, partition-parallel — no per-row driver
+    round-trips), (2) ONE control-connection MERGE upserts staging into the
+    target keyed on ``key_cols``. MERGE is idempotent per key, so Spark's
+    at-least-once ``foreachBatch`` redelivery (and full replays) converge
+    to exactly-once EFFECT in the table; at 100 TB the write scales with
+    the micro-batch (staging load is distributed, the MERGE is set-based in
+    the database). Target table must exist with a unique index on the key
+    (point-merge instead of table scans)."""
+    from mysql_data_anonymizer_spark.sources import jdbc as jdbc_src
+    from mysql_data_anonymizer_spark.sources import sinks
+
+    staging = f"{target}__mda_ubatch"
+    merge = sinks.jdbc_upsert_merge_sql(target, staging, key_cols, set_cols)
+
+    def handle_batch(batch_df, batch_id: int) -> None:
+        sinks.write_jdbc_staging(
+            batch_df, config.url, target, config.base_options(), staging=staging
+        )
+        jdbc_src.run_control_ddl(batch_df.sparkSession, config, [merge])
+
+    return handle_batch

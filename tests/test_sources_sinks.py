@@ -363,3 +363,14 @@ def test_foreach_partition_updates_derby_jdbc(spark, customer, tmp_path):
     src = {r["c_custkey"]: (r["c_acctbal"], r["c_nationkey"]) for r in customer.collect()}
     got = {r["c_custkey"]: (r["c_acctbal"], r["c_nationkey"]) for r in back_rows}
     assert got == src
+
+
+def test_jdbc_upsert_merge_sql_shape():
+    """MERGE upsert DDL: keyed ON clause, non-key SET list, full-column
+    INSERT branch — the set-based statement the streaming sink executes."""
+    sql = sinks.jdbc_upsert_merge_sql("tgt", "stg", ["id"], ["a", "b"])
+    assert sql.startswith('MERGE INTO tgt t USING stg s ON t."id" = s."id"')
+    assert 'UPDATE SET "a" = s."a", "b" = s."b"' in sql
+    assert 'INSERT ("id", "a", "b") VALUES (s."id", s."a", s."b")' in sql
+    two = sinks.jdbc_upsert_merge_sql("t2", "s2", ["k1", "k2"], ["v"], quote="")
+    assert "ON t.k1 = s.k1 AND t.k2 = s.k2" in two
