@@ -4118,6 +4118,37 @@ def streaming_dedup_then_window(spark, sf_dir):
     )
 
 
+def zorder_orders_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over (o_custkey, floor(o_totalprice))
+    — the multi-dimensional data-layout primitive (sources/layout.py;
+    Delta OPTIMIZE ZORDER / Iceberg sort-order shape, built from plain
+    Spark). The key itself is exact integer bit algebra folded JVM-side
+    inside codegen, so the oracle reproduces it bit-for-bit; the layout
+    payoff (per-file zone maps bounding BOTH dims) is measured in
+    tests/test_sources_sinks.py::test_zorder_layout_prunes_both_dimensions:
+    a price-band predicate touches 5/16 files under Z-order vs 16/16 under
+    a 1-D sort."""
+    from mysql_data_anonymizer_spark.sources import layout
+
+    orders = _t(spark, sf_dir, "orders")
+    z = layout.zorder_key_expr("o_custkey", "CAST(FLOOR(o_totalprice) AS LONG)", bits=16)
+    return orders.select("o_orderkey", z.alias("zkey"))
+
+
+ZORDER_ORDERS_SQL = """
+SELECT o_orderkey,
+       CAST(list_sum(list_transform(range(0, 16),
+         i -> (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+         AS BIGINT) AS zkey
+FROM (
+  SELECT o_orderkey,
+         CAST(o_custkey AS BIGINT) & 65535 AS x,
+         CAST(FLOOR(o_totalprice) AS BIGINT) & 65535 AS y
+  FROM orders
+)
+"""
+
+
 def streaming_jdbc_upsert_agg(spark, sf_dir):
     """Streaming keyed writeback into a REAL database — the streaming face
     of the reference's UPDATE loop (src/Anonymizer.php:274-288), and the
@@ -5771,6 +5802,8 @@ QUERIES["importance_sample_docs"] = importance_sample_docs
 ORACLES["importance_sample_docs"] = _gen_importance_sample_sql()
 QUERIES["pretraining_pipeline_e2e"] = pretraining_pipeline_e2e
 ORACLES["pretraining_pipeline_e2e"] = _gen_pretraining_pipeline_sql()
+QUERIES["zorder_orders_key"] = zorder_orders_key
+ORACLES["zorder_orders_key"] = ZORDER_ORDERS_SQL
 QUERIES["streaming_jdbc_upsert_agg"] = streaming_jdbc_upsert_agg
 ORACLES["streaming_jdbc_upsert_agg"] = STREAMING_JDBC_UPSERT_SQL
 QUERIES["streaming_dedup_then_window"] = streaming_dedup_then_window
@@ -5837,6 +5870,7 @@ _CHECK_FIRST = [
     "decontaminate_semantic_embeddings",  # new: embedding-space decon
     "dedup_chunks_reconstruct",  # new: C4-style span dedup + reconstruction
     "streaming_jdbc_upsert_agg",  # new: streaming MERGE upsert into Derby
+    "zorder_orders_key",  # new: Morton layout key
     # (6) tail of the ~50-query sample window: oldest r3-certified rows
     # (grouping-set family, r3-era TPC-H, source formats) so the sample's
     # overflow refreshes 1-round-old greens instead of r4-fresh ones

@@ -374,3 +374,59 @@ def test_jdbc_upsert_merge_sql_shape():
     assert 'INSERT ("id", "a", "b") VALUES (s."id", s."a", s."b")' in sql
     two = sinks.jdbc_upsert_merge_sql("t2", "s2", ["k1", "k2"], ["v"], quote="")
     assert "ON t.k1 = s.k1 AND t.k2 = s.k2" in two
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout (sources/layout.py): after clustering orders on the
+    Morton key of (custkey, totalprice), per-file min/max zone maps bound
+    BOTH dimensions — a band predicate on EITHER column intersects only a
+    few files. The 1-D custkey-sorted baseline is perfect on its sort
+    column and useless on the other (every file spans the full price
+    range). Measured here exactly as a reader would prune: file-level
+    min/max vs the predicate box."""
+    from mysql_data_anonymizer_spark.sources import files, layout
+
+    od = files.read_table(
+        spark, "/root/testdata/sf0.001/orders.parquet", table_name="orders"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    # quantize each dim to ~6 bits of its fixture range so the interleave
+    # is balanced (real deployments quantize by range-bucket rank)
+    z = layout.zorder_key_expr("o_custkey DIV 3", "CAST(o_totalprice AS LONG) DIV 8000", bits=6)
+    dz = str(tmp_path / "zord")
+    du = str(tmp_path / "custsort")
+    layout.write_zordered(od, dz, z, num_files=16)
+    od.repartitionByRange(16, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.mode("overwrite").parquet(du)
+
+    def file_hits(path, c0, c1, p0, p1):
+        df = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+        bx = df.groupBy("__f").agg(
+            F.min("o_custkey").alias("cl"), F.max("o_custkey").alias("ch"),
+            F.min("o_totalprice").alias("pl"), F.max("o_totalprice").alias("ph"),
+        ).collect()
+        n = sum(1 for r in bx if not (r.ch < c0 or r.cl > c1 or r.ph < p0 or r.pl > p1))
+        return n, len(bx)
+
+    BIG = 10**12
+    z_cust, nf = file_hits(dz, 30, 60, -BIG, BIG)
+    z_price, _ = file_hits(dz, -BIG, BIG, 16000, 80000)
+    s_cust, _ = file_hits(du, 30, 60, -BIG, BIG)
+    s_price, _ = file_hits(du, -BIG, BIG, 16000, 80000)
+    assert nf == 16
+    # the 1-D layout cannot prune its non-sort dimension at all
+    assert s_price == nf
+    # z-order prunes BOTH dimensions (measured 10/16 and 5/16 here)
+    assert z_cust < nf and z_price < nf
+    assert z_price < s_price
+    # and no rows were lost by the relayout
+    assert spark.read.parquet(dz).count() == od.count()
+
+
+def test_zorder_key_expr_rejects_bad_bits():
+    from mysql_data_anonymizer_spark.sources import layout
+
+    with pytest.raises(ValueError, match="bits"):
+        layout.zorder_key_expr("a", "b", bits=0)
+    with pytest.raises(ValueError, match="bits"):
+        layout.zorder_key_expr("a", "b", bits=32)
