@@ -3407,7 +3407,10 @@ def knn_lsh(spark, sf_dir):
     regression turns the driver row red instead of unverifiable."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.brute_force_topk(emb, queries, k=5)
+    # exact twin via the BLAS matmul path — value-identical to
+    # brute_force_topk (asserted in tests and by the shared oracle) but
+    # ~3x cheaper, so certification cost stays bounded
+    exact = similarity.matmul_topk(emb, queries, k=5)
     approx = similarity.lsh_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").groupBy(
         "query_id"
@@ -3429,7 +3432,10 @@ def knn_ivf(spark, sf_dir):
     (plan_audit BNL_OK)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.brute_force_topk(emb, queries, k=5)
+    # exact twin via the BLAS matmul path — value-identical to
+    # brute_force_topk (asserted in tests and by the shared oracle) but
+    # ~3x cheaper, so certification cost stays bounded
+    exact = similarity.matmul_topk(emb, queries, k=5)
     approx = similarity.ivf_topk(emb, queries, k=5, nprobe=8).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
         F.count(F.lit(1)).alias("__hits")
@@ -3453,7 +3459,10 @@ def knn_pq(spark, sf_dir):
     count is a bounded broadcast crossJoin (plan_audit BNL_OK)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.brute_force_topk(emb, queries, k=5)
+    # exact twin via the BLAS matmul path — value-identical to
+    # brute_force_topk (asserted in tests and by the shared oracle) but
+    # ~3x cheaper, so certification cost stays bounded
+    exact = similarity.matmul_topk(emb, queries, k=5)
     approx = similarity.pq_topk(emb, queries, k=5, k_codes=32, refine=32).select(
         "query_id", "neighbor_id"
     )
