@@ -989,7 +989,7 @@ def chunk_dedup_reconstruct(
         F.filter(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
         ).alias("__t"),
-    )
+    ).where(F.size("__t") > 0)  # sequence(0, -1, n) raises on empty docs
     chunks = toks.select(
         id_col,
         F.expr(

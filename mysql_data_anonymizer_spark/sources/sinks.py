@@ -224,19 +224,37 @@ def jdbc_upsert_merge_sql(
     key_cols: list[str],
     set_cols: list[str],
     quote: str = '"',
+    dialect: str = "ansi",
 ) -> str:
-    """Set-based upsert DDL: MERGE the staged micro-batch into ``target``
-    keyed on ``key_cols`` — the scalable streaming-writeback statement
-    (ANSI MERGE: Derby 10.11+, MySQL 8 via INSERT..ON DUPLICATE KEY, which
-    ``dialect`` callers can swap in). One statement upserts the whole
-    batch; per-row driver round-trips never happen, and re-merging the
-    same keys overwrites idempotently — at-least-once delivery upstream
-    becomes exactly-once effect in the table."""
+    """Set-based upsert DDL: merge the staged micro-batch into ``target``
+    keyed on ``key_cols`` — the scalable streaming-writeback statement. One
+    statement upserts the whole batch; per-row driver round-trips never
+    happen, and re-merging the same keys overwrites idempotently —
+    at-least-once delivery upstream becomes exactly-once effect in the
+    table.
+
+    ``dialect='ansi'``: ANSI MERGE (Derby 10.11+, Postgres 15+, Oracle,
+    SQL Server) — exercised live against Derby by the streaming upsert
+    tests. ``dialect='mysql'``: the reference's target database has no
+    MERGE; the equivalent is ``INSERT .. SELECT .. ON DUPLICATE KEY
+    UPDATE`` keyed by the table's PRIMARY/UNIQUE index, which must be on
+    ``key_cols`` (string-contract-tested; no MySQL exists in this
+    environment to execute it). MySQL default quote is the backtick."""
+    if dialect == "mysql" and quote == '"':
+        quote = "`"
     q = lambda c: f"{quote}{c}{quote}" if quote else c
-    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
-    sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in set_cols)
     all_cols = list(key_cols) + list(set_cols)
     ins_cols = ", ".join(q(c) for c in all_cols)
+    if dialect == "mysql":
+        sel = ", ".join(f"s.{q(c)}" for c in all_cols)
+        updates = ", ".join(f"{q(c)} = VALUES({q(c)})" for c in set_cols)
+        return (
+            f"INSERT INTO {target} ({ins_cols}) "
+            f"SELECT {sel} FROM {staging} s "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in set_cols)
     ins_vals = ", ".join(f"s.{q(c)}" for c in all_cols)
     return (
         f"MERGE INTO {target} t USING {staging} s ON {on} "

@@ -718,3 +718,35 @@ def test_chunk_dedup_reconstruct_semantics(spark):
     assert out[1].kept_chunks == 2 and out[1].dedup_text == f"{a} {b}"
     assert out[2].total_chunks == 2 and out[2].kept_chunks == 1 and out[2].dedup_text == c
     assert 3 not in out  # both spans already seen -> doc dropped entirely
+
+
+def test_chunk_dedup_reconstruct_matches_python_model(spark):
+    """Model-based check over seeded random corpora: the distributed
+    min-struct/join/reassemble pipeline must equal a sequential reference
+    that walks docs in (doc_id, offset) order keeping first-seen spans."""
+    import random
+
+    def model(docs, n):
+        seen, out = set(), {}
+        for doc_id, text in sorted(docs):
+            toks = [t for t in text.lower().split() if t]
+            chunks = [" ".join(toks[i:i + n]) for i in range(0, len(toks), n)]
+            kept = [c for c in chunks if c not in seen]
+            seen.update(chunks)
+            if kept:
+                out[doc_id] = (len(chunks), len(kept), " ".join(kept))
+        return out
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many span repeats
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.total_chunks, r.kept_chunks, r.dedup_text)
+            for r in dedup.chunk_dedup_reconstruct(df, chunk_tokens=4).collect()
+        }
+        assert got == model(docs, 4), f"seed={seed}"

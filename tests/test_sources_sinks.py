@@ -430,3 +430,13 @@ def test_zorder_key_expr_rejects_bad_bits():
         layout.zorder_key_expr("a", "b", bits=0)
     with pytest.raises(ValueError, match="bits"):
         layout.zorder_key_expr("a", "b", bits=32)
+
+
+def test_jdbc_upsert_mysql_dialect():
+    """MySQL has no MERGE: the upsert emits INSERT..SELECT..ON DUPLICATE
+    KEY UPDATE with backtick quoting, updating only non-key columns (the
+    duplicate-key trigger is the unique index on the key columns)."""
+    sql = sinks.jdbc_upsert_merge_sql("tgt", "stg", ["id"], ["a", "b"], dialect="mysql")
+    assert sql.startswith("INSERT INTO tgt (`id`, `a`, `b`) SELECT s.`id`, s.`a`, s.`b` FROM stg s")
+    assert sql.endswith("ON DUPLICATE KEY UPDATE `a` = VALUES(`a`), `b` = VALUES(`b`)")
+    assert "`id` = VALUES" not in sql  # keys are never in the update list
