@@ -53,6 +53,8 @@ FAMILIES = [
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
+    "dedup_chunks_reconstruct",
+    "decontaminate_semantic_embeddings",
     "curate_corpus_pipeline",
     "text_winnowing",
     "pretraining_pipeline_e2e",
