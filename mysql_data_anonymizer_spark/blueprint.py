@@ -23,13 +23,25 @@ from mysql_data_anonymizer_spark.plans.plan import ColumnMask, MaskingPlan, Sync
 
 
 class Blueprint:
+    #: class-level default primary key, applied when a blueprint never calls
+    #: ``primary()`` — reference ``Blueprint::setDefaultPrimary``
+    #: (src/Blueprint.php:87-90, consumed in build() :223-234)
+    _default_primary: list[str] = ["id"]
+
     def __init__(self, table: str, callback: Callable[["Blueprint"], None] | None = None):
-        self.plan = MaskingPlan(table=table)
+        self.plan = MaskingPlan(table=table, primary=list(self._default_primary))
         self._current: ColumnMask | None = None
         if callback is not None:
             callback(self)
 
     # -- table-level ------------------------------------------------------
+    @classmethod
+    def setDefaultPrimary(cls, key: str | Iterable[str]) -> None:
+        """Set the primary key every subsequent Blueprint starts with
+        (reference src/Blueprint.php:87-90). Per-blueprint ``primary()``
+        still overrides."""
+        cls._default_primary = [key] if isinstance(key, str) else list(key)
+
     def primary(self, key: str | Iterable[str]) -> "Blueprint":
         self.plan.primary = [key] if isinstance(key, str) else list(key)
         return self

@@ -198,3 +198,30 @@ def test_plan_validation_rejects_unknown_columns(users):
     bp.plan.columns[0].name = "nope"
     with pytest.raises(ValueError, match="unknown columns"):
         compile_plan(users, bp.plan)
+
+
+def test_set_default_primary_class_level(spark, customer):
+    """Reference Blueprint::setDefaultPrimary parity (src/Blueprint.php:
+    87-90): the class-level default primary applies to blueprints that
+    never call primary(); an explicit primary() still overrides; restoring
+    the default keeps other tests isolated."""
+    from mysql_data_anonymizer_spark.blueprint import Blueprint
+
+    old = list(Blueprint._default_primary)
+    try:
+        Blueprint.setDefaultPrimary("c_custkey")
+        bp = Blueprint("customer", lambda t: t.column("c_name").replaceWith("X"))
+        assert bp.plan.primary == ["c_custkey"]
+        bp2 = Blueprint(
+            "customer",
+            lambda t: t.primary(["c_custkey", "c_nationkey"])
+            .column("c_name").replaceWith("X"),
+        )
+        assert bp2.plan.primary == ["c_custkey", "c_nationkey"]
+        # and the defaulted blueprint actually compiles + runs
+        from mysql_data_anonymizer_spark.plans.compiler import compile_plan
+
+        out = compile_plan(customer, bp.plan, seed=1).df
+        assert out.where(F.col("c_name") != "X").count() == 0
+    finally:
+        Blueprint.setDefaultPrimary(old)

@@ -425,3 +425,71 @@ def test_streaming_jdbc_upsert_exactly_once(spark, sf_dir, tmp_path):
     src = {r["event_id"]: (r["event_type"], r["value"]) for r in sl.collect()}
     got = {r["event_id"]: (r["event_type"], r["value"]) for r in back}
     assert got == src
+
+
+def test_streaming_jdbc_upsert_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-resume THROUGH the JDBC upsert sink: a checkpointed
+    foreachBatch MERGE-upsert query stopped mid-stream and restarted from
+    the same checkpoint must leave exactly one row per key with correct
+    values — batch replay after the kill re-merges idempotently instead of
+    duplicating (the recovery contract of a production writeback job)."""
+    import time
+    import uuid
+
+    from mysql_data_anonymizer_spark.sources import files, jdbc, sinks
+    from mysql_data_anonymizer_spark.streaming.stream_ops import jdbc_upsert_sink
+
+    db_dir = str(tmp_path / "derby_rs")
+    spark._jvm.java.lang.System.setProperty("derby.system.home", db_dir)  # noqa: SLF001
+    cfg = jdbc.derby_config(db_dir, num_partitions=2)
+    ev = files.read_table(spark, f"{sf_dir}/events.parquet", table_name="events")
+    sl = ev.where(F.col("event_id") % 5 == 0).select("event_id", "event_type", "value")
+    sinks.write_jdbc_staging(sl.limit(0), cfg.url, "evt_rs", cfg.base_options(), staging="evt_rs")
+    jdbc.run_control_ddl(spark, cfg, ['CREATE UNIQUE INDEX evt_rs_pk ON evt_rs ("event_id")'])
+
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .where(F.col("event_id") % 5 == 0)
+            .select("event_id", "event_type", "value")
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                jdbc_upsert_sink(cfg, "evt_rs", key_cols=["event_id"],
+                                 set_cols=["event_type", "value"])
+            )
+            .option("checkpointLocation", ckpt)
+            .queryName(f"rs_{uuid.uuid4().hex[:8]}")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:  # wait for >=1 committed batch, then kill
+        if q.lastProgress and q.lastProgress.get("batchId", -1) >= 1:
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination(30)
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:  # drain the remainder
+        p = q2.lastProgress
+        if p and p.get("numInputRows") == 0 and p.get("batchId", 0) > 0:
+            break
+        time.sleep(0.25)
+    q2.stop()
+    q2.awaitTermination(30)
+
+    back = jdbc.jdbc_reader(spark, cfg, "evt_rs").collect()
+    assert len(back) == sl.count()  # exactly one row per key across the restart
+    src_rows = {r["event_id"]: (r["event_type"], r["value"]) for r in sl.collect()}
+    got = {r["event_id"]: (r["event_type"], r["value"]) for r in back}
+    assert got == src_rows
