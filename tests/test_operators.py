@@ -750,3 +750,28 @@ def test_chunk_dedup_reconstruct_matches_python_model(spark):
             for r in dedup.chunk_dedup_reconstruct(df, chunk_tokens=4).collect()
         }
         assert got == model(docs, 4), f"seed={seed}"
+
+
+def test_semantic_decontaminate_matches_numpy_model(spark, embeddings):
+    """Model-based check: the Arrow-batched distributed pass must equal a
+    sequential numpy reference (round-4dp per pair, then max) on the
+    fixture corpus, at any partitioning."""
+    import numpy as np
+
+    bench = embeddings.filter(F.col("vec_id") % 11 == 0)
+    corpus = embeddings.filter(F.col("vec_id") % 11 != 0)
+    b = np.array([r.embedding for r in bench.collect()], dtype=np.float64)
+    bn = np.maximum(np.linalg.norm(b, axis=1), 1e-12)
+    want = {}
+    for r in corpus.select("vec_id", "embedding").collect():
+        c = np.array(r.embedding, dtype=np.float64)
+        cn = max(np.linalg.norm(c), 1e-12)
+        want[r.vec_id] = np.round((b @ c) / (bn * cn), 4).max()
+    for parts in (1, 7):
+        got = {
+            r.vec_id: r.max_bench_cosine
+            for r in dedup.semantic_decontaminate(
+                corpus.repartition(parts), bench, threshold=0.4
+            ).collect()
+        }
+        assert got == want, f"parts={parts}"
