@@ -5641,6 +5641,52 @@ FROM events GROUP BY user_id
 """
 
 
+def streaming_stateful_user_stats_tws(spark, sf_dir):
+    """Spark 4 ``transformWithStateInPandas`` (the successor stateful API),
+    value-checked: composable typed state — ValueState (count, total
+    cents) + MapState (per-event-type counts) per user — on a bounded
+    single-batch replay must equal the batch GROUP BY with COUNT DISTINCT
+    event_type. Same exact-cents normalization as the applyInPandasWithState
+    twin (streaming_stateful_user_totals), so the two stateful APIs are
+    certified against the same truth."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import stateful_user_stats_tws
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        cents = stream.withColumn(
+            "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+        )
+        agg = stateful_user_stats_tws(cents)
+        name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "user_id", "n_events", F.col("total_value").alias("total_cents"), "n_types"
+    )
+
+
+STREAMING_TWS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS total_cents,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 def streaming_stream_join(spark, sf_dir):
     """Stream-stream inner join (click -> same-user views within 10
     minutes), value-checked: both sides watermarked, the time-range
@@ -5813,6 +5859,17 @@ QUERIES["pretraining_pipeline_e2e"] = pretraining_pipeline_e2e
 ORACLES["pretraining_pipeline_e2e"] = _gen_pretraining_pipeline_sql()
 QUERIES["zorder_orders_key"] = zorder_orders_key
 ORACLES["zorder_orders_key"] = ZORDER_ORDERS_SQL
+# Spark 4's transformWithStateInPandas needs the protobuf package for its
+# state-server protocol — absent in this container (no installs), so the
+# query registers only where the runtime can actually execute it
+# (COVERAGE.md documents the gate; operator + oracle are ready).
+from mysql_data_anonymizer_spark.streaming.stream_ops import (  # noqa: E402
+    HAS_TWS_RUNTIME as _HAS_TWS,
+)
+
+if _HAS_TWS:
+    QUERIES["streaming_stateful_user_stats_tws"] = streaming_stateful_user_stats_tws
+    ORACLES["streaming_stateful_user_stats_tws"] = STREAMING_TWS_SQL
 QUERIES["streaming_jdbc_upsert_agg"] = streaming_jdbc_upsert_agg
 ORACLES["streaming_jdbc_upsert_agg"] = STREAMING_JDBC_UPSERT_SQL
 QUERIES["streaming_dedup_then_window"] = streaming_dedup_then_window
@@ -5880,6 +5937,7 @@ _CHECK_FIRST = [
     "dedup_chunks_reconstruct",  # new: C4-style span dedup + reconstruction
     "streaming_jdbc_upsert_agg",  # new: streaming MERGE upsert into Derby
     "zorder_orders_key",  # new: Morton layout key
+    "streaming_stateful_user_stats_tws",  # new: Spark 4 transformWithState
     # (6) tail of the ~50-query sample window: oldest r3-certified rows
     # (grouping-set family, r3-era TPC-H, source formats) so the sample's
     # overflow refreshes 1-round-old greens instead of r4-fresh ones

@@ -244,3 +244,71 @@ def jdbc_upsert_sink(config, target: str, key_cols: list[str], set_cols: list[st
         jdbc_src.run_control_ddl(batch_df.sparkSession, config, [merge])
 
     return handle_batch
+
+
+# transformWithStateInPandas runs a Python state-server protocol built on
+# protobuf; without the `protobuf` package the streaming runner crashes at
+# init. Gate (like the faker adapter): the operator exists and is correct,
+# the query/test register only where the runtime dependency is present.
+import importlib.util as _ilu
+
+try:
+    HAS_TWS_RUNTIME = _ilu.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # parent `google` namespace absent entirely
+    HAS_TWS_RUNTIME = False
+
+
+def stateful_user_stats_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user running stats on Spark 4's ``transformWithStateInPandas`` —
+    the successor of ``applyInPandasWithState`` (``stateful_user_totals``)
+    with COMPOSABLE typed state: a ValueState holds the (n, total)
+    accumulator and a MapState holds per-event-type counts, each
+    independently evictable/TTL-able. On every batch the processor emits
+    the key's refreshed totals plus the number of distinct event types seen
+    — state is O(keys x types), never O(events), which is what survives an
+    unbounded stream. On a bounded single-batch replay the output equals
+    the batch GROUP BY (count, sum, count distinct type) — the oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+            self._types = handle.getMapState("types", "t string", "c long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+                for t, c in pdf[type_col].value_counts().items():
+                    prev = self._types.getValue((t,)) if self._types.containsKey((t,)) else (0,)
+                    self._types.updateValue((t,), (prev[0] + int(c),))
+            self._agg.update((n, total))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=f"{key_col} long, n_events long, total_value double, n_types long",
+        outputMode="Update",
+        timeMode="None",
+    )

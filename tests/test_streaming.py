@@ -493,3 +493,32 @@ def test_streaming_jdbc_upsert_checkpoint_restart(spark, sf_dir, tmp_path):
     src_rows = {r["event_id"]: (r["event_type"], r["value"]) for r in sl.collect()}
     got = {r["event_id"]: (r["event_type"], r["value"]) for r in back}
     assert got == src_rows
+
+
+def test_stateful_tws_matches_batch_aggregate(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas (ValueState + MapState per user)
+    on a bounded replay equals the batch GROUP BY. Skips where the
+    protobuf-based streaming state runtime is absent (this container)."""
+    import uuid
+
+    import mysql_data_anonymizer_spark.streaming.stream_ops as so
+
+    if not so.HAS_TWS_RUNTIME:
+        pytest.skip("protobuf runtime for transformWithStateInPandas not installed")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(f"{sf_dir}")
+    agg = so.stateful_user_stats_tws(stream)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, r.n_types) for r in spark.table(name).collect()}
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in batch.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.countDistinct("event_type").alias("t")
+        ).collect()
+    }
+    assert got == want
