@@ -97,6 +97,7 @@ HEADLINE = [
     "csv_source_agg",
     "binaryfile_media_manifest",
     "pydatasource_synth_agg",
+    "pydatasource_stream_agg",
     "zorder_orders_key",
     "variant_events_agg",
     "jdbc_roundtrip_agg",

@@ -2860,7 +2860,7 @@ def pydatasource_synth_agg(spark, sf_dir):
     )
 
 
-def _gen_pydatasource_sql() -> str:
+def _gen_pydatasource_sql(n_rows: int = SYNTH_ROWS) -> str:
     d = f"md5('{SEED}:email|' || CAST(i AS VARCHAR))"
     gate = f"(strpos('{HEXD}', substr(d, 1, 1)) - 1)"
     for j in range(2, 9):
@@ -2869,12 +2869,59 @@ def _gen_pydatasource_sql() -> str:
 WITH src AS (
   SELECT i, 'u_' || substr(d, 1, 12) || '@example.com' AS email,
          CAST({gate} % 10 AS BIGINT) AS bucket
-  FROM (SELECT i, {d} AS d FROM generate_series(0, {SYNTH_ROWS - 1}) AS t(i))
+  FROM (SELECT i, {d} AS d FROM generate_series(0, {n_rows - 1}) AS t(i))
 )
 SELECT bucket, COUNT(*) AS n, MIN(email) AS min_email, MAX(email) AS max_email,
        CAST(SUM(i) AS BIGINT) AS sum_id
 FROM src GROUP BY bucket
 """
+
+
+SYNTH_STREAM_ROWS = 2000
+SYNTH_STREAM_BATCH = 1000  # 2 micro-batches of 1000
+
+
+def pydatasource_stream_agg(spark, sf_dir):
+    """STREAMING custom connector through the Python DataSource API
+    (sources/pydatasource.py::SynthStreamDataSource, Spark 4): the same
+    md5-constructed rows as the batch `synthrows` source, delivered as a
+    bounded changefeed — driver-side offset tracking, per-batch id ranges
+    split into executor-side partitions (the production shape for wrapping
+    a queue/CDC feed in pure Python). The query drains the stream into a
+    memory sink (4 micro-batches), aggregates per bucket, and the oracle
+    replays the ENTIRE stream from generate_series — green certifies
+    offsets, partition planning, and executor reads end-to-end. (sf_dir
+    unused: the source is self-generating by construction.)"""
+    import time
+    import uuid
+
+    from mysql_data_anonymizer_spark.sources import pydatasource
+
+    pydatasource.register_stream(spark)
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            spark.readStream.format("synthstream")
+            .option("n_rows", SYNTH_STREAM_ROWS)
+            .option("batch_rows", SYNTH_STREAM_BATCH)
+            .option("n_partitions", 4)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < SYNTH_STREAM_ROWS:
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("email").alias("min_email"),
+        F.max("email").alias("max_email"),
+        F.sum("id").alias("sum_id"),
+    )
 
 
 def variant_events_agg(spark, sf_dir):
@@ -5857,6 +5904,8 @@ QUERIES["importance_sample_docs"] = importance_sample_docs
 ORACLES["importance_sample_docs"] = _gen_importance_sample_sql()
 QUERIES["pretraining_pipeline_e2e"] = pretraining_pipeline_e2e
 ORACLES["pretraining_pipeline_e2e"] = _gen_pretraining_pipeline_sql()
+QUERIES["pydatasource_stream_agg"] = pydatasource_stream_agg
+ORACLES["pydatasource_stream_agg"] = _gen_pydatasource_sql(2000)
 QUERIES["zorder_orders_key"] = zorder_orders_key
 ORACLES["zorder_orders_key"] = ZORDER_ORDERS_SQL
 # Spark 4's transformWithStateInPandas needs the protobuf package for its
@@ -5938,6 +5987,7 @@ _CHECK_FIRST = [
     "streaming_jdbc_upsert_agg",  # new: streaming MERGE upsert into Derby
     "zorder_orders_key",  # new: Morton layout key
     "streaming_stateful_user_stats_tws",  # new: Spark 4 transformWithState
+    "pydatasource_stream_agg",  # new: streaming Python DataSource
     # (6) tail of the ~50-query sample window: oldest r3-certified rows
     # (grouping-set family, r3-era TPC-H, source formats) so the sample's
     # overflow refreshes 1-round-old greens instead of r4-fresh ones

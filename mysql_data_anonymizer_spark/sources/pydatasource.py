@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 SYNTH_SEED = 42
 
@@ -66,3 +71,62 @@ class SynthRowsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the synthrows format on a session."""
     spark.dataSource.register(SynthRowsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource — the micro-batch face of the same connector
+# ---------------------------------------------------------------------------
+class SynthStreamReader(DataSourceStreamReader):
+    """Full ``DataSourceStreamReader`` (not the Simple driver-side variant):
+    offsets advance ``batch_rows`` ids per micro-batch, each batch's id
+    range splits into ``n_partitions`` slices, and row generation runs
+    EXECUTOR-side per slice — the shape a production wrapper around a
+    queue/changefeed uses (driver tracks offsets; partitions scale out)."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 250))
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self._pos = 0
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        self._pos = min(self._pos + self.batch_rows, self.n_rows)
+        return {"i": self._pos}
+
+    def partitions(self, start, end):
+        lo, hi = start["i"], end["i"]
+        step = max(1, -(-(hi - lo) // self.n_partitions))
+        return [_RangePartition(a, min(a + step, hi)) for a in range(lo, hi, step)]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            d = hashlib.md5(f"{SYNTH_SEED}:email|{i}".encode()).hexdigest()
+            yield (i, f"u_{d[:12]}@example.com", int(d[:8], 16) % 10)
+
+    def commit(self, end):
+        pass
+
+
+class SynthStreamDataSource(DataSource):
+    """``spark.readStream.format("synthstream")`` — deterministic bounded
+    changefeed: same md5-constructed rows as ``synthrows``, delivered as
+    micro-batches. Because every row derives from its id, a DuckDB oracle
+    replays the whole stream from generate_series once it is drained."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthstream"
+
+    def schema(self) -> str:
+        return "id long, email string, bucket long"
+
+    def streamReader(self, schema):
+        return SynthStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    """Idempotent registration of the synthstream format on a session."""
+    spark.dataSource.register(SynthStreamDataSource)

@@ -440,3 +440,35 @@ def test_jdbc_upsert_mysql_dialect():
     assert sql.startswith("INSERT INTO tgt (`id`, `a`, `b`) SELECT s.`id`, s.`a`, s.`b` FROM stg s")
     assert sql.endswith("ON DUPLICATE KEY UPDATE `a` = VALUES(`a`), `b` = VALUES(`b`)")
     assert "`id` = VALUES" not in sql  # keys are never in the update list
+
+
+def test_synthstream_datasource_multi_batch(spark):
+    """Streaming Python DataSource (full DataSourceStreamReader): 5
+    micro-batches of 100 ids drain to exactly the deterministic row set,
+    each id exactly once (offset tracking + executor-side partition reads
+    across batch boundaries), and rows match the batch synthrows source."""
+    import time
+    import uuid
+
+    from mysql_data_anonymizer_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    pydatasource.register_stream(spark)
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synthstream")
+        .option("n_rows", 500).option("batch_rows", 100).option("n_partitions", 3)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(processingTime="0 seconds").start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline and spark.table(name).count() < 500:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+    got = spark.table(name)
+    assert got.count() == 500
+    assert got.select("id").distinct().count() == 500  # no replays, no gaps
+    batch = spark.read.format("synthrows").option("n_rows", 500).load()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
