@@ -42,6 +42,29 @@ def df_to_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def compare_one(spark, con, fn, oracle_sql, name, sf_dir):
+    """Run one query + its oracle and compare; returns (ok, message)."""
+    t0 = time.time()
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = sdf.collect()
+    if oracle_sql is None:
+        return True, f"no oracle (rows-only), spark rows={len(srows)} [{time.time()-t0:.1f}s]"
+    res = con.sql(oracle_sql)
+    dcols = res.columns
+    drows = res.fetchall()
+    if sorted(scols) != sorted(dcols):
+        return False, f"columns spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"rows spark={len(srows)} duck={len(drows)}"
+    a = df_to_rows(scols, srows)
+    b = df_to_rows(dcols, drows)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        return False, f"value mismatch; first diffs: {diffs}"
+    return True, f"{len(srows)} rows [{time.time()-t0:.1f}s]"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if not os.path.isdir(a)]

@@ -1,0 +1,144 @@
+"""Edge-case fuzz sweep: run text/dedup/curation queries against a
+PERTURBED copy of the fixtures and compare Spark vs DuckDB exactly like
+compare_oracle.
+
+The driver's correctness gate only ever sees the clean synthetic fixtures —
+no empty documents, no whitespace-only text, no unicode, no degenerate
+token shapes. Those are exactly the rows a real crawl corpus is full of,
+and the chunk-dedup empty-doc crash (caught by a model test, r5) showed the
+engine can be green on fixtures while broken on edge rows. This tool
+derives a fuzzed `documents` table (clean rows + appended edge rows, ids
+above the fixture range) under .fuzzdata/ and runs the document-family
+queries over it with the SAME oracle SQL — any mismatch or crash is a real
+robustness bug, because both engines see identical bytes.
+
+Usage: python tools/fuzz_oracle.py [query ...]   # default: document family
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from mysql_data_anonymizer_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.001"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fuzzdata")
+
+# the document-family queries (text analysis, dedup, curation) — the ones
+# whose token/shingle/chunk algebra meets degenerate text
+DEFAULT_QUERIES = [
+    "text_profile",
+    "text_lang_source_stats",
+    "text_fingerprint_groups",
+    "text_winnowing",
+    "doc_repetition_stats",
+    "corpus_quality_filter",
+    "scrub_documents_pii",
+    "stratified_sample_docs",
+    "pack_docs_token_bins",
+    "cap_docs_per_source",
+    "shard_training_corpus",
+    "vocab_top_terms",
+    "chunk_docs_for_rag",
+    "explode_doc_sentences",
+    "doc_top_terms",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_md5",
+    "dedup_canonical_docs",
+    "dedup_chunks_reconstruct",
+    "decontaminate_training_docs",
+    "curate_corpus_pipeline",
+    "select_docs_token_budget",
+    "rebalance_corpus_mix",
+    "importance_sample_docs",
+    "bigram_collocations",
+    "approx_top_terms",
+    "fuzzy_pairs_symdelete",
+    "pretraining_pipeline_e2e",
+]
+
+EDGE_TEXTS = [
+    "",  # empty document
+    "   ",  # whitespace-only
+    "\t\n  \t",  # mixed whitespace
+    "single",  # one token
+    "a b",  # two 1-char tokens
+    "x" * 5000,  # one enormous token
+    ("tok " * 600).strip(),  # many identical tokens
+    "Ünïcödé tökens Ünïcödé tökens",  # repeated unicode
+    "naïve café naïve café naïve café",  # unicode near-dup fodder
+    "word. another! третий? 第四",  # punctuation + non-latin scripts
+    "a  b   c    d",  # runs of spaces between tokens
+    "CAPS caps CaPs",  # casefolding collisions
+    "email me at edge@example.com or 10.0.0.1",  # PII scrub targets
+]
+
+
+def build_fuzz_dir(spark) -> str:
+    os.makedirs(OUT, exist_ok=True)
+    marker = os.path.join(OUT, "_COMPLETE")
+    if not os.path.exists(marker):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        base_max = docs.agg(F.max("doc_id")).first()[0]
+        langs = [r[0] for r in docs.select("lang").distinct().collect()]
+        edges = [
+            (base_max + 1 + i, t, langs[i % len(langs)], f"fuzz_src_{i % 3}", len(t))
+            for i, t in enumerate(EDGE_TEXTS)
+        ]
+        edge_df = spark.createDataFrame(
+            edges, "doc_id long, text string, lang string, source string, n_chars long"
+        ).select(*docs.columns)
+        docs.unionByName(edge_df).coalesce(2).write.mode("overwrite").parquet(
+            f"{OUT}/documents.parquet"
+        )
+        # the rest of the tables pass through untouched (symlinks)
+        for t in "region nation customer supplier part orders lineitem events embeddings".split():
+            dst = f"{OUT}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{BASE}/{t}.parquet", dst)
+        open(marker, "w").close()
+    return OUT
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark("mda-fuzz", master="local[8]")
+    fuzz_dir = build_fuzz_dir(spark)
+
+    import mysql_data_anonymizer_spark.queries as Q
+    from tools.compare_oracle import compare_one  # reuse the exact harness
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        # documents is a Spark-written DIRECTORY; the pass-through tables are
+        # single files — glob handles both
+        pat = f"{fuzz_dir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
+
+    failures = []
+    for name in names:
+        try:
+            ok, msg = compare_one(spark, con, Q.QUERIES[name], Q.ORACLES[name], name, fuzz_dir)
+        except Exception as exc:  # crash on edge rows IS the finding
+            ok, msg = False, f"CRASH {type(exc).__name__}: {str(exc)[:300]}"
+        status = "OK  " if ok else "FAIL"
+        print(f"{status} {name}: {msg}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(names) - len(failures)}/{len(names)} fuzz-clean; failures: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
