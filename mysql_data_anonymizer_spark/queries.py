@@ -693,9 +693,9 @@ def json_events_agg(spark, sf_dir):
 
 JSON_EVENTS_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(SUM(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS min_k,
+       MAX(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
 
@@ -717,11 +717,11 @@ def json_props_struct(spark, sf_dir):
 
 
 JSON_STRUCT_SQL = """
-SELECT ((CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) + 10) % 10 AS k_mod,
+SELECT ((CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT) % 10) + 10) % 10 AS k_mod,
        COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       COUNT(json_extract_string(props, '$.cat')) AS n_cat
+       CAST(SUM(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS max_k,
+       COUNT((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.cat') END)) AS n_cat
 FROM events GROUP BY 1
 """
 
@@ -900,7 +900,7 @@ def events_hourly_window(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _dbl(F.sum(_dec("value", 12, 2))).alias("total_value"),
+            _dbl(F.sum(_dec("value", 30, 2))).alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
@@ -909,7 +909,7 @@ def events_hourly_window(spark, sf_dir):
 EVENTS_HOURLY_SQL = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -2932,7 +2932,7 @@ def variant_events_agg(spark, sf_dir):
     same fields through DuckDB's JSON path functions; agreement certifies
     the variant encode/decode round trip, null semantics included."""
     ev = _t(spark, sf_dir, "events")
-    v = ev.withColumn("v", F.parse_json(F.col("props")))
+    v = ev.withColumn("v", F.try_parse_json(F.col("props")))
     k = F.try_variant_get("v", "$.k", "long")
     cat = F.try_variant_get("v", "$.cat", "string")
     return (
@@ -2949,11 +2949,11 @@ def variant_events_agg(spark, sf_dir):
 
 
 VARIANT_SQL = """
-SELECT ((CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) + 10) % 10 AS k_mod,
+SELECT ((CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT) % 10) + 10) % 10 AS k_mod,
        COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       COUNT(json_extract_string(props, '$.cat')) AS n_cat
+       CAST(SUM(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS max_k,
+       COUNT((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.cat') END)) AS n_cat
 FROM events GROUP BY 1
 """
 
@@ -5604,7 +5604,7 @@ def timeseries_gapfill_hourly(spark, sf_dir):
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type").alias("et"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _dbl(F.sum(_dec("value", 12, 2))).alias("tv"),
+            _dbl(F.sum(_dec("value", 30, 2))).alias("tv"),
         )
     )
     return (
@@ -5632,7 +5632,7 @@ WITH b AS (
   SELECT DISTINCT event_type FROM events
 ), counts AS (
   SELECT date_trunc('hour', ts) AS h, event_type AS et, COUNT(*) AS n,
-         CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS tv
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS tv
   FROM events GROUP BY 1, 2
 )
 SELECT hour_start, event_type, COALESCE(n, 0) AS n_events,

@@ -62,6 +62,27 @@ DEFAULT_QUERIES = [
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
     "pretraining_pipeline_e2e",
+    # events family: duplicate timestamps (window-tie determinism),
+    # malformed/missing JSON props, extreme values, unseen event types
+    "events_hourly_window",
+    "sessionize_events",
+    "winsorize_events_value",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "json_events_agg",
+    "json_props_struct",
+    "variant_events_agg",
+    "incremental_agg_users",
+    "compact_latest_events",
+    "timeseries_gapfill_hourly",
+    "approx_quantiles_events_value",
+    "approx_distinct_users_daily",
+    "streaming_tumbling_agg",
+    "streaming_sliding_agg",
+    "streaming_stateful_user_totals",
+    "streaming_dedup_events",
+    "streaming_dedup_then_window",
+    "streaming_jdbc_upsert_agg",
 ]
 
 EDGE_TEXTS = [
@@ -81,6 +102,21 @@ EDGE_TEXTS = [
 ]
 
 
+def _write_single_file(df, dest: str) -> None:
+    """Write a DataFrame as ONE parquet FILE at dest (matching the fixture
+    layout, so streaming queries that symlink `<dir>/events.parquet` as a
+    file keep working)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="fuzz_one_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.copy(part, dest)
+    shutil.rmtree(tmp)
+
+
 def build_fuzz_dir(spark) -> str:
     os.makedirs(OUT, exist_ok=True)
     marker = os.path.join(OUT, "_COMPLETE")
@@ -97,11 +133,36 @@ def build_fuzz_dir(spark) -> str:
         edge_df = spark.createDataFrame(
             edges, "doc_id long, text string, lang string, source string, n_chars long"
         ).select(*docs.columns)
-        docs.unionByName(edge_df).coalesce(2).write.mode("overwrite").parquet(
-            f"{OUT}/documents.parquet"
-        )
+        if os.path.lexists(f"{OUT}/documents.parquet"):
+            os.remove(f"{OUT}/documents.parquet")
+        _write_single_file(docs.unionByName(edge_df), f"{OUT}/documents.parquet")
+
+        ev = spark.read.parquet(f"{BASE}/events.parquet")
+        ev_max, ts_max = ev.agg(F.max("event_id"), F.max("ts")).first()
+        uid = 424242  # an unseen fuzz user
+        edge_events = [
+            # two events at the IDENTICAL timestamp (window/rank tie fodder)
+            (ev_max + 1, ts_max, uid, "click", 1.5, '{"k": 1}'),
+            (ev_max + 2, ts_max, uid, "click", 2.5, '{"k": 2}'),
+            # value extremes
+            (ev_max + 3, ts_max, uid, "view", 0.0, "{}"),
+            (ev_max + 4, ts_max, uid, "view", -99.99, ""),
+            (ev_max + 5, ts_max, uid, "purchase", 1.0e12, "not json {"),
+            # unseen + empty event types, unicode/nested props
+            (ev_max + 6, ts_max, uid, "fuzz_type", 3.25, '{"ünïcödé": "значение"}'),
+            (ev_max + 7, ts_max, uid, "", 4.75, '{"a": {"b": [1, 2, {"c": 3}]}}'),
+        ]
+        edge_ev = spark.createDataFrame(
+            edge_events,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).select(*ev.columns)
+        if os.path.lexists(f"{OUT}/events.parquet"):
+            os.remove(f"{OUT}/events.parquet")
+        _write_single_file(ev.unionByName(edge_ev), f"{OUT}/events.parquet")
+
         # the rest of the tables pass through untouched (symlinks)
-        for t in "region nation customer supplier part orders lineitem events embeddings".split():
+        for t in "region nation customer supplier part orders lineitem embeddings".split():
             dst = f"{OUT}/{t}.parquet"
             if not os.path.exists(dst):
                 os.symlink(f"{BASE}/{t}.parquet", dst)
