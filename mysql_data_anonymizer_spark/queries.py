@@ -449,7 +449,7 @@ def q1_pricing_summary(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     disc = _dec("l_discount", 6, 4)
     tax = _dec("l_tax", 6, 4)
-    price = _dec("l_extendedprice", 14, 2)
+    price = _dec("l_extendedprice", 30, 2)
     out = (
         l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -487,9 +487,9 @@ SELECT l_returnflag, l_linestatus,
 FROM (
   SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(18,2)) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS sum_disc_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS sum_charge,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DECIMAL(18,2)) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS sum_charge,
          COUNT(*) AS count_order
   FROM lineitem
   WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -502,7 +502,7 @@ def q3_top_revenue_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    revenue = F.sum(_dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
+    revenue = F.sum(_dec("l_extendedprice", 30, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
     out = (
         l.join(orders, l.l_orderkey == orders.o_orderkey)
         .join(
@@ -523,7 +523,7 @@ Q3_SQL = """
 SELECT l_orderkey, o_orderdate, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue
 FROM (
   SELECT l_orderkey, o_orderdate,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -541,7 +541,7 @@ def q5_nation_revenue(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    revenue = F.sum(_dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
+    revenue = F.sum(_dec("l_extendedprice", 30, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
     out = (
         l.join(orders, l.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -555,7 +555,7 @@ def q5_nation_revenue(spark, sf_dir):
 
 Q5_SQL = """
 SELECT r_name, n_name,
-       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -591,7 +591,7 @@ def rollup_orders(spark, sf_dir):
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _dbl(F.sum(_dec("o_totalprice", 14, 2))).alias("total"),
+            _dbl(F.sum(_dec("o_totalprice", 30, 2))).alias("total"),
             # SQL-standard bit vector (1 = column aggregated away): the only
             # way to tell an aggregated NULL from a data NULL
             F.grouping_id().cast("long").alias("gid"),
@@ -601,7 +601,7 @@ def rollup_orders(spark, sf_dir):
 
 ROLLUP_ORDERS_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
@@ -793,13 +793,13 @@ def running_total_per_customer(spark, sf_dir):
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        _dbl(F.sum(_dec("o_totalprice", 14, 2)).over(w)).alias("running_total"),
+        _dbl(F.sum(_dec("o_totalprice", 30, 2)).over(w)).alias("running_total"),
     )
 
 
 RUNNING_TOTAL_SQL = """
 SELECT o_orderkey, o_custkey,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
 FROM orders
@@ -823,14 +823,14 @@ def rolling_30d_order_stats(spark, sf_dir):
         "o_orderkey",
         "o_custkey",
         F.count(F.lit(1)).over(w).cast("long").alias("n_orders_30d"),
-        _dbl(F.sum(_dec("o_totalprice", 14, 2)).over(w)).alias("spend_30d"),
+        _dbl(F.sum(_dec("o_totalprice", 30, 2)).over(w)).alias("spend_30d"),
     )
 
 
 ROLLING_30D_SQL = """
 SELECT o_orderkey, o_custkey,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS VARCHAR) AS DOUBLE) AS spend_30d
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER w AS VARCHAR) AS DOUBLE) AS spend_30d
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW)
@@ -918,13 +918,13 @@ def cube_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _dbl(F.sum(_dec("o_totalprice", 14, 2))).alias("total"),
+        _dbl(F.sum(_dec("o_totalprice", 30, 2))).alias("total"),
     )
 
 
 CUBE_ORDERS_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
@@ -2348,8 +2348,19 @@ def profile_orders_columns(spark, sf_dir):
         aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
             F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
+            # double columns stringify via DECIMAL(30,2): Spark renders
+            # large doubles as "1.0E12", DuckDB as "1000000000000.0" —
+            # the decimal hop gives one canonical form in both engines
+            (
+                F.min(c).cast("decimal(30,2)").cast("string")
+                if c == "o_totalprice"
+                else F.min(c).cast("string")
+            ).alias(f"__min_{c}"),
+            (
+                F.max(c).cast("decimal(30,2)").cast("string")
+                if c == "o_totalprice"
+                else F.max(c).cast("string")
+            ).alias(f"__max_{c}"),
         ]
     wide = o.agg(*aggs)
     stack_args = ", ".join(
@@ -2368,8 +2379,8 @@ def _gen_column_profile_sql() -> str:
         f"""SELECT '{c}' AS column_name,
        CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
        COUNT(DISTINCT {c}) AS n_distinct,
-       CAST(MIN({c}) AS VARCHAR) AS min_s,
-       CAST(MAX({c}) AS VARCHAR) AS max_s
+       CAST({'CAST(MIN(' + c + ') AS DECIMAL(30,2))' if c == 'o_totalprice' else 'MIN(' + c + ')'} AS VARCHAR) AS min_s,
+       CAST({'CAST(MAX(' + c + ') AS DECIMAL(30,2))' if c == 'o_totalprice' else 'MAX(' + c + ')'} AS VARCHAR) AS max_s
 FROM orders"""
         for c in cols
     ]
@@ -3549,7 +3560,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _dbl(F.sum(_dec("l_extendedprice", 14, 2) * disc).cast("decimal(30,6)")).alias("revenue"),
+            _dbl(F.sum(_dec("l_extendedprice", 30, 2) * disc).cast("decimal(30,6)")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -3557,7 +3568,7 @@ def q6_forecast_revenue(spark, sf_dir):
 
 
 Q6_SQL = """
-SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3572,7 +3583,7 @@ def q14_promo_revenue(spark, sf_dir):
     caller because decimal-division scale rules are engine-specific."""
     l = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    rev = _dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
+    rev = _dec("l_extendedprice", 30, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
     out = (
         l.join(F.broadcast(part), l.l_partkey == part.p_partkey)
         .filter(
@@ -3589,8 +3600,8 @@ def q14_promo_revenue(spark, sf_dir):
 
 
 Q14_SQL = """
-SELECT CAST(CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) END) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS promo_revenue,
-       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS total_revenue
+SELECT CAST(CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) END) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
 """
@@ -3698,7 +3709,7 @@ def grouping_sets_orders(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS total
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS STRING) AS DOUBLE) AS total
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
@@ -3707,7 +3718,7 @@ def grouping_sets_orders(spark, sf_dir):
 
 GROUPING_SETS_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
@@ -3927,7 +3938,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     _t(spark, sf_dir, "part").createOrReplaceTempView("__q17_part")
     return spark.sql(
         """
-        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0
                     AS DOUBLE) AS avg_yearly
         FROM __q17_lineitem l JOIN __q17_part p ON p.p_partkey = l.l_partkey
         WHERE p.p_size <= 10
@@ -3940,7 +3951,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
 
 
 Q17_SQL = """
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0
             AS DOUBLE) AS avg_yearly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_size <= 10
@@ -3960,7 +3971,7 @@ def q22_idle_rich_customers(spark, sf_dir):
     return spark.sql(
         """
         SELECT c_nationkey, COUNT(*) AS numcust,
-               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS STRING) AS DOUBLE) AS totacctbal
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS STRING) AS DOUBLE) AS totacctbal
         FROM __q22_customer c
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __q22_customer WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM __q22_orders o
@@ -3972,7 +3983,7 @@ def q22_idle_rich_customers(spark, sf_dir):
 
 Q22_SQL = """
 SELECT c_nationkey, COUNT(*) AS numcust,
-       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -4690,7 +4701,7 @@ def q7_volume_shipping(spark, sf_dir):
         .filter(F.col("n_name").isin(*nations))
         .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
     )
-    vol = _dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
+    vol = _dec("l_extendedprice", 30, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
     pair = (
         (F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1])
     ) | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
@@ -4715,7 +4726,7 @@ SELECT supp_nation, cust_nation, l_year,
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS l_year,
-         CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume
+         CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -4747,7 +4758,7 @@ def q8_market_share(spark, sf_dir):
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select("r_regionkey")
-    vol = _dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
+    vol = _dec("l_extendedprice", 30, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
     num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(21,6)")))
     den = F.sum(vol)
     return (
@@ -4775,7 +4786,7 @@ SELECT o_year,
          / CAST(CAST(CAST(SUM(volume) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume,
+         CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume,
          n2.n_name AS supp_nation
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
@@ -4803,7 +4814,7 @@ def q10_returned_items(spark, sf_dir):
     )
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    rev = F.sum(_dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
+    rev = F.sum(_dec("l_extendedprice", 30, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -4822,7 +4833,7 @@ Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue
 FROM (
   SELECT c_custkey, c_name, c_acctbal, n_name,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -4882,7 +4893,7 @@ def q15_top_supplier(spark, sf_dir):
         """
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS total_revenue
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS total_revenue
           FROM __q15_lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
           GROUP BY l_suppkey
@@ -4898,7 +4909,7 @@ def q15_top_supplier(spark, sf_dir):
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS total_revenue
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
@@ -4955,7 +4966,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     ) | (
         (F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15)
     )
-    rev = F.sum(_dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
+    rev = F.sum(_dec("l_extendedprice", 30, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4)))
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
@@ -4964,7 +4975,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
 
 
 Q19_SQL = """
-SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
@@ -5079,7 +5090,7 @@ def q2_min_cost_supplier(spark, sf_dir):
 Q2_SQL = """
 WITH cost AS (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-         MIN(CAST(l_extendedprice AS DECIMAL(14,2))) AS supply_cost
+         MIN(CAST(l_extendedprice AS DECIMAL(30,2))) AS supply_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
@@ -5177,9 +5188,9 @@ def unpivot_lineitem_charges(spark, sf_dir):
     un = l.select(
         "l_returnflag",
         F.expr(
-            "stack(3, 'extendedprice', CAST(l_extendedprice AS DECIMAL(14,2)),"
-            " 'discount', CAST(l_discount AS DECIMAL(14,2)),"
-            " 'tax', CAST(l_tax AS DECIMAL(14,2))) AS (charge_type, amount)"
+            "stack(3, 'extendedprice', CAST(l_extendedprice AS DECIMAL(30,2)),"
+            " 'discount', CAST(l_discount AS DECIMAL(30,2)),"
+            " 'tax', CAST(l_tax AS DECIMAL(30,2))) AS (charge_type, amount)"
         ),
     )
     return un.groupBy("l_returnflag", "charge_type").agg(
@@ -5190,11 +5201,11 @@ def unpivot_lineitem_charges(spark, sf_dir):
 
 UNPIVOT_SQL = """
 WITH un AS (
-  SELECT l_returnflag, 'extendedprice' AS charge_type, CAST(l_extendedprice AS DECIMAL(14,2)) AS amount FROM lineitem
+  SELECT l_returnflag, 'extendedprice' AS charge_type, CAST(l_extendedprice AS DECIMAL(30,2)) AS amount FROM lineitem
   UNION ALL
-  SELECT l_returnflag, 'discount', CAST(l_discount AS DECIMAL(14,2)) FROM lineitem
+  SELECT l_returnflag, 'discount', CAST(l_discount AS DECIMAL(30,2)) FROM lineitem
   UNION ALL
-  SELECT l_returnflag, 'tax', CAST(l_tax AS DECIMAL(14,2)) FROM lineitem
+  SELECT l_returnflag, 'tax', CAST(l_tax AS DECIMAL(30,2)) FROM lineitem
 )
 SELECT l_returnflag, charge_type,
        CAST(CAST(CAST(SUM(amount) AS DECIMAL(20,2)) AS VARCHAR) AS DOUBLE) AS total_amount, COUNT(*) AS n
@@ -5347,7 +5358,7 @@ def q9_profit_by_nation_year(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a")).select(
         "p_partkey", "p_retailprice"
     )
-    vol = _dec("l_extendedprice", 14, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
+    vol = _dec("l_extendedprice", 30, 2) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
     cost = _dec("p_retailprice", 12, 2) * _dec("l_quantity", 12, 2)
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -5373,7 +5384,7 @@ SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(CAST(CAST(CAST(SUM(volume) AS DECIMAL(32,6)) - CAST(SUM(cost) AS DECIMAL(32,6)) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS profit
 FROM (
   SELECT n_name, o_orderdate,
-         CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume,
+         CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS volume,
          CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS cost
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
@@ -5482,8 +5493,11 @@ def stats_corr_qty_price(spark, sf_dir):
     both. corr is scale-invariant; stddev divides the 100x back out at the
     end (same op in both engines)."""
     l = _t(spark, sf_dir, "lineitem")
-    x = (_dec("l_quantity", 12, 2) * F.lit(100)).cast("decimal(16,0)")
-    y = (_dec("l_extendedprice", 14, 2) * F.lit(100)).cast("decimal(18,0)")
+    # width 19: the squared terms need 2x19=38 digits — the exact cap both
+    # engines share; DuckDB does NOT auto-widen same-width decimal products
+    # (fuzz finding: 1e14-cent values overflowed its DECIMAL(18) multiply)
+    x = (_dec("l_quantity", 12, 2) * F.lit(100)).cast("decimal(19,0)")
+    y = (_dec("l_extendedprice", 30, 2) * F.lit(100)).cast("decimal(19,0)")
     agg = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x).cast("decimal(38,0)").cast("double").alias("sx"),
@@ -5492,12 +5506,22 @@ def stats_corr_qty_price(spark, sf_dir):
         F.sum(x * y).cast("decimal(38,0)").cast("double").alias("sxy"),
         F.sum(y * y).cast("decimal(38,0)").cast("double").alias("syy"),
     )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # degenerate groups (n == 1, or zero variance) have undefined corr /
+    # sample stddev: try_divide + NULLIF give NULL in BOTH engines instead
+    # of an ANSI divide-by-zero crash (fuzz finding — a singleton
+    # return-flag group took the whole job down)
+    corr = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
     )
     sd_x = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (F.col("n") * (F.col("n") - 1))
+        F.try_divide(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+            F.col("n") * (F.col("n") - 1),
+        )
     ) / F.lit(100.0)
     return agg.select(
         "l_returnflag",
@@ -5510,8 +5534,8 @@ def stats_corr_qty_price(spark, sf_dir):
 STATS_CORR_SQL = """
 WITH s AS (
   SELECT l_returnflag,
-         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(16,0)) AS x,
-         CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS DECIMAL(18,0)) AS y
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS DECIMAL(19,0)) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS DECIMAL(19,0)) AS y
   FROM lineitem
 ), a AS (
   SELECT l_returnflag,
@@ -5524,8 +5548,8 @@ WITH s AS (
   FROM s GROUP BY l_returnflag
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-       (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
-       SQRT((n * sxx - sx * sx) / (n * (n - 1))) / 100.0 AS stddev_qty
+       (n * sxy - sx * sy) / NULLIF(SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 0) AS corr_qty_price,
+       SQRT((n * sxx - sx * sx) / NULLIF(n * (n - 1), 0)) / 100.0 AS stddev_qty
 FROM a
 """
 
@@ -5541,7 +5565,7 @@ def histogram_totalprice(spark, sf_dir):
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _dbl(F.sum(_dec("o_totalprice", 14, 2))).alias("total_value"),
+            _dbl(F.sum(_dec("o_totalprice", 30, 2))).alias("total_value"),
         )
     )
 
@@ -5549,7 +5573,7 @@ def histogram_totalprice(spark, sf_dir):
 HISTOGRAM_SQL = """
 SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
        COUNT(*) AS n_orders,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM orders
 GROUP BY 1
 """

@@ -83,6 +83,39 @@ DEFAULT_QUERIES = [
     "streaming_dedup_events",
     "streaming_dedup_then_window",
     "streaming_jdbc_upsert_agg",
+    # relational family: NULL join keys (never match, identically, in both
+    # engines), empty-string group keys, extreme/negative money values
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q12_priority_by_linestatus",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "pivot_orders_status",
+    "grouping_sets_orders",
+    "rollup_orders",
+    "cube_orders",
+    "histogram_totalprice",
+    "ntile_deciles_acctbal",
+    "stats_corr_qty_price",
+    "topk_customers_per_segment",
+    "top_supplier_per_nation",
+    "running_total_per_customer",
+    "rolling_30d_order_stats",
+    "order_gaps_lag_lead",
+    "anti_join_customers_no_orders",
+    "semi_join_parts_ordered",
+    "intersect_rich_customers_with_orders",
+    "except_rich_customers_without_orders",
+    "distinct_nations_per_segment",
+    "profile_orders_columns",
+    "snapshot_diff_orders",
+    "unpivot_lineitem_charges",
+    "zorder_orders_key",
 ]
 
 EDGE_TEXTS = [
@@ -161,8 +194,48 @@ def build_fuzz_dir(spark) -> str:
             os.remove(f"{OUT}/events.parquet")
         _write_single_file(ev.unionByName(edge_ev), f"{OUT}/events.parquet")
 
+        od = spark.read.parquet(f"{BASE}/orders.parquet")
+        ok_max, od_max = od.agg(F.max("o_orderkey"), F.max("o_orderdate")).first()
+        edge_orders = [
+            # NULL custkey: must never join, identically, in both engines
+            (ok_max + 1, None, "O", 123.45, od_max, "1-URGENT"),
+            # extreme + negative money, empty-string group keys
+            (ok_max + 2, 0, "", 1.0e12, od_max, ""),
+            (ok_max + 3, 1, "F", -500.0, od_max, "5-LOW"),
+            # duplicate orderkey? no - keys stay unique; duplicate DATE ties
+            (ok_max + 4, 2, "O", 0.0, od_max, "3-MEDIUM"),
+        ]
+        edge_od = spark.createDataFrame(
+            edge_orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).select(*od.columns)
+        if os.path.lexists(f"{OUT}/orders.parquet"):
+            os.remove(f"{OUT}/orders.parquet")
+        _write_single_file(od.unionByName(edge_od), f"{OUT}/orders.parquet")
+
+        li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+        lk_max, sd_max = li.agg(F.max("l_orderkey"), F.max("l_shipdate")).first()
+        edge_li = [
+            # orphan lineitem (no parent order), NULL part/supp keys
+            (lk_max + 1000, None, None, 1, 0.0, 0.0, 0.0, 0.0, "", "", sd_max),
+            # extreme price, discount=1.0 (full), tax=0
+            (lk_max + 1001, 1, 1, 1, 1.0, 1.0e12, 1.0, 0.0, "R", "F", sd_max),
+            # negative quantity/price
+            (lk_max + 1002, 2, 2, 1, -5.0, -100.0, 0.05, 0.02, "A", "O", sd_max),
+        ]
+        edge_lidf = spark.createDataFrame(
+            edge_li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        ).select(*li.columns)
+        if os.path.lexists(f"{OUT}/lineitem.parquet"):
+            os.remove(f"{OUT}/lineitem.parquet")
+        _write_single_file(li.unionByName(edge_lidf), f"{OUT}/lineitem.parquet")
+
         # the rest of the tables pass through untouched (symlinks)
-        for t in "region nation customer supplier part orders lineitem embeddings".split():
+        for t in "region nation customer supplier part embeddings".split():
             dst = f"{OUT}/{t}.parquet"
             if not os.path.exists(dst):
                 os.symlink(f"{BASE}/{t}.parquet", dst)
