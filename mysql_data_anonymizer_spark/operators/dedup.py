@@ -949,7 +949,10 @@ def semantic_decontaminate(
             c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             c_norm = np.maximum(np.linalg.norm(c, axis=1), 1e-12)
             scores = np.round((c @ b_mat_l.T) / np.outer(c_norm, b_norm_l), round_digits)
-            yield pd.DataFrame({id_col: ids, "max_bench_cosine": scores.max(axis=1)})
+            # + 0.0 canonicalizes IEEE -0.0 (tiny negative dots round to
+            # -0.0; the oracle does the same) so the hash comparison cannot
+            # split on the zero sign
+            yield pd.DataFrame({id_col: ids, "max_bench_cosine": scores.max(axis=1) + 0.0})
 
     scored = corpus.select(id_col, vec_col).mapInPandas(part_maxcos, out_schema)
     return scored.select(

@@ -43,7 +43,12 @@ def dot_expr(a: str | Column, b: str | Column, dim: int | None = DEFAULT_DIM) ->
 
 
 def norm_expr(a: str | Column, dim: int | None = DEFAULT_DIM) -> Column:
-    return F.sqrt(dot_expr(a, a, dim))
+    """L2 norm FLOORED at 1e-12 — the same guard the numpy paths apply
+    (np.maximum(norm, 1e-12)), so a zero/denormal vector yields cosine ~0
+    instead of an ANSI divide-by-zero crash (fuzz finding: one zero
+    embedding took down every Column-side cosine query). Oracles replicate
+    with GREATEST(sqrt(...), 1e-12)."""
+    return F.greatest(F.sqrt(dot_expr(a, a, dim)), F.lit(1e-12))
 
 
 def cosine_expr(a: str | Column, b: str | Column, dim: int | None = DEFAULT_DIM) -> Column:
@@ -113,7 +118,7 @@ def matmul_topk(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
     spark = df.sparkSession
     b_q = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
@@ -126,7 +131,7 @@ def matmul_topk(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             c = np.stack(pdf[vec_col].to_numpy())
             c = c.astype(np.float64)
-            c_norm = np.linalg.norm(c, axis=1)
+            c_norm = np.maximum(np.linalg.norm(c, axis=1), 1e-12)
             scores = (c @ q_mat_l.T) / np.outer(c_norm, q_norm_l)  # |C| x |Q|
             scores = np.round(scores, 4)
             for qi, qid in enumerate(q_ids_l):

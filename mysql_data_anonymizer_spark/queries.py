@@ -3409,7 +3409,7 @@ def _gen_semdedup_ivf_sql(threshold: float = 0.4) -> str:
     cos = f"ROUND({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4)"
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  SELECT vec_id, embedding, GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS nrm
   FROM embeddings
 ),
 dropped AS (
@@ -3431,7 +3431,7 @@ def _gen_semdedup_sql(threshold: float = 0.4, n_sign_bits: int = 6) -> str:
     cos = f"ROUND({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4)"
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+  SELECT vec_id, embedding, GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS nrm,
          ({bucket}) AS bucket
   FROM embeddings
 ),
@@ -4552,7 +4552,7 @@ def _gen_embedding_dedup_sql(threshold: float = 0.4) -> str:
     cos = f"ROUND({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4)"
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  SELECT vec_id, embedding, GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS nrm
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
@@ -4565,10 +4565,10 @@ def _gen_knn_sql(k: int = 5) -> str:
     cos = f"ROUND({_sql_dot('q.qe', 'c.ce')} / (q.qn * c.cn), 4)"
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
-                  sqrt({_sql_dot('embedding', 'embedding')}) AS qn
+                  GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS qn
            FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
-             sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+             GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS cn
       FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id, {cos} AS cosine
@@ -4584,12 +4584,12 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 def _gen_decon_semantic_sql(threshold: float = 0.4) -> str:
     return f"""
-WITH b AS (SELECT embedding AS be, sqrt({_sql_dot('embedding', 'embedding')}) AS bn
+WITH b AS (SELECT embedding AS be, GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS bn
            FROM embeddings WHERE vec_id % 17 = 0),
-c AS (SELECT vec_id, embedding AS ce, sqrt({_sql_dot('embedding', 'embedding')}) AS cn
+c AS (SELECT vec_id, embedding AS ce, GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS cn
       FROM embeddings WHERE vec_id % 17 <> 0),
 scored AS (
-  SELECT c.vec_id, MAX(ROUND({_sql_dot('c.ce', 'b.be')} / (c.cn * b.bn), 4)) AS max_bench_cosine
+  SELECT c.vec_id, MAX(ROUND({_sql_dot('c.ce', 'b.be')} / (c.cn * b.bn), 4)) + 0.0 AS max_bench_cosine
   FROM c CROSS JOIN b GROUP BY c.vec_id
 )
 SELECT vec_id, max_bench_cosine, max_bench_cosine >= {threshold} AS contaminated FROM scored

@@ -116,6 +116,18 @@ DEFAULT_QUERIES = [
     "snapshot_diff_orders",
     "unpivot_lineitem_charges",
     "zorder_orders_key",
+    # embeddings family: zero vector (norm 0 -> cosine divide hazard),
+    # huge/tiny magnitudes, exact duplicate of an existing vector
+    "knn_brute_force",
+    "knn_matmul",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_pq",
+    "dedup_embedding_cosine",
+    "semdedup_embeddings",
+    "semdedup_ivf",
+    "kmeans_assign_step",
+    "decontaminate_semantic_embeddings",
 ]
 
 EDGE_TEXTS = [
@@ -234,8 +246,26 @@ def build_fuzz_dir(spark) -> str:
             os.remove(f"{OUT}/lineitem.parquet")
         _write_single_file(li.unionByName(edge_lidf), f"{OUT}/lineitem.parquet")
 
+        emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        ve_max = emb.agg(F.max("vec_id")).first()[0]
+        first_vec = emb.orderBy("vec_id").first()
+        dim = len(first_vec.embedding)
+        edge_vecs = [
+            (ve_max + 1, [0.0] * dim, 99),                      # zero vector
+            (ve_max + 2, [1e-30] * dim, 99),                    # vanishing norm
+            (ve_max + 3, [1e30] + [0.0] * (dim - 1), 99),       # huge magnitude
+            (ve_max + 4, list(first_vec.embedding), 99),        # exact duplicate
+            (ve_max + 5, [-v for v in first_vec.embedding], 99),  # antipode
+        ]
+        edge_emb = spark.createDataFrame(
+            edge_vecs, "vec_id long, embedding array<float>, label int"
+        ).select(*emb.columns)
+        if os.path.lexists(f"{OUT}/embeddings.parquet"):
+            os.remove(f"{OUT}/embeddings.parquet")
+        _write_single_file(emb.unionByName(edge_emb), f"{OUT}/embeddings.parquet")
+
         # the rest of the tables pass through untouched (symlinks)
-        for t in "region nation customer supplier part embeddings".split():
+        for t in "region nation customer supplier part".split():
             dst = f"{OUT}/{t}.parquet"
             if not os.path.exists(dst):
                 os.symlink(f"{BASE}/{t}.parquet", dst)
