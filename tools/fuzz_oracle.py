@@ -128,6 +128,26 @@ DEFAULT_QUERIES = [
     "semdedup_ivf",
     "kmeans_assign_step",
     "decontaminate_semantic_embeddings",
+    # masking core (§2.1): NULL primary key, empty/unicode names, extreme
+    # balances — the reference's own UPDATE-by-pk path would break on these
+    "mask_static",
+    "mask_guarded",
+    "mask_global_where",
+    "mask_unique_uuid",
+    "mask_generator_email",
+    "mask_generator_profile",
+    "mask_row_template",
+    "mask_chain_fields",
+    "mask_synchro_remap",
+    "mask_faker_profile",
+    "k_anonymity_audit_customers",
+    "l_diversity_audit_customers",
+    "mask_generalize_customers",
+    "suppress_small_groups",
+    "ntile_deciles_acctbal",
+    "quantiles_acctbal_per_segment",
+    "zscore_acctbal_per_segment",
+    "histogram_totalprice",
 ]
 
 EDGE_TEXTS = [
@@ -264,8 +284,25 @@ def build_fuzz_dir(spark) -> str:
             os.remove(f"{OUT}/embeddings.parquet")
         _write_single_file(emb.unionByName(edge_emb), f"{OUT}/embeddings.parquet")
 
+        cu = spark.read.parquet(f"{BASE}/customer.parquet")
+        ck_max = cu.agg(F.max("c_custkey")).first()[0]
+        edge_cust = [
+            (ck_max + 1, "", 0, 0.0, ""),                 # empty strings, zero balance
+            (ck_max + 2, "Ünïcödé Nämé", 1, -1.0e9, "FUZZSEG"),  # unicode + huge negative
+            (ck_max + 3, "x" * 500, 2, 1.0e9, "BUILDING"),  # 500-char name, huge balance
+            (ck_max + 4, None, 3, 123.45, "MACHINERY"),   # NULL name
+        ]
+        edge_cu = spark.createDataFrame(
+            edge_cust,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).select(*cu.columns)
+        if os.path.lexists(f"{OUT}/customer.parquet"):
+            os.remove(f"{OUT}/customer.parquet")
+        _write_single_file(cu.unionByName(edge_cu), f"{OUT}/customer.parquet")
+
         # the rest of the tables pass through untouched (symlinks)
-        for t in "region nation customer supplier part".split():
+        for t in "region nation supplier part".split():
             dst = f"{OUT}/{t}.parquet"
             if not os.path.exists(dst):
                 os.symlink(f"{BASE}/{t}.parquet", dst)
