@@ -5955,80 +5955,97 @@ ORACLES["streaming_dedup_then_window"] = STREAMING_CHAIN_SQL
 # re-checking queries that are already green.
 # ===========================================================================
 _CHECK_FIRST = [
-    # Ordering maximizes value of the driver's bounded (~50-query) sample
-    # (VERDICT r4 #1): lead with the 36 queries whose latest driver
-    # CORRECTNESS row is r2 — the engine's reference-parity masking core,
-    # grouping-set family, r2-era TPC-H block, and streaming window aggs —
-    # so round 5 refreshes the stalest certifications first.
-    # (1) §2.1 masking core, last checked r2
-    "mask_static",
-    "mask_guarded",
-    "mask_global_where",
-    "mask_unique_uuid",
-    "mask_generator_email",
-    "mask_generator_profile",
-    # (2) r2-era TPC-H block
+    # Ordering for the driver's bounded (~50-query) sample, round 5:
+    # (1) never driver-certified (new this round)
+    "knn_pq",
+    "decontaminate_semantic_embeddings",
+    "dedup_chunks_reconstruct",
+    "streaming_jdbc_upsert_agg",
+    "zorder_orders_key",
+    "pydatasource_stream_agg",
+    # (2) last certified r2 AND changed this round (decimal widening /
+    #     streaming oracle fixes) — stalest cert on changed code
+    "dedup_canonical_docs",
+    "dedup_incremental_new_docs",
+    "histogram_totalprice",
+    "q10_returned_items",
+    "q15_top_supplier",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
-    "q10_returned_items",
+    "rolling_30d_order_stats",
+    "stats_corr_qty_price",
+    "streaming_session_agg",
+    "streaming_sliding_agg",
+    "streaming_stateful_user_totals",
+    "streaming_tumbling_agg",
+    "timeseries_gapfill_hourly",
+    "unpivot_lineitem_charges",
+    # (3) last certified r2, unchanged — the reference-parity masking
+    #     core and friends (VERDICT r4 #1: refresh 2-round-old certs)
+    "corpus_quality_filter",
+    "mask_generator_email",
+    "mask_generator_profile",
+    "mask_global_where",
+    "mask_guarded",
+    "mask_static",
+    "mask_unique_uuid",
+    "ntile_deciles_acctbal",
+    "order_window_features",
+    "pack_docs_token_bins",
     "q11_important_nations",
     "q13_order_distribution",
-    "q15_top_supplier",
     "q16_supplier_part_counts",
     "q20_volume_share_suppliers",
     "q21_waiting_suppliers",
-    # (3) streaming window aggs, last checked r2
-    "streaming_tumbling_agg",
-    "streaming_sliding_agg",
-    "streaming_session_agg",
-    "streaming_stateful_user_totals",
-    # (4) remaining r2-stale analytics / curation rows
-    "ntile_deciles_acctbal",
-    "zscore_acctbal_per_segment",
-    "histogram_totalprice",
-    "stats_corr_qty_price",
-    "rolling_30d_order_stats",
-    "order_window_features",
-    "timeseries_gapfill_hourly",
-    "unpivot_lineitem_charges",
-    "segment_nation_list",
-    "corpus_quality_filter",
     "scrub_documents_pii",
+    "segment_nation_list",
     "stratified_sample_docs",
-    "pack_docs_token_bins",
-    "dedup_canonical_docs",
-    "dedup_incremental_new_docs",
-    # (5) changed or new THIS round — must re-certify
-    "streaming_dedup_then_window",  # oracle boundary reverted to <= (ADVICE r4)
-    "dedup_simhash",  # exactdup multiset key separator fix (ADVICE r4)
-    "semdedup_ivf",  # exact twin bounded (VERDICT r4 #2)
-    "jdbc_roundtrip_agg",  # Derby lifecycle fix (ADVICE r4)
-    "knn_pq",  # new: PQ family wired with exact-twin + recall gate
-    "decontaminate_semantic_embeddings",  # new: embedding-space decon
-    "dedup_chunks_reconstruct",  # new: C4-style span dedup + reconstruction
-    "streaming_jdbc_upsert_agg",  # new: streaming MERGE upsert into Derby
-    "zorder_orders_key",  # new: Morton layout key
-    "streaming_stateful_user_stats_tws",  # new: Spark 4 transformWithState
-    "pydatasource_stream_agg",  # new: streaming Python DataSource
-    # (6) tail of the ~50-query sample window: oldest r3-certified rows
-    # (grouping-set family, r3-era TPC-H, source formats) so the sample's
-    # overflow refreshes 1-round-old greens instead of r4-fresh ones
-    "grouping_sets_orders",
-    "rollup_orders",
+    "zscore_acctbal_per_segment",
+    # (4) changed this round, last certified r3 — the ~50-query sample
+    #     window reaches several slots into this block
+    "compact_latest_events",
     "cube_orders",
+    "events_hourly_window",
+    "fuzzy_pairs_symdelete",
+    "grouping_sets_orders",
+    "kmeans_assign_step",
+    "pretraining_pipeline_e2e",
+    "profile_orders_columns",
+    "pydatasource_synth_agg",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "q6_forecast_revenue",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "csv_source_agg",
-    "json_source_agg",
+    "rollup_orders",
+    "running_total_per_customer",
+    "semdedup_embeddings",
     "variant_events_agg",
+    # (5) changed this round, certified r4 (freshest certs; every one
+    #     locally re-verified against its oracle at sf0.01 this round)
+    "curate_corpus_pipeline",
+    "decontaminate_training_docs",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_md5",
+    "jdbc_roundtrip_agg",
+    "knn_brute_force",
+    "knn_ivf",
+    "knn_lsh",
+    "knn_matmul",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "semdedup_ivf",
+    "streaming_dedup_events",
+    "streaming_dedup_then_window",
+    "streaming_stream_join",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
