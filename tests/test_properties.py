@@ -85,3 +85,74 @@ def test_jdbc_partition_options_cover_range(lower, span, n):
     assert int(opts["upperBound"]) == upper
     assert int(opts["numPartitions"]) == n
     assert opts["partitionColumn"] == "id"
+
+
+IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,20}", fullmatch=True)
+
+
+@given(table=IDENT, staging=IDENT)
+@settings(max_examples=200, deadline=None)
+def test_swap_ddl_roundtrips_through_parser(table, staging):
+    """staging_swap_sql output must always satisfy the parsed swap CONTRACT
+    (parse_swap_ddl/assert_swap_contract), for any identifiers and both
+    dialects — the property the runtime relies on instead of string
+    equality."""
+    from mysql_data_anonymizer_spark.sources import sinks
+
+    if staging == table or staging == f"{table}__mda_old":
+        return
+    for dialect in ("mysql", "ansi"):
+        stmts = sinks.staging_swap_sql(table, staging=staging, dialect=dialect)
+        sinks.assert_swap_contract(stmts, table, staging)
+        sem = sinks.parse_swap_ddl(stmts)
+        assert sem["atomic_rename"] == (dialect == "mysql")
+
+
+@given(
+    table=IDENT,
+    set_cols=st.lists(IDENT, min_size=1, max_size=5, unique=True),
+    pk_cols=st.lists(IDENT, min_size=1, max_size=3, unique=True),
+)
+@settings(max_examples=200, deadline=None)
+def test_update_sql_placeholder_arity(table, set_cols, pk_cols):
+    """build_update_sql's placeholder count must equal len(set)+len(pk) in
+    order — the contract executemany batches depend on — for any quote."""
+    from mysql_data_anonymizer_spark.sources import sinks
+
+    for quote in (None, '"', "`"):
+        sql = sinks.build_update_sql(table, set_cols, pk_cols, quote=quote)
+        assert sql.count("%s") == len(set_cols) + len(pk_cols)
+        assert sql.startswith(f"UPDATE {table} SET ")
+        if quote:
+            for c in set_cols + pk_cols:
+                assert f"{quote}{c}{quote}" in sql
+
+
+@given(
+    target=IDENT,
+    staging=IDENT,
+    key_cols=st.lists(IDENT, min_size=1, max_size=3, unique=True),
+    set_cols=st.lists(IDENT, min_size=1, max_size=5, unique=True),
+)
+@settings(max_examples=200, deadline=None)
+def test_upsert_merge_sql_structure(target, staging, key_cols, set_cols):
+    """jdbc_upsert_merge_sql invariants for both dialects: key columns are
+    matched and never updated; every set column is updated; the insert
+    branch carries every column exactly once."""
+    from mysql_data_anonymizer_spark.sources import sinks
+
+    if set(key_cols) & set(set_cols):
+        return
+    ansi = sinks.jdbc_upsert_merge_sql(target, staging, key_cols, set_cols)
+    upd = ansi.split("UPDATE SET", 1)[1].split("WHEN NOT MATCHED", 1)[0]
+    for k in key_cols:
+        assert f't."{k}" = s."{k}"' in ansi
+        assert f'"{k}" =' not in upd
+    for c in set_cols:
+        assert f'"{c}" = s."{c}"' in upd
+    my = sinks.jdbc_upsert_merge_sql(target, staging, key_cols, set_cols, dialect="mysql")
+    assert my.count("ON DUPLICATE KEY UPDATE") == 1
+    for k in key_cols:
+        assert f"`{k}` = VALUES" not in my
+    for c in set_cols:
+        assert f"`{c}` = VALUES(`{c}`)" in my
