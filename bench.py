@@ -99,6 +99,7 @@ HEADLINE = [
     "pydatasource_synth_agg",
     "pydatasource_stream_agg",
     "zorder_orders_key",
+    "zorder_lineitem_key3",
     "variant_events_agg",
     "jdbc_roundtrip_agg",
     # text / dedup / similarity

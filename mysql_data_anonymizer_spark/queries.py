@@ -4216,6 +4216,39 @@ FROM (
 """
 
 
+def zorder_lineitem_key3(spark, sf_dir):
+    """THREE-dimensional Morton key over (l_partkey, l_suppkey,
+    l_quantity) — the multi-column generalization
+    (sources/layout.py::zorder_key_expr_n; Delta OPTIMIZE ZORDER BY takes
+    the same list): bit i of dim j lands at position i*3 + j, 10 bits per
+    dim, exact integer fold inside codegen — a part+supplier+quantity band
+    predicate prunes files on all three zone maps at once."""
+    from mysql_data_anonymizer_spark.sources import layout
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = layout.zorder_key_expr_n(
+        ["l_partkey", "l_suppkey", "CAST(l_quantity AS LONG)"], bits=10
+    )
+    return li.select("l_orderkey", F.col("l_linenumber").cast("long").alias("l_linenumber"), z.alias("zkey3"))
+
+
+ZORDER3_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(list_sum(list_transform(range(0, 10),
+         i -> (((x >> i) & 1) << (3 * i)) + (((y >> i) & 1) << (3 * i + 1))
+            + (((z >> i) & 1) << (3 * i + 2)))) AS BIGINT) AS zkey3
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_partkey AS BIGINT) & 1023 AS x,
+         CAST(l_suppkey AS BIGINT) & 1023 AS y,
+         -- TRUNC matches Spark's double->long cast (truncation, not
+         -- round-half-even) on any fractional quantity
+         CAST(TRUNC(l_quantity) AS BIGINT) & 1023 AS z
+  FROM lineitem
+)
+"""
+
+
 def streaming_jdbc_upsert_agg(spark, sf_dir):
     """Streaming keyed writeback into a REAL database — the streaming face
     of the reference's UPDATE loop (src/Anonymizer.php:274-288), and the
@@ -5931,6 +5964,8 @@ ORACLES["pretraining_pipeline_e2e"] = _gen_pretraining_pipeline_sql()
 QUERIES["pydatasource_stream_agg"] = pydatasource_stream_agg
 ORACLES["pydatasource_stream_agg"] = _gen_pydatasource_sql(2000)
 QUERIES["zorder_orders_key"] = zorder_orders_key
+QUERIES["zorder_lineitem_key3"] = zorder_lineitem_key3
+ORACLES["zorder_lineitem_key3"] = ZORDER3_SQL
 ORACLES["zorder_orders_key"] = ZORDER_ORDERS_SQL
 # Spark 4's transformWithStateInPandas needs the protobuf package for its
 # state-server protocol — absent in this container (no installs), so the
@@ -5963,6 +5998,7 @@ _CHECK_FIRST = [
     "streaming_jdbc_upsert_agg",
     "zorder_orders_key",
     "pydatasource_stream_agg",
+    "zorder_lineitem_key3",
     # (2) last certified r2 AND changed this round (decimal widening /
     #     streaming oracle fixes) — stalest cert on changed code
     "dedup_canonical_docs",

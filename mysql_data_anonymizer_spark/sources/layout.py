@@ -70,3 +70,33 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_key_expr_n(col_sqls: list[str], bits: int | None = None) -> Column:
+    """Morton interleave of k integer dimensions: bit i of column j lands
+    at position i*k + j (generalizes ``zorder_key_expr``; Delta's OPTIMIZE
+    ZORDER BY takes the same multi-column list). ``bits`` defaults to the
+    largest per-dim width that keeps the key in a signed long
+    (floor(62/k)). Same exact integer fold, same oracle-ability."""
+    k = len(col_sqls)
+    if k < 2:
+        raise ValueError("zorder needs at least 2 dimensions")
+    if bits is None:
+        bits = 62 // k
+    if not 1 <= bits * k <= 62:
+        raise ValueError(f"bits*k must fit a signed long, got {bits}*{k}")
+    mask = (1 << bits) - 1
+    fields = ", ".join(
+        f"'c{j}', CAST(({sql}) AS LONG) & {mask}" for j, sql in enumerate(col_sqls)
+    )
+    terms = " + ".join(
+        f"shiftleft(shiftright(st.c{j}, i) & 1, i * {k} + {j})" for j in range(k)
+    )
+    carry = ", ".join(f"'c{j}', st.c{j}" for j in range(k))
+    return F.expr(
+        f"""aggregate(
+  sequence(0, {bits - 1}),
+  named_struct('acc', CAST(0 AS LONG), {fields}),
+  (st, i) -> named_struct('acc', st.acc + {terms}, {carry}),
+  st -> st.acc)"""
+    )

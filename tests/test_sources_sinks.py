@@ -472,3 +472,32 @@ def test_synthstream_datasource_multi_batch(spark):
     assert got.select("id").distinct().count() == 500  # no replays, no gaps
     batch = spark.read.format("synthrows").option("n_rows", 500).load()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_zorder_key_expr_n_three_dims(spark):
+    """n-dim Morton key equals the bit-interleave reference and degrades
+    to the 2-col form; invalid dims/bits raise."""
+    from mysql_data_anonymizer_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(5, 9, 3), (1023, 0, 512), (0, 0, 0), (7, 7, 7)], "a long, b long, c long"
+    )
+    rows = df.select(
+        "a", "b", "c",
+        layout.zorder_key_expr_n(["a", "b", "c"], bits=10).alias("z3"),
+        layout.zorder_key_expr("a", "b", bits=10).alias("z2a"),
+        layout.zorder_key_expr_n(["a", "b"], bits=10).alias("z2b"),
+    ).collect()
+
+    def morton_n(vals, bits):
+        k = len(vals)
+        return sum(((v >> i) & 1) << (i * k + j)
+                   for j, v in enumerate(vals) for i in range(bits))
+
+    for r in rows:
+        assert r.z3 == morton_n([r.a, r.b, r.c], 10)
+        assert r.z2a == r.z2b == morton_n([r.a, r.b], 10)
+    with pytest.raises(ValueError, match="dimensions"):
+        layout.zorder_key_expr_n(["a"])
+    with pytest.raises(ValueError, match="signed long"):
+        layout.zorder_key_expr_n(["a", "b", "c"], bits=21)
