@@ -30,6 +30,7 @@ HEADLINE = [
     "mask_synchro_remap",
     "mask_generator_profile",
     "mask_faker_profile",
+    "mask_run_report",
     "k_anonymity_audit_customers",
     "l_diversity_audit_customers",
     "rtbf_forget_cascade",

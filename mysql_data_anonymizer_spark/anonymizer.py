@@ -124,3 +124,60 @@ def remap_keys(ref: DataFrame, fk_col: str, mapping: DataFrame) -> DataFrame:
     out = ref.join(F.broadcast(mapping), ref[fk_col] == mapping["__old"], "left")
     out = out.withColumn(fk_col, F.coalesce(F.col("__new"), F.col(fk_col)))
     return out.select(*cols)
+
+
+def masking_report(
+    pre: dict[str, DataFrame],
+    post: dict[str, DataFrame],
+    blueprints: dict[str, Blueprint],
+) -> DataFrame:
+    """Auditable run report — the reviewable version of the reference's
+    console progress (src/Anonymizer.php echoes per-table/row status): for
+    every masked column, how many rows exist and how many actually CHANGED
+    value. Data stewards sign off on this table; a mask that silently
+    changed 0 rows (bad guard, wrong column) is visible immediately.
+
+    Shape: one pk-join per masked table comparing pre vs post column
+    values null-safely, then one tiny aggregate per table — no
+    collect, no per-column rescan (all per-column counts ride one
+    aggregate over the joined frame). Returns (table_name, column_name,
+    n_rows, n_changed) with deterministic values for any partitioning."""
+    reports = []
+    for tname, bp in blueprints.items():
+        plan = bp.plan
+        cols = [m.name for m in plan.columns]
+        if not cols:
+            continue
+        pk = plan.primary
+        a = pre[tname].select(*pk, *[F.col(c).alias(f"__pre_{c}") for c in cols])
+        b = post[tname].select(*pk, *[F.col(c).alias(f"__post_{c}") for c in cols])
+        joined = a.join(b, pk)
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.when(
+                        ~F.col(f"__pre_{c}").eqNullSafe(F.col(f"__post_{c}")), 1
+                    ).otherwise(0)
+                ).cast("long").alias(f"__chg_{c}")
+                for c in cols
+            ],
+        )
+        stacked = agg.select(
+            F.expr(
+                "stack({n}, {args}) AS (column_name, n_changed)".format(
+                    n=len(cols),
+                    args=", ".join(f"'{c}', __chg_{c}" for c in cols),
+                )
+            ),
+            F.col("__n").alias("n_rows"),
+        )
+        reports.append(
+            stacked.select(
+                F.lit(tname).alias("table_name"), "column_name", "n_rows", "n_changed"
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

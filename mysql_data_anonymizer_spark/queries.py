@@ -241,6 +241,52 @@ FROM customer c LEFT JOIN numbered n ON c.c_custkey = n.c_custkey
 """
 
 
+def mask_run_report(spark, sf_dir):
+    """Auditable masking RUN REPORT (anonymizer.masking_report) — the
+    reviewable version of the reference's console progress: for every
+    masked column of every blueprinted table, (n_rows, n_changed). A mask
+    that silently changed nothing — bad guard, wrong column — shows up as
+    n_changed = 0. Two tables run through the full Anonymizer facade;
+    the oracle recomputes the change counts straight from the mask
+    semantics (null-safe comparison, guards applied)."""
+    from mysql_data_anonymizer_spark.anonymizer import Anonymizer, masking_report
+
+    anon = Anonymizer(spark)
+    anon.register("customer", _t(spark, sf_dir, "customer"))
+    anon.register("orders", _t(spark, sf_dir, "orders"))
+    anon.table(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_name").replaceWith("XXXX")
+        .column("c_acctbal").where("c_acctbal < 0").replaceWith(F.lit(0.0)),
+    )
+    anon.table(
+        "orders",
+        lambda t: t.primary("o_orderkey")
+        .column("o_orderpriority").where("o_totalprice > 200000").replaceWith("0-MASKED"),
+    )
+    pre = dict(anon.sources)
+    post = anon.run()
+    return masking_report(pre, post, anon.blueprints)
+
+
+MASK_RUN_REPORT_SQL = """
+SELECT 'customer' AS table_name, 'c_name' AS column_name,
+       (SELECT COUNT(*) FROM customer) AS n_rows,
+       (SELECT COUNT(*) FROM customer WHERE c_name IS DISTINCT FROM 'XXXX') AS n_changed
+UNION ALL
+SELECT 'customer', 'c_acctbal',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer
+        WHERE c_acctbal < 0 AND c_acctbal IS DISTINCT FROM 0.0)
+UNION ALL
+SELECT 'orders', 'o_orderpriority',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_totalprice > 200000 AND o_orderpriority IS DISTINCT FROM '0-MASKED')
+"""
+
+
 def mask_chain_fields(spark, sf_dir):
     """Left-to-right intra-row visibility: the second mask reads the first
     mask's output (reference src/Anonymizer.php:345-371)."""
@@ -5965,6 +6011,8 @@ QUERIES["pydatasource_stream_agg"] = pydatasource_stream_agg
 ORACLES["pydatasource_stream_agg"] = _gen_pydatasource_sql(2000)
 QUERIES["zorder_orders_key"] = zorder_orders_key
 QUERIES["zorder_lineitem_key3"] = zorder_lineitem_key3
+QUERIES["mask_run_report"] = mask_run_report
+ORACLES["mask_run_report"] = MASK_RUN_REPORT_SQL
 ORACLES["zorder_lineitem_key3"] = ZORDER3_SQL
 ORACLES["zorder_orders_key"] = ZORDER_ORDERS_SQL
 # Spark 4's transformWithStateInPandas needs the protobuf package for its
@@ -5999,6 +6047,7 @@ _CHECK_FIRST = [
     "zorder_orders_key",
     "pydatasource_stream_agg",
     "zorder_lineitem_key3",
+    "mask_run_report",
     # (2) last certified r2 AND changed this round (decimal widening /
     #     streaming oracle fixes) — stalest cert on changed code
     "dedup_canonical_docs",

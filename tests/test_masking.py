@@ -225,3 +225,27 @@ def test_set_default_primary_class_level(spark, customer):
         assert out.where(F.col("c_name") != "X").count() == 0
     finally:
         Blueprint.setDefaultPrimary(old)
+
+
+def test_masking_report_counts_and_zero_change_detection(spark, customer):
+    """masking_report: per-column changed counts are exact, and a mask that
+    matches nothing reports n_changed == 0 (the steward's misconfiguration
+    signal)."""
+    from mysql_data_anonymizer_spark.anonymizer import Anonymizer, masking_report
+
+    anon = Anonymizer(spark)
+    anon.register("customer", customer)
+    anon.table(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_name").replaceWith("XXXX")
+        .column("c_mktsegment").where("c_mktsegment = 'NO_SUCH_SEGMENT'")
+        .replaceWith("NEVER"),
+    )
+    pre = dict(anon.sources)
+    post = anon.run()
+    rep = {r.column_name: (r.n_rows, r.n_changed)
+           for r in masking_report(pre, post, anon.blueprints).collect()}
+    n = customer.count()
+    assert rep["c_name"] == (n, n)  # every name changed
+    assert rep["c_mktsegment"] == (n, 0)  # guard matched nothing -> visible
