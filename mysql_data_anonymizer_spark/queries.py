@@ -5141,7 +5141,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     # minimum over the SAME joined frame in one extra keyed shuffle instead
     cost = l.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(F.min(F.col("l_extendedprice").cast("decimal(14,2)")).alias("supply_cost"))
+    ).agg(F.min(F.col("l_extendedprice").cast("decimal(30,2)")).alias("supply_cost"))
     amer = (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r.where(F.col("r_name") == "AMERICA")),

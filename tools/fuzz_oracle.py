@@ -148,6 +148,21 @@ DEFAULT_QUERIES = [
     "quantiles_acctbal_per_segment",
     "zscore_acctbal_per_segment",
     "histogram_totalprice",
+    # supplier/part family: NULL nation keys, unicode/empty names, extreme
+    # prices and sizes flowing through the join-heavy TPC-H block
+    "q2_min_cost_supplier",
+    "q11_important_nations",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_volume_share_suppliers",
+    "q21_waiting_suppliers",
+    "q9_profit_by_nation_year",
+    "q8_market_share",
+    "q7_volume_shipping",
+    "q19_disjunctive_revenue",
+    "top_supplier_per_nation",
+    "mask_synchro_remap",
+    "mask_run_report",
 ]
 
 EDGE_TEXTS = [
@@ -301,8 +316,36 @@ def build_fuzz_dir(spark) -> str:
             os.remove(f"{OUT}/customer.parquet")
         _write_single_file(cu.unionByName(edge_cu), f"{OUT}/customer.parquet")
 
+        sup = spark.read.parquet(f"{BASE}/supplier.parquet")
+        sk_max = sup.agg(F.max("s_suppkey")).first()[0]
+        edge_sup = [
+            (sk_max + 1, "Ünïcödé Supplier", None, -1.0e9),  # NULL nation key
+            (sk_max + 2, "", 0, 1.0e9),                      # empty name, huge balance
+        ]
+        edge_supdf = spark.createDataFrame(
+            edge_sup, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+        ).select(*sup.columns)
+        if os.path.lexists(f"{OUT}/supplier.parquet"):
+            os.remove(f"{OUT}/supplier.parquet")
+        _write_single_file(sup.unionByName(edge_supdf), f"{OUT}/supplier.parquet")
+
+        pt = spark.read.parquet(f"{BASE}/part.parquet")
+        pk_max = pt.agg(F.max("p_partkey")).first()[0]
+        edge_pt = [
+            (pk_max + 1, "", "", "", 0, 0.0),                      # all-empty part
+            (pk_max + 2, "ünïcödé pärt", "BRAND#99", "PROMO FUZZ TYPE", -5, 1.0e9),
+        ]
+        edge_ptdf = spark.createDataFrame(
+            edge_pt,
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ).select(*pt.columns)
+        if os.path.lexists(f"{OUT}/part.parquet"):
+            os.remove(f"{OUT}/part.parquet")
+        _write_single_file(pt.unionByName(edge_ptdf), f"{OUT}/part.parquet")
+
         # the rest of the tables pass through untouched (symlinks)
-        for t in "region nation supplier part".split():
+        for t in "region nation".split():
             dst = f"{OUT}/{t}.parquet"
             if not os.path.exists(dst):
                 os.symlink(f"{BASE}/{t}.parquet", dst)
