@@ -135,6 +135,7 @@ HEADLINE = [
     "incremental_agg_users",
     "compact_latest_events",
     "text_winnowing",
+    "text_nfc_dedup_prep",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

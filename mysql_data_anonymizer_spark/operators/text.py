@@ -277,3 +277,30 @@ def repetition_stats(
         dup_ngram_fraction(F.col("__toks"), 2).alias("dup_2gram_frac"),
         dup_ngram_fraction(F.col("__toks"), 3).alias("dup_3gram_frac"),
     )
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization — the canonical-composition prep step
+    BEFORE any hash-keyed dedup/fingerprinting: 'cafe\\u0301' (decomposed)
+    and 'café' (composed) are byte-different, so they evade exact dedup,
+    shingle hashing, and MinHash signatures while being the same text to a
+    reader. Real crawl corpora mix both forms freely.
+
+    Spark has no built-in Unicode normalizer, so this is an Arrow-batched
+    pandas UDF over Python's unicodedata (the reference NFC
+    implementation); DuckDB's nfc_normalize implements the same Unicode
+    standard, which is what makes the operator exactly oracle-able. NULL
+    passes through as NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        import pandas as pd
+
+        return pd.Series(
+            [None if v is None else unicodedata.normalize("NFC", v) for v in s]
+        )
+
+    return _nfc(text)

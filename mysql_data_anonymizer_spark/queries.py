@@ -241,6 +241,32 @@ FROM customer c LEFT JOIN numbered n ON c.c_custkey = n.c_custkey
 """
 
 
+def text_nfc_dedup_prep(spark, sf_dir):
+    """Unicode NFC normalization as dedup prep (operators/text.py::
+    nfc_normalize): decomposed and composed forms of the same text are
+    byte-different — they evade every hash-keyed dedup family — so a real
+    crawl pipeline normalizes FIRST. Per document: did NFC change the
+    bytes, and the md5 fingerprint of the normalized casefolded text (the
+    key exact dedup would group on). Arrow-batched unicodedata on the
+    Spark side; DuckDB's nfc_normalize implements the same Unicode
+    standard, making the operator exactly oracle-able."""
+    docs = _t(spark, sf_dir, "documents")
+    nfc = text.nfc_normalize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        (~nfc.eqNullSafe(F.col("text"))).alias("changed"),
+        F.md5(F.lower(F.trim(nfc))).alias("nfc_fingerprint"),
+    )
+
+
+TEXT_NFC_SQL = """
+SELECT doc_id,
+       nfc_normalize(text) IS DISTINCT FROM text AS changed,
+       md5(lower(trim(nfc_normalize(text)))) AS nfc_fingerprint
+FROM documents
+"""
+
+
 def mask_run_report(spark, sf_dir):
     """Auditable masking RUN REPORT (anonymizer.masking_report) — the
     reviewable version of the reference's console progress: for every
@@ -6012,6 +6038,8 @@ ORACLES["pydatasource_stream_agg"] = _gen_pydatasource_sql(2000)
 QUERIES["zorder_orders_key"] = zorder_orders_key
 QUERIES["zorder_lineitem_key3"] = zorder_lineitem_key3
 QUERIES["mask_run_report"] = mask_run_report
+QUERIES["text_nfc_dedup_prep"] = text_nfc_dedup_prep
+ORACLES["text_nfc_dedup_prep"] = TEXT_NFC_SQL
 ORACLES["mask_run_report"] = MASK_RUN_REPORT_SQL
 ORACLES["zorder_lineitem_key3"] = ZORDER3_SQL
 ORACLES["zorder_orders_key"] = ZORDER_ORDERS_SQL
@@ -6048,6 +6076,7 @@ _CHECK_FIRST = [
     "pydatasource_stream_agg",
     "zorder_lineitem_key3",
     "mask_run_report",
+    "text_nfc_dedup_prep",
     # (2) last certified r2 AND changed this round (decimal widening /
     #     streaming oracle fixes) — stalest cert on changed code
     "dedup_canonical_docs",

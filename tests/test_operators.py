@@ -775,3 +775,28 @@ def test_semantic_decontaminate_matches_numpy_model(spark, embeddings):
             ).collect()
         }
         assert got == want, f"parts={parts}"
+
+
+def test_nfc_normalize_composes_decomposed_text(spark):
+    """NFC prep: decomposed (e + combining acute) and composed forms unify
+    to one byte sequence, so exact dedup AFTER normalization groups them;
+    NULL and ASCII pass through untouched."""
+    decomposed = "café menu"          # e + U+0301
+    composed = "café menu"             # é
+    assert decomposed != composed           # byte-different input
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None), (4, "plain ascii")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.n for r in df.select(
+        "doc_id", text.nfc_normalize(F.col("text")).alias("n")).collect()}
+    assert rows[1] == rows[2] == composed   # unified to the composed form
+    assert rows[3] is None
+    assert rows[4] == "plain ascii"
+    # and the dedup grouping key now collides for the pair
+    out = dedup.exact_dedup(
+        df.where(F.col("text").isNotNull())
+        .select("doc_id", text.nfc_normalize(F.col("text")).alias("text")),
+        ["text"], "doc_id",
+    ).collect()
+    assert len(out) == 2  # {café menu} + {plain ascii}

@@ -175,6 +175,7 @@ EDGE_TEXTS = [
     ("tok " * 600).strip(),  # many identical tokens
     "Ünïcödé tökens Ünïcödé tökens",  # repeated unicode
     "naïve café naïve café naïve café",  # unicode near-dup fodder
+    "cafe\u0301 decomposed cafe\u0301",  # NFC-decomposed combining marks
     "word. another! третий? 第四",  # punctuation + non-latin scripts
     "a  b   c    d",  # runs of spaces between tokens
     "CAPS caps CaPs",  # casefolding collisions
