@@ -36,6 +36,7 @@ DEFAULT_QUERIES = [
     "text_lang_source_stats",
     "text_fingerprint_groups",
     "text_winnowing",
+    "text_nfc_dedup_prep",
     "doc_repetition_stats",
     "corpus_quality_filter",
     "scrub_documents_pii",
