@@ -6066,80 +6066,60 @@ ORACLES["streaming_dedup_then_window"] = STREAMING_CHAIN_SQL
 # re-checking queries that are already green.
 # ===========================================================================
 _CHECK_FIRST = [
-    # Ordering for the driver's bounded (~50-query) sample, round 5:
-    # (1) never driver-certified (new this round)
-    "knn_pq",
-    "decontaminate_semantic_embeddings",
-    "dedup_chunks_reconstruct",
-    "streaming_jdbc_upsert_agg",
-    "zorder_orders_key",
-    "pydatasource_stream_agg",
-    "zorder_lineitem_key3",
-    "mask_run_report",
-    "text_nfc_dedup_prep",
-    # (2) last certified r2 AND changed this round (decimal widening /
-    #     streaming oracle fixes) — stalest cert on changed code
-    "dedup_canonical_docs",
-    "dedup_incremental_new_docs",
-    "histogram_totalprice",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "rolling_30d_order_stats",
-    "stats_corr_qty_price",
-    "streaming_session_agg",
-    "streaming_sliding_agg",
-    "streaming_stateful_user_totals",
-    "streaming_tumbling_agg",
-    "timeseries_gapfill_hourly",
-    "unpivot_lineitem_charges",
-    # (3) last certified r2, unchanged — the reference-parity masking
-    #     core and friends (VERDICT r4 #1: refresh 2-round-old certs)
-    "corpus_quality_filter",
-    "mask_generator_email",
-    "mask_generator_profile",
-    "mask_global_where",
-    "mask_guarded",
-    "mask_static",
-    "mask_unique_uuid",
-    "ntile_deciles_acctbal",
-    "order_window_features",
-    "pack_docs_token_bins",
-    "q11_important_nations",
-    "q13_order_distribution",
-    "q16_supplier_part_counts",
-    "q20_volume_share_suppliers",
-    "q21_waiting_suppliers",
-    "scrub_documents_pii",
-    "segment_nation_list",
-    "stratified_sample_docs",
-    "zscore_acctbal_per_segment",
-    # (4) changed this round, last certified r3 — the ~50-query sample
-    #     window reaches several slots into this block
-    "compact_latest_events",
-    "cube_orders",
-    "events_hourly_window",
-    "fuzzy_pairs_symdelete",
-    "grouping_sets_orders",
+    # Ordering for the driver's bounded (~50-query) sample, round 6
+    # (VERDICT r5 #1: rotate the r3-stale cohort to the front so every
+    # registry query's latest driver cert becomes r4+).
+    # (1) new this round — never driver-certified
+    # (round-6 additions are inserted here as they land)
+    # (2) stalest certs: last driver-certified r3 (44 queries)
+    "approx_quantiles_events_value",
+    "approx_top_terms",
+    "bigram_collocations",
+    "binaryfile_media_manifest",
+    "cap_docs_per_source",
+    "cdc_apply_changelog_orders",
+    "chunk_docs_for_rag",
+    "cohort_retention_weekly",
+    "csv_source_agg",
+    "customer_order_keys_array",
+    "doc_top_terms",
+    "explode_doc_sentences",
+    "funnel_view_click_purchase",
+    "importance_sample_docs",
+    "incremental_agg_users",
+    "json_props_struct",
+    "json_source_agg",
+    "k_anonymity_audit_customers",
     "kmeans_assign_step",
+    "l_diversity_audit_customers",
+    "mask_generalize_customers",
+    "media_frame_sample",
     "pretraining_pipeline_e2e",
     "profile_orders_columns",
     "pydatasource_synth_agg",
+    "q12_priority_by_linestatus",
     "q14_promo_revenue",
+    "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_rich_customers",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "q6_forecast_revenue",
+    "rebalance_corpus_mix",
     "rollup_orders",
+    "rtbf_forget_cascade",
     "running_total_per_customer",
     "semdedup_embeddings",
+    "shard_training_corpus",
+    "snapshot_diff_orders",
+    "suppress_small_groups",
     "variant_events_agg",
-    # (5) changed this round, certified r4 (freshest certs; every one
-    #     locally re-verified against its oracle at sf0.01 this round)
+    "vocab_top_terms",
+    "winsorize_events_value",
+    # (3) next-stalest: last certified r4
+    "anti_join_customers_no_orders",
+    "approx_distinct_users_daily",
+    "asof_last_order_per_event",
     "curate_corpus_pipeline",
     "decontaminate_training_docs",
     "dedup_clusters",
@@ -6149,17 +6129,44 @@ _CHECK_FIRST = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_md5",
+    "distinct_nations_per_segment",
+    "doc_repetition_stats",
+    "except_rich_customers_without_orders",
+    "intersect_rich_customers_with_orders",
     "jdbc_roundtrip_agg",
+    "json_events_agg",
     "knn_brute_force",
     "knn_ivf",
     "knn_lsh",
     "knn_matmul",
+    "mask_chain_fields",
+    "mask_faker_profile",
+    "mask_row_template",
+    "mask_synchro_remap",
+    "multimodal_featurize",
+    "orc_source_agg",
+    "order_gaps_lag_lead",
+    "pit_join_future_event_state",
+    "pivot_orders_status",
     "q17_small_quantity_revenue",
     "q1_pricing_summary",
+    "q4_order_priority",
+    "quantiles_acctbal_per_segment",
+    "range_join_close_prices",
+    "scd2_user_event_history",
+    "select_docs_token_budget",
     "semdedup_ivf",
+    "semi_join_parts_ordered",
+    "sessionize_events",
     "streaming_dedup_events",
     "streaming_dedup_then_window",
     "streaming_stream_join",
+    "text_fingerprint_groups",
+    "text_lang_source_stats",
+    "text_profile",
+    "text_winnowing",
+    "top_supplier_per_nation",
+    "topk_customers_per_segment",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
