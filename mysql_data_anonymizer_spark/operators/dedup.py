@@ -655,6 +655,7 @@ def semantic_dedup_ivf(
     seed: int = 42,
     dim: int | None = None,
     centroids=None,
+    materialize_assignment: bool = True,
 ) -> DataFrame:
     """SemDeDup with TRAINED IVF cells as the clusters — the corpus-scale
     swap documented in ``semantic_dedup_sign_buckets``: data-adaptive
@@ -666,7 +667,14 @@ def semantic_dedup_ivf(
     and the cluster-local dedup join are identical to the sign-bucket
     variant (dropped iff a LOWER-ID same-cell member is within
     ``threshold`` cosine), so results stay deterministic GIVEN the
-    centroids. Returns survivors as (id_col, cell)."""
+    centroids. Returns survivors as (id_col, cell).
+
+    The assignment frame is consumed by THREE branches (both join sides +
+    the final anti-join); without materialization Spark re-runs the Arrow
+    assignment UDF once per branch. ``materialize_assignment`` (default on)
+    eagerly localCheckpoints it so the corpus is assigned exactly once —
+    at scale this is the deliberate persist point of (id, vec, norm, cell),
+    the same frame the dedup join shuffles anyway."""
     from mysql_data_anonymizer_spark.operators.similarity import (
         DEFAULT_DIM,
         dot_expr,
@@ -688,6 +696,8 @@ def semantic_dedup_ivf(
         norm_expr(vec_col, dim).alias("__n"),
         F.element_at(ivf_assign_expr(vec_col, cents, 1), 1).cast("long").alias("cell"),
     )
+    if materialize_assignment:
+        e = e.localCheckpoint(eager=True)
     a = e.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "cell",

@@ -3419,20 +3419,26 @@ def semdedup_ivf(spark, sf_dir):
     """SemDeDup over TRAINED IVF cells (operators.dedup.semantic_dedup_ivf)
     — the corpus-scale swap for semdedup_embeddings' sign buckets. Trained
     centroids are data/sample-dependent, so the query is driver-verified via
-    the exact-twin + accuracy-gate pattern: the FINAL rows are the exact
-    GLOBAL survivor set (dropped iff ANY lower-id vector is within 0.4
-    cosine — oracle-able all-pairs SQL) plus two Spark-computed gates:
+    the exact-twin + accuracy-gate pattern, evaluated on a DETERMINISTIC
+    ID-RANGE SLICE (``vec_id % 2 == 0``, VERDICT r5 #2): both the production
+    IVF path and the exact twin run on the same slice, so the superset
+    theorem below holds unchanged (it holds on ANY corpus) while the
+    quadratic certification twin's pair count drops 4x. The FINAL rows are
+    the exact slice survivor set (dropped iff ANY lower-id slice vector is
+    within 0.4 cosine — oracle-able all-pairs SQL) plus two Spark-computed
+    gates:
 
       - ``superset_ok`` (a theorem): cluster-local dedup can only drop a
         SUBSET of what global dedup drops (a same-cell lower-id neighbor is
         also a global lower-id neighbor), so every exact survivor must be an
         IVF survivor — for ANY centroids. A violation means the assignment
         or survivor rule broke.
-      - ``drop_recall_ok``: IVF-local dedup finds >= 15% of the global drops
-        (measured 0.34-0.36 at sf0.001/0.01/0.1 with 16 cells over 500-2000
-        vectors; cluster-local recall is SemDeDup's documented trade and
-        rises with real corpus/cell ratios). Vacuously true if nothing to
-        drop. Catches an empty or degenerate cell assignment.
+      - ``drop_recall_ok``: IVF-local dedup finds >= 15% of the exact drops
+        (measured 0.37-0.47 on the half-slice at sf0.001/0.01/0.1 with 16
+        cells over 250-1000 vectors; cluster-local recall is SemDeDup's
+        documented trade and rises with real corpus/cell ratios). Vacuously
+        true if nothing to drop. Catches an empty or degenerate cell
+        assignment.
 
     Gate aggregates are 1-row broadcasts (plan_audit BNL_OK).
 
@@ -3441,9 +3447,10 @@ def semdedup_ivf(spark, sf_dir):
     re-evaluates the all-pairs join ~3x. The id-only intermediate frames
     (a few KB per 1k vectors) are eagerly localCheckpoint'ed so the
     quadratic twin runs exactly ONCE per invocation — the certification
-    harness's cost is bounded at one all-pairs pass, and the production
-    operator (`dedup.semantic_dedup_ivf`) stays cluster-local."""
-    emb = _t(spark, sf_dir, "embeddings")
+    harness's cost is bounded at one all-pairs pass over HALF the corpus,
+    and the production operator (`dedup.semantic_dedup_ivf`) stays
+    cluster-local."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
     ivf_surv = (
         dedup.semantic_dedup_ivf(emb, threshold=0.4, n_cells=16)
         .select("vec_id")
@@ -3483,6 +3490,7 @@ def _gen_semdedup_ivf_sql(threshold: float = 0.4) -> str:
 WITH e AS (
   SELECT vec_id, embedding, GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS nrm
   FROM embeddings
+  WHERE vec_id % 2 = 0
 ),
 dropped AS (
   SELECT DISTINCT b.vec_id

@@ -208,6 +208,7 @@ INVARIANCE_SAMPLE = [
     # agreement) must hold under ANY partitioning — knn_ivf especially,
     # whose centroid sample shifts with partition layout
     "approx_distinct_users_daily",
+    "semdedup_ivf",
     "dedup_simhash",
     "knn_lsh",
     "knn_ivf",
