@@ -479,7 +479,10 @@ def pq_topk(
 
     def part_candidates(batches):
         q_ids_l, books_l, luts_l = b.value
-        best: dict[int, list] = {}
+        # qid -> (scores, ids) numpy pool, kept at <= n_cand via a single
+        # C-side lexsort per (query, batch) — deterministic (-score, id)
+        # tie-break identical to a stable Python sort, no per-row loop
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -493,11 +496,18 @@ def pq_topk(
             for qi, qid in enumerate(q_ids_l):
                 scores = luts_l[qi][np.arange(m)[None, :], codes].sum(axis=1)
                 mask = ids != qid
-                pool = best.setdefault(int(qid), [])
-                pool.extend(zip(scores[mask], ids[mask]))
-                pool.sort(key=lambda t: (-t[0], t[1]))
-                del pool[n_cand:]
-        rows = [(qid, int(nid)) for qid, pool in best.items() for _, nid in pool]
+                s, i = scores[mask], ids[mask]
+                prev = best.get(int(qid))
+                if prev is not None:
+                    s = np.concatenate([prev[0], s])
+                    i = np.concatenate([prev[1], i])
+                if len(s) > n_cand:
+                    order = np.lexsort((i, -s))[:n_cand]
+                    s, i = s[order], i[order]
+                best[int(qid)] = (s, i)
+        rows = [
+            (qid, int(nid)) for qid, (_, pool_ids) in best.items() for nid in pool_ids
+        ]
         yield pd.DataFrame(rows, columns=["query_id", id_col])
 
     cand = df.select(id_col, vec_col).mapInPandas(part_candidates, out_schema).distinct()
