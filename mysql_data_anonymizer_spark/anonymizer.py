@@ -59,6 +59,7 @@ class Anonymizer:
         post-state (masked tables + remapped referencing tables + untouched
         registered tables)."""
         state = dict(self.sources)
+        self.key_mappings: dict[str, dict[str, DataFrame]] = {}
         for name, bp in self.blueprints.items():
             if name not in state:
                 raise KeyError(f"table {name!r} not registered")
@@ -66,6 +67,7 @@ class Anonymizer:
                 state[name], bp.plan, seed=self.config.seed, locale=self.config.locale
             )
             state[name] = compiled.df
+            self.key_mappings[name] = compiled.key_mappings
             for src_col, target in bp.plan.synchro_targets():
                 mapping = compiled.key_mappings[src_col]
                 # honor the [field, table, database] qualifier (reference
@@ -130,6 +132,8 @@ def masking_report(
     pre: dict[str, DataFrame],
     post: dict[str, DataFrame],
     blueprints: dict[str, Blueprint],
+    ref_keys: dict[str, list[str]] | None = None,
+    key_mappings: dict[str, dict[str, DataFrame]] | None = None,
 ) -> DataFrame:
     """Auditable run report — the reviewable version of the reference's
     console progress (src/Anonymizer.php echoes per-table/row status): for
@@ -141,7 +145,19 @@ def masking_report(
     values null-safely, then one tiny aggregate per table — no
     collect, no per-column rescan (all per-column counts ride one
     aggregate over the joined frame). Returns (table_name, column_name,
-    n_rows, n_changed) with deterministic values for any partitioning."""
+    n_rows, n_changed) with deterministic values for any partitioning.
+
+    When the masked column IS a primary-key column (the reference's key
+    remap + trigger cascade, src/Anonymizer.php:403-424), row identity
+    can't be joined on the raw pk — the pre side is first remapped through
+    the compiled (old, new) ``key_mappings`` (``Anonymizer.run`` stashes
+    them as ``anon.key_mappings``) so pre and post line up on the NEW key.
+    Synchro cascade targets are reported too: for every
+    ``synchronizeColumn`` target whose table appears in pre/post, one
+    (table, fk_column, n_rows, n_changed) row counts how many referencing
+    rows were actually remapped; ``ref_keys`` supplies the referencing
+    table's pk (required — a cascade silently missing from the audit is
+    exactly the failure this report exists to catch)."""
     reports = []
     for tname, bp in blueprints.items():
         plan = bp.plan
@@ -150,6 +166,20 @@ def masking_report(
             continue
         pk = plan.primary
         a = pre[tname].select(*pk, *[F.col(c).alias(f"__pre_{c}") for c in cols])
+        masked_pks = [c for c in pk if c in cols]
+        for c in masked_pks:
+            mapping = (key_mappings or {}).get(tname, {}).get(c)
+            if mapping is None:
+                raise ValueError(
+                    f"masking_report: pk column {tname}.{c} is masked; pass "
+                    "key_mappings (Anonymizer.run stashes them as "
+                    "anon.key_mappings) so pre rows can be matched to post"
+                )
+            a = (
+                a.join(F.broadcast(mapping), a[c] == mapping["__old"], "left")
+                .withColumn(c, F.coalesce(F.col("__new"), F.col(c)))
+                .drop("__old", "__new")
+            )
         b = post[tname].select(*pk, *[F.col(c).alias(f"__post_{c}") for c in cols])
         joined = a.join(b, pk)
         agg = joined.agg(
@@ -177,6 +207,38 @@ def masking_report(
                 F.lit(tname).alias("table_name"), "column_name", "n_rows", "n_changed"
             )
         )
+    # -- synchro cascade rows: the remapped REFERENCING tables -------------
+    for tname, bp in blueprints.items():
+        for _src_col, target in bp.plan.synchro_targets():
+            key = f"{target.database}.{target.table}" if target.database else target.table
+            if key not in post and target.database is not None and target.table in post:
+                key = target.table
+            if key not in pre or key not in post:
+                continue
+            rk = (ref_keys or {}).get(key)
+            if rk is None:
+                raise ValueError(
+                    f"masking_report: synchro target {key}.{target.field} has no "
+                    "entry in ref_keys — pass the referencing table's primary "
+                    "key so the cascade can be audited"
+                )
+            fk = target.field
+            ra = pre[key].select(*rk, F.col(fk).alias("__pre_fk"))
+            rb = post[key].select(*rk, F.col(fk).alias("__post_fk"))
+            ragg = ra.join(rb, list(rk)).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(~F.col("__pre_fk").eqNullSafe(F.col("__post_fk")), 1).otherwise(0)
+                ).cast("long").alias("n_changed"),
+            )
+            reports.append(
+                ragg.select(
+                    F.lit(key).alias("table_name"),
+                    F.lit(fk).alias("column_name"),
+                    "n_rows",
+                    "n_changed",
+                )
+            )
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

@@ -313,6 +313,51 @@ SELECT 'orders', 'o_orderpriority',
 """
 
 
+def mask_report_synchro_cascade(spark, sf_dir):
+    """Run report OVER a key-remap cascade (reference trigger cascade,
+    src/Anonymizer.php:403-424): a guarded mask shifts every third
+    customer key and synchronizeColumn propagates it into orders; the
+    report must (a) match pre/post customer rows through the key mapping
+    (the pk itself changed) and (b) emit a cascade row counting how many
+    orders rows were actually remapped. The oracle recomputes both counts
+    from the mask semantics."""
+    from mysql_data_anonymizer_spark.anonymizer import Anonymizer, masking_report
+
+    anon = Anonymizer(spark)
+    anon.register("customer", _t(spark, sf_dir, "customer"))
+    anon.register("orders", _t(spark, sf_dir, "orders"))
+    anon.table(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_custkey")
+        .where("c_custkey % 3 = 0")
+        .replaceWith(F.col("c_custkey") + F.lit(1000000000))
+        .synchronizeColumn(["o_custkey", "orders"]),
+    )
+    pre = dict(anon.sources)
+    post = anon.run()
+    return masking_report(
+        pre,
+        post,
+        anon.blueprints,
+        ref_keys={"orders": ["o_orderkey"]},
+        key_mappings=anon.key_mappings,
+    )
+
+
+MASK_REPORT_SYNCHRO_SQL = """
+SELECT 'customer' AS table_name, 'c_custkey' AS column_name,
+       (SELECT COUNT(*) FROM customer) AS n_rows,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS n_changed
+UNION ALL
+SELECT 'orders', 'o_custkey',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey % 3 = 0
+          AND o_custkey IN (SELECT c_custkey FROM customer))
+"""
+
+
 def mask_chain_fields(spark, sf_dir):
     """Left-to-right intra-row visibility: the second mask reads the first
     mask's output (reference src/Anonymizer.php:345-371)."""
@@ -6046,6 +6091,8 @@ ORACLES["pydatasource_stream_agg"] = _gen_pydatasource_sql(2000)
 QUERIES["zorder_orders_key"] = zorder_orders_key
 QUERIES["zorder_lineitem_key3"] = zorder_lineitem_key3
 QUERIES["mask_run_report"] = mask_run_report
+QUERIES["mask_report_synchro_cascade"] = mask_report_synchro_cascade
+ORACLES["mask_report_synchro_cascade"] = MASK_REPORT_SYNCHRO_SQL
 QUERIES["text_nfc_dedup_prep"] = text_nfc_dedup_prep
 ORACLES["text_nfc_dedup_prep"] = TEXT_NFC_SQL
 ORACLES["mask_run_report"] = MASK_RUN_REPORT_SQL
@@ -6078,7 +6125,7 @@ _CHECK_FIRST = [
     # (VERDICT r5 #1: rotate the r3-stale cohort to the front so every
     # registry query's latest driver cert becomes r4+).
     # (1) new this round — never driver-certified
-    # (round-6 additions are inserted here as they land)
+    "mask_report_synchro_cascade",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

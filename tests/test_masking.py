@@ -249,3 +249,45 @@ def test_masking_report_counts_and_zero_change_detection(spark, customer):
     n = customer.count()
     assert rep["c_name"] == (n, n)  # every name changed
     assert rep["c_mktsegment"] == (n, 0)  # guard matched nothing -> visible
+
+
+def test_masking_report_synchro_cascade_and_masked_pk(spark, customer):
+    """Cascade auditing (reference trigger cascade, src/Anonymizer.php:
+    403-424): a masked pk is matched pre->post through the key mapping, the
+    referencing table gets its own report row, and the two misconfiguration
+    paths (missing key_mappings / missing ref_keys) raise instead of
+    silently under-reporting."""
+    import pytest
+    from mysql_data_anonymizer_spark.anonymizer import Anonymizer, masking_report
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    anon = Anonymizer(spark)
+    anon.register("customer", customer)
+    anon.register("orders", orders)
+    anon.table(
+        "customer",
+        lambda t: t.primary("c_custkey")
+        .column("c_custkey").where("c_custkey % 3 = 0")
+        .replaceWith(F.col("c_custkey") + F.lit(1000000000))
+        .synchronizeColumn(["o_custkey", "orders"]),
+    )
+    pre = dict(anon.sources)
+    post = anon.run()
+    rep = masking_report(
+        pre, post, anon.blueprints,
+        ref_keys={"orders": ["o_orderkey"]}, key_mappings=anon.key_mappings,
+    )
+    rows = {(r.table_name, r.column_name): (r.n_rows, r.n_changed) for r in rep.collect()}
+    n_cust = customer.count()
+    n_masked = customer.where("c_custkey % 3 = 0").count()
+    n_orders = orders.count()
+    n_cascaded = (
+        orders.join(customer.where("c_custkey % 3 = 0"),
+                    orders.o_custkey == F.col("c_custkey"), "left_semi").count()
+    )
+    assert rows[("customer", "c_custkey")] == (n_cust, n_masked)
+    assert rows[("orders", "o_custkey")] == (n_orders, n_cascaded)
+    with pytest.raises(ValueError, match="key_mappings"):
+        masking_report(pre, post, anon.blueprints, ref_keys={"orders": ["o_orderkey"]})
+    with pytest.raises(ValueError, match="ref_keys"):
+        masking_report(pre, post, anon.blueprints, key_mappings=anon.key_mappings)

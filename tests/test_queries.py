@@ -10,6 +10,7 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "mask_report_synchro_cascade",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
