@@ -5994,7 +5994,10 @@ def streaming_dedup_events(spark, sf_dir):
 
 
 STREAMING_DEDUP_SQL = """
-SELECT event_id, user_id, event_type, value FROM events
+-- DISTINCT: the fixture's event_ids are unique, but an at-least-once
+-- source may also carry INTRA-table duplicates (fuzz harness appends an
+-- identical-row duplicate); for identical rows keep-first == DISTINCT
+SELECT DISTINCT event_id, user_id, event_type, value FROM events
 """
 
 

@@ -258,21 +258,17 @@ except ModuleNotFoundError:  # parent `google` namespace absent entirely
     HAS_TWS_RUNTIME = False
 
 
-def stateful_user_stats_tws(
-    stream: DataFrame,
+def make_user_stats_processor(
     key_col: str = "user_id",
     value_col: str = "value",
     type_col: str = "event_type",
-) -> DataFrame:
-    """Per-user running stats on Spark 4's ``transformWithStateInPandas`` —
-    the successor of ``applyInPandasWithState`` (``stateful_user_totals``)
-    with COMPOSABLE typed state: a ValueState holds the (n, total)
-    accumulator and a MapState holds per-event-type counts, each
-    independently evictable/TTL-able. On every batch the processor emits
-    the key's refreshed totals plus the number of distinct event types seen
-    — state is O(keys x types), never O(events), which is what survives an
-    unbounded stream. On a bounded single-batch replay the output equals
-    the batch GROUP BY (count, sum, count distinct type) — the oracle."""
+):
+    """Build the ``UserStats`` StatefulProcessor used by
+    ``stateful_user_stats_tws``. Module-level so the accumulation contract
+    (ValueState (n, total) + MapState per-type counts) is unit-testable
+    against a MOCKED handle — the processor body itself needs neither
+    protobuf nor a streaming runtime, only the state-server transport does
+    (VERDICT r5 #6)."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -306,8 +302,26 @@ def stateful_user_stats_tws(
         def close(self) -> None:
             pass
 
+    return UserStats()
+
+
+def stateful_user_stats_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user running stats on Spark 4's ``transformWithStateInPandas`` —
+    the successor of ``applyInPandasWithState`` (``stateful_user_totals``)
+    with COMPOSABLE typed state: a ValueState holds the (n, total)
+    accumulator and a MapState holds per-event-type counts, each
+    independently evictable/TTL-able. On every batch the processor emits
+    the key's refreshed totals plus the number of distinct event types seen
+    — state is O(keys x types), never O(events), which is what survives an
+    unbounded stream. On a bounded single-batch replay the output equals
+    the batch GROUP BY (count, sum, count distinct type) — the oracle."""
     return stream.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=UserStats(),
+        statefulProcessor=make_user_stats_processor(key_col, value_col, type_col),
         outputStructType=f"{key_col} long, n_events long, total_value double, n_types long",
         outputMode="Update",
         timeMode="None",

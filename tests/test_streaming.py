@@ -522,3 +522,81 @@ def test_stateful_tws_matches_batch_aggregate(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_tws_processor_contract_with_mocked_handle():
+    """Unit contract for the transformWithStateInPandas processor body
+    (stream_ops.make_user_stats_processor) with a MOCKED state handle — the
+    accumulation logic (ValueState (n, total) + MapState per-type counts,
+    cross-batch carryover, n_types from state not batch) runs without the
+    protobuf state-server runtime, so the one env-gated operator keeps
+    non-gated coverage."""
+    import pandas as pd
+
+    import mysql_data_anonymizer_spark.streaming.stream_ops as so
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return k in self._m
+
+        def getValue(self, k):
+            return self._m[k]
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+        def keys(self):
+            return iter(self._m)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+        def getMapState(self, name, kschema, vschema):
+            return self.states.setdefault(name, FakeMapState())
+
+    proc = so.make_user_stats_processor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    batch1 = pd.DataFrame(
+        {"value": [1.0, 2.0, 3.0], "event_type": ["click", "click", "view"]}
+    )
+    (out1,) = list(proc.handleInputRows((7,), iter([batch1]), None))
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "total_value": 6.0, "n_types": 2,
+    }
+
+    # second batch: totals CARRY OVER through state; a repeated type must
+    # not double-count n_types, a new type must raise it
+    batch2 = pd.DataFrame({"value": [10.0], "event_type": ["purchase"]})
+    batch3 = pd.DataFrame({"value": [0.5], "event_type": ["click"]})
+    (out2,) = list(proc.handleInputRows((7,), iter([batch2, batch3]), None))
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 5, "total_value": 16.5, "n_types": 3,
+    }
+
+    # state is per-key by construction: map contents reflect summed counts
+    assert handle.states["types"]._m == {
+        ("click",): (3,), ("view",): (1,), ("purchase",): (1,),
+    }
+    proc.close()

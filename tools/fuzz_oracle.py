@@ -28,6 +28,9 @@ from mysql_data_anonymizer_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.001"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fuzzdata")
+# bump when edge-row sets change: the marker carries the version, so stale
+# .fuzzdata rebuilds automatically instead of silently fuzzing old fixtures
+FIXTURE_VERSION = 2
 
 # the document-family queries (text analysis, dedup, curation) — the ones
 # whose token/shingle/chunk algebra meets degenerate text
@@ -51,7 +54,10 @@ DEFAULT_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_simhash_md5",
+    "dedup_clusters",
+    "dedup_incremental_new_docs",
     "dedup_canonical_docs",
     "dedup_chunks_reconstruct",
     "decontaminate_training_docs",
@@ -80,10 +86,21 @@ DEFAULT_QUERIES = [
     "approx_distinct_users_daily",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
+    "streaming_session_agg",
+    "streaming_stream_join",
     "streaming_stateful_user_totals",
     "streaming_dedup_events",
     "streaming_dedup_then_window",
     "streaming_jdbc_upsert_agg",
+    # event-joined relational ops (v2): as-of/point-in-time/range joins and
+    # event history — late/duplicate/boundary timestamps stress the
+    # inequality-join and ordering logic
+    "asof_last_order_per_event",
+    "pit_join_future_event_state",
+    "range_join_close_prices",
+    "order_window_features",
+    "scd2_user_event_history",
+    "cdc_apply_changelog_orders",
     # relational family: NULL join keys (never match, identically, in both
     # engines), empty-string group keys, extreme/negative money values
     "q1_pricing_summary",
@@ -116,7 +133,15 @@ DEFAULT_QUERIES = [
     "profile_orders_columns",
     "snapshot_diff_orders",
     "unpivot_lineitem_charges",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "customer_order_keys_array",
+    "segment_nation_list",
+    "rtbf_forget_cascade",
+    # layout family (v2): negative keys, > 2^bits keys, NULL keys through
+    # the Morton fold — truncation must agree bit-for-bit across engines
     "zorder_orders_key",
+    "zorder_lineitem_key3",
     # embeddings family: zero vector (norm 0 -> cosine divide hazard),
     # huge/tiny magnitudes, exact duplicate of an existing vector
     "knn_brute_force",
@@ -145,10 +170,8 @@ DEFAULT_QUERIES = [
     "l_diversity_audit_customers",
     "mask_generalize_customers",
     "suppress_small_groups",
-    "ntile_deciles_acctbal",
     "quantiles_acctbal_per_segment",
     "zscore_acctbal_per_segment",
-    "histogram_totalprice",
     # supplier/part family: NULL nation keys, unicode/empty names, extreme
     # prices and sizes flowing through the join-heavy TPC-H block
     "q2_min_cost_supplier",
@@ -161,9 +184,8 @@ DEFAULT_QUERIES = [
     "q8_market_share",
     "q7_volume_shipping",
     "q19_disjunctive_revenue",
-    "top_supplier_per_nation",
-    "mask_synchro_remap",
     "mask_run_report",
+    "mask_report_synchro_cascade",
 ]
 
 EDGE_TEXTS = [
@@ -201,8 +223,12 @@ def _write_single_file(df, dest: str) -> None:
 
 def build_fuzz_dir(spark) -> str:
     os.makedirs(OUT, exist_ok=True)
-    marker = os.path.join(OUT, "_COMPLETE")
+    marker = os.path.join(OUT, f"_COMPLETE_v{FIXTURE_VERSION}")
     if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(OUT)
+        os.makedirs(OUT)
         from pyspark.sql import functions as F
 
         docs = spark.read.parquet(f"{BASE}/documents.parquet")
@@ -220,7 +246,14 @@ def build_fuzz_dir(spark) -> str:
         _write_single_file(docs.unionByName(edge_df), f"{OUT}/documents.parquet")
 
         ev = spark.read.parquet(f"{BASE}/events.parquet")
-        ev_max, ts_max = ev.agg(F.max("event_id"), F.max("ts")).first()
+        ev_max, ts_max, ts_min = ev.agg(
+            F.max("event_id"), F.max("ts"), F.min("ts")
+        ).first()
+        import datetime as _dt
+
+        # exact hour boundary nearest ts_max: the half-open-window edge —
+        # a row AT the boundary belongs to the NEW window in both engines
+        hour = ts_max.replace(minute=0, second=0, microsecond=0)
         uid = 424242  # an unseen fuzz user
         edge_events = [
             # two events at the IDENTICAL timestamp (window/rank tie fodder)
@@ -233,7 +266,22 @@ def build_fuzz_dir(spark) -> str:
             # unseen + empty event types, unicode/nested props
             (ev_max + 6, ts_max, uid, "fuzz_type", 3.25, '{"ünïcödé": "значение"}'),
             (ev_max + 7, ts_max, uid, "", 4.75, '{"a": {"b": [1, 2, {"c": 3}]}}'),
+            # window-BOUNDARY ties (v2): exactly ON an hour boundary (opens
+            # the new half-open window), 1 microsecond before it (closes the
+            # old one), 1 second after — window assignment must agree
+            (ev_max + 8, hour, uid, "click", 10.0, "{}"),
+            (ev_max + 9, hour - _dt.timedelta(microseconds=1), uid, "click", 11.0, "{}"),
+            (ev_max + 10, hour + _dt.timedelta(seconds=1), uid, "click", 12.0, "{}"),
+            # LATE + OUT-OF-ORDER (v2): the oldest timestamp in the corpus,
+            # appended LAST in file order — a late arrival for every
+            # watermark/sessionize/sort path
+            (ev_max + 11, ts_min, uid, "view", 13.0, "{}"),
         ]
+        # EXACT-DUPLICATE row (v2): same event_id, every column identical —
+        # any keep-first/keep-any dedup policy must yield identical values
+        # in both engines (duplicates that DIFFER would make the survivor
+        # arrival-order-dependent, so only the identical form is fuzzable)
+        edge_events.append(edge_events[0])
         edge_ev = spark.createDataFrame(
             edge_events,
             "event_id long, ts timestamp, user_id long, event_type string, "
@@ -253,6 +301,11 @@ def build_fuzz_dir(spark) -> str:
             (ok_max + 3, 1, "F", -500.0, od_max, "5-LOW"),
             # duplicate orderkey? no - keys stay unique; duplicate DATE ties
             (ok_max + 4, 2, "O", 0.0, od_max, "3-MEDIUM"),
+            # zorder edges (v2): NEGATIVE key (two's-complement low bits)
+            # and a key ABOVE 2^bits (the Morton mask truncates — both
+            # engines must truncate identically; verified, not assumed)
+            (ok_max + 5, -7, "O", 42.0, od_max, "2-HIGH"),
+            (ok_max + 6, (1 << 40) + 123, "O", 99.5, od_max, "4-NOT SPECIFIED"),
         ]
         edge_od = spark.createDataFrame(
             edge_orders,
@@ -272,6 +325,9 @@ def build_fuzz_dir(spark) -> str:
             (lk_max + 1001, 1, 1, 1, 1.0, 1.0e12, 1.0, 0.0, "R", "F", sd_max),
             # negative quantity/price
             (lk_max + 1002, 2, 2, 1, -5.0, -100.0, 0.05, 0.02, "A", "O", sd_max),
+            # zorder3 edges (v2): partkey above 2^bits, negative suppkey,
+            # fractional + negative quantity through the double->long cast
+            (lk_max + 1003, (1 << 35) + 7, -3, 1, 17.75, 10.0, 0.0, 0.0, "N", "O", sd_max),
         ]
         edge_lidf = spark.createDataFrame(
             edge_li,
