@@ -93,6 +93,52 @@ def ngram_jaccard_pairs(
     (<= cap^2/2 pairs per shingle) — at corpus scale the cap is mandatory:
     one boilerplate shingle shared by 1M docs would otherwise emit 5*10^11
     pairs. Returns (id_a, id_b, jaccard)."""
+    out = _pair_intersections(df, id_col, text_col, n, max_shingle_df).withColumn(
+        # raw double of an int/int division: bit-identical in any IEEE
+        # engine, so the DuckDB oracle hash-matches without rounding
+        "jaccard",
+        F.col("__inter").cast("double")
+        / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
+    ).where(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with CONTAINMENT >= threshold, where containment
+    = |A ∩ B| / min(|A|, |B|) over the n-gram shingle sets (Broder 1997's
+    asymmetric resemblance): a short document quoted wholesale inside a
+    long one scores ~1.0 here but a LOW Jaccard (the union is dominated by
+    the long doc), so this is the dedup family member that catches
+    subset/quotation duplication — press-release bodies inside news
+    articles, license boilerplate inside source files, chunk-level copies
+    inside aggregator pages. Same posting-list plan shape (and the same
+    mandatory ``max_shingle_df`` cap) as ``ngram_jaccard_pairs`` — only the
+    final score expression differs. Returns (id_a, id_b, containment)."""
+    out = _pair_intersections(df, id_col, text_col, n, max_shingle_df).withColumn(
+        "containment",
+        F.col("__inter").cast("double")
+        / F.least(F.col("__na"), F.col("__nb")).cast("double"),
+    ).where(F.col("containment") >= threshold)
+    return out.select("id_a", "id_b", "containment")
+
+
+def _pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared candidate machinery for the set-overlap dedup family:
+    posting-list expansion -> per-pair intersection counts joined with both
+    docs' (capped) set sizes. Returns (id_a, id_b, __inter, __na, __nb)."""
     sh = shingles(df, id_col, text_col, n)
     posting = sh.groupBy("sh").agg(F.sort_array(F.collect_set("__id")).alias("ids"))
     if max_shingle_df is not None:
@@ -114,19 +160,10 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
         .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
-        .withColumn(
-            # raw double of an int/int division: bit-identical in any IEEE
-            # engine, so the DuckDB oracle hash-matches without rounding
-            "jaccard",
-            F.col("__inter").cast("double")
-            / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double"),
-        )
-        .where(F.col("jaccard") >= threshold)
     )
-    return out.select("id_a", "id_b", "jaccard")
 
 
 def incremental_near_dup_filter(

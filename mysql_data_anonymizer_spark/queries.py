@@ -1406,6 +1406,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric set-overlap dedup (dedup.ngram_containment_pairs):
+    containment = |A∩B| / min(|A|,|B|) flags subset/quotation duplication
+    that Jaccard structurally under-scores (short doc inside long doc:
+    containment ~1.0, jaccard ~ |A|/|B|). Same posting-list + df-cap plan
+    as dedup_ngram_jaccard; only the score differs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=MAX_SHINGLE_DF
+    )
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
@@ -4665,6 +4677,23 @@ WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {threshold}
 """
 
 
+def _gen_ngram_containment_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) >= {threshold}
+"""
+
+
 def _gen_minhash_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
     r = num_hashes // bands
     mh_aggs = ", ".join(f"min(md5('{i}:' || sh)) AS mh{i}" for i in range(num_hashes))
@@ -4770,6 +4799,8 @@ ORACLES["scrub_documents_pii"] = SCRUB_PII_SQL
 QUERIES["pack_docs_token_bins"] = pack_docs_token_bins
 ORACLES["pack_docs_token_bins"] = PACK_BINS_SQL
 ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
+QUERIES["dedup_ngram_containment"] = dedup_ngram_containment
+ORACLES["dedup_ngram_containment"] = _gen_ngram_containment_sql(0.8)
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
 QUERIES["dedup_simhash_md5"] = dedup_simhash_md5
 ORACLES["dedup_simhash_md5"] = _gen_simhash_md5_sql(3, 15)
@@ -6129,6 +6160,7 @@ _CHECK_FIRST = [
     # registry query's latest driver cert becomes r4+).
     # (1) new this round — never driver-certified
     "mask_report_synchro_cascade",
+    "dedup_ngram_containment",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -11,6 +11,7 @@ from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
     "mask_report_synchro_cascade",
+    "dedup_ngram_containment",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",

@@ -53,6 +53,7 @@ DEFAULT_QUERIES = [
     "doc_top_terms",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",
