@@ -1012,6 +1012,33 @@ def semantic_decontaminate(
 # ---------------------------------------------------------------------------
 # chunk-level exact dedup with document reconstruction (C4/CCNet line dedup)
 # ---------------------------------------------------------------------------
+def _doc_chunks(
+    docs: DataFrame, id_col: str, text_col: str, chunk_tokens: int
+) -> DataFrame:
+    """(id, chunk_idx, chunk) fixed-token spans — shared chunking for the
+    sub-document dedup family. Whole-stage-codegen array algebra
+    (sequence/slice/array_join), zero Python; empty documents are dropped
+    before ``sequence`` (sequence(0, -1, n) raises)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        ).alias("__t"),
+    ).where(F.size("__t") > 0)  # sequence(0, -1, n) raises on empty docs
+    return (
+        toks.select(
+            id_col,
+            F.expr(
+                f"explode(transform(sequence(0, size(__t) - 1, {chunk_tokens}), "
+                f"s -> struct(CAST(s AS LONG) AS chunk_idx, "
+                f"array_join(slice(__t, s + 1, {chunk_tokens}), ' ') AS chunk)))"
+            ).alias("c"),
+        )
+        .select(id_col, "c.chunk_idx", "c.chunk")
+        .where(F.col("chunk") != "")
+    )
+
+
 def chunk_dedup_reconstruct(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1034,20 +1061,7 @@ def chunk_dedup_reconstruct(
     marks keepers and one keyed aggregate per doc rebuilds the text. Two
     shuffle keys total (span, doc), both hash-partitioned; chunking itself
     is codegen'd array algebra (sequence/slice/array_join), zero Python."""
-    toks = docs.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
-        ).alias("__t"),
-    ).where(F.size("__t") > 0)  # sequence(0, -1, n) raises on empty docs
-    chunks = toks.select(
-        id_col,
-        F.expr(
-            f"explode(transform(sequence(0, size(__t) - 1, {chunk_tokens}), "
-            f"s -> struct(CAST(s AS LONG) AS chunk_idx, "
-            f"array_join(slice(__t, s + 1, {chunk_tokens}), ' ') AS chunk)))"
-        ).alias("c"),
-    ).select(id_col, "c.chunk_idx", "c.chunk").where(F.col("chunk") != "")
+    chunks = _doc_chunks(docs, id_col, text_col, chunk_tokens)
     firsts = chunks.groupBy("chunk").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("chunk_idx").alias("i"))).alias("__first")
     )
@@ -1071,3 +1085,175 @@ def chunk_dedup_reconstruct(
         ).alias("dedup_text"),
     )
     return out.where(F.col("kept_chunks") > 0)
+
+
+def boilerplate_chunk_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    max_df: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal with document RECONSTRUCTION —
+    the RefinedWeb / CCNet "remove frequent lines" rule, the complement of
+    ``chunk_dedup_reconstruct``: spans that occur in MORE than ``max_df``
+    distinct documents are boilerplate (nav bars, license headers, cookie
+    banners) and are removed from EVERY document — including the first
+    occurrence, which first-occurrence chunk dedup would keep. Documents
+    reassemble from their surviving spans in order; fully-emptied docs are
+    dropped. Returns ``(id_col, total_chunks, kept_chunks, clean_text)``.
+
+    100 TB design: span document-frequency is one hash aggregate
+    (``count(distinct doc)`` per span — spans are distinct per doc by
+    construction here, so it is a plain count with map-side partial), the
+    boilerplate verdict joins back on the span key, and one keyed aggregate
+    per doc rebuilds the text. Same two shuffle keys (span, doc) as
+    chunk-dedup; hot boilerplate spans are absorbed by partial aggregation
+    rather than skewing a window sort. Reference parity: the anonymizer has
+    no sub-document ops (src/Anonymizer.php is row-oriented); this is part
+    of the training-data curation surface."""
+    chunks = _doc_chunks(docs, id_col, text_col, chunk_tokens)
+    span_df = chunks.groupBy("chunk").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    marked = chunks.join(span_df, "chunk").withColumn(
+        "__keep", F.col("__df") <= F.lit(max_df)
+    )
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).cast("long").alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return out.where(F.col("kept_chunks") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the no-broadcast-of-raw-shingles scale path)
+# ---------------------------------------------------------------------------
+def _bloom_bits_from_hashes(hashed: DataFrame, m_bits: int, num_hashes: int) -> bytes:
+    """OR-combine per-partition Bloom bitsets built from (h1, h2) int64
+    hash columns into one driver-side bitset of ``m_bits`` bits.
+
+    Positions use Kirsch–Mitzenmacher double hashing: pos_i = (h1 + i*h2)
+    mod m (uint64 wraparound, m a power of two). The heavy hashing
+    (xxhash64 over shingle strings) already happened JVM-side; Python only
+    does vectorized numpy bit arithmetic over int64 batches. The collect is
+    bounded by construction: num_partitions x m_bits/8 bytes (128 KiB per
+    partition at the default 2^20 bits), independent of benchmark row
+    count — at 1000 executors that is ~128 MiB on the driver, and a
+    treeAggregate-style two-level OR (coalesce to sqrt(P) first) halves it
+    again if it ever binds."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    nbytes = m_bits // 8
+    mask = np.uint64(m_bits - 1)
+
+    def build(batches):
+        import pandas as pd  # executor-side
+
+        buf = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            h1 = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            for i in range(num_hashes):
+                idx = (h1 + np.uint64(i) * h2) & mask
+                np.bitwise_or.at(
+                    buf,
+                    (idx >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+                )
+        yield pd.DataFrame({"bits": [buf.tobytes()]})
+
+    parts = hashed.mapInPandas(build, "bits binary").collect()
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out.tobytes()
+
+
+_BLOOM_SEED2 = 0x9E3779B9  # golden-ratio salt for the second hash lane
+
+
+def decontaminate_bloom_hits(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Per-document count of distinct n-gram shingles that HIT a Bloom
+    filter built over the benchmark's shingles — the decontamination path
+    for when the benchmark is too large to broadcast raw (``decontaminate``
+    caps its broadcast hard): the filter is a CONSTANT-SIZE bitset
+    (m_bits/8 bytes) regardless of benchmark size, built in one distributed
+    pass (per-partition bitsets OR-combined) and broadcast to a map-only
+    corpus probe. Bloom guarantees no false negatives, so per doc
+    bloom_hits >= exact_hits always — the theorem the certification query
+    gates on. Returns ``(id_col, bloom_hits)`` for every train doc (docs
+    with no shingles count 0).
+
+    100 TB design: both passes are map-shaped. Build: shingle -> xxhash64
+    JVM-side, bitset OR per partition, bounded driver collect (see
+    _bloom_bits_from_hashes). Probe: per-doc-distinct shingles ->
+    xxhash64 pairs JVM-side -> Arrow-batched vectorized bit test (numpy
+    gather, no per-row Python) -> one keyed count per doc. No shuffle ever
+    carries shingle strings to a join; the only wide exchange is the final
+    per-doc count."""
+    from pyspark.sql.functions import pandas_udf
+
+    bsh = shingles(bench, id_col, text_col, n).select("sh").distinct()
+    bhash = bsh.select(
+        F.xxhash64("sh").alias("h1"),
+        F.xxhash64("sh", F.lit(_BLOOM_SEED2)).alias("h2"),
+    )
+    bits = _bloom_bits_from_hashes(bhash, m_bits, num_hashes)
+    bc = train.sparkSession.sparkContext.broadcast(bits)
+    mask = np.uint64(m_bits - 1)
+
+    @pandas_udf("boolean")
+    def _bloom_hit(h1, h2):
+        import pandas as pd
+
+        buf = np.frombuffer(bc.value, dtype=np.uint8)
+        a = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        b = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(num_hashes):
+            idx = (a + np.uint64(i) * b) & mask
+            ok &= (
+                buf[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1) == np.uint8(1)
+        return pd.Series(ok)
+
+    tsh = shingles(train, id_col, text_col, n)
+    probed = (
+        tsh.select(
+            F.col("__id"),
+            F.xxhash64("sh").alias("h1"),
+            F.xxhash64("sh", F.lit(_BLOOM_SEED2)).alias("h2"),
+        )
+        .withColumn("__hit", _bloom_hit("h1", "h2"))
+        .groupBy("__id")
+        .agg(F.sum(F.col("__hit").cast("long")).alias("bloom_hits"))
+    )
+    base = train.select(F.col(id_col).alias("__id")).distinct()
+    return (
+        base.join(probed, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("bloom_hits"), F.lit(0)).cast("long").alias("bloom_hits"),
+        )
+    )

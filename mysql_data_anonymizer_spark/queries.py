@@ -1635,6 +1635,122 @@ FROM marked GROUP BY doc_id HAVING kept_chunks > 0
 """
 
 
+def dedup_boilerplate_chunks(spark, sf_dir):
+    """Corpus-frequency boilerplate removal with reconstruction (RefinedWeb
+    / CCNet "remove frequent lines"): 16-token spans occurring in MORE than
+    2 distinct documents are boilerplate and removed from EVERY document —
+    including the first occurrence, which dedup_chunks_reconstruct keeps.
+    The complement rule of first-occurrence chunk dedup; same two shuffle
+    keys (span, doc), span document-frequency is one hash aggregate
+    (operators/dedup.py::boilerplate_chunk_removal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.boilerplate_chunk_removal(docs, "doc_id", "text", chunk_tokens=16, max_df=2)
+
+
+BOILERPLATE_CHUNKS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS chunk_idx,
+         array_to_string(t[u.s + 1 : u.s + 16], ' ') AS chunk
+  FROM toks, UNNEST(range(0, len(t), 16)) AS u(s)
+),
+ch AS (SELECT doc_id, chunk_idx, chunk FROM chunks WHERE chunk <> ''),
+dfc AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_chunks,
+       CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       string_agg(CASE WHEN df <= 2 THEN chunk END, ' ' ORDER BY chunk_idx) AS clean_text
+FROM ch JOIN dfc USING (chunk)
+GROUP BY doc_id HAVING kept_chunks > 0
+"""
+
+
+def decontaminate_bloom_ngrams(spark, sf_dir):
+    """Bloom-filter benchmark decontamination — the scale path for when the
+    benchmark shingle set is too big to broadcast raw (decontaminate caps
+    its broadcast hard): a CONSTANT-SIZE bitset (2^20 bits here) is built
+    over the benchmark's 3-gram shingles in one distributed pass and
+    broadcast to a map-only corpus probe (operators/dedup.py::
+    decontaminate_bloom_hits — JVM xxhash64, Arrow-batched numpy bit test,
+    no shingle strings in any join).
+
+    Certification shape (exact-twin + theorem gates): FINAL columns are the
+    exact per-doc overlap count (oracle-able shingle equi-join) plus
+    ``bloom_superset_ok`` — the per-row Bloom NO-FALSE-NEGATIVES theorem
+    (bloom_hits >= exact_hits, must hold for every doc) — and a global
+    ``fpr_ok`` (false-flag rate among clean docs <= 0.05; theoretical FPR
+    at these sizes ~1e-7, huge margin). The 1-row FPR scalar is a bounded
+    broadcast crossJoin (plan_audit BNL_OK pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bloom = dedup.decontaminate_bloom_hits(
+        train, bench, "doc_id", "text", n=3, m_bits=1 << 20, num_hashes=4
+    )
+    tsh = dedup.shingles(train, "doc_id", "text", 3)
+    bsh = dedup.shingles(bench, "doc_id", "text", 3).select("sh").distinct()
+    exact = (
+        tsh.join(bsh, "sh")
+        .groupBy(F.col("__id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    per_doc = (
+        train.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(bloom, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_hits", F.lit(0)).cast("long").alias("exact_hits"),
+            F.coalesce("bloom_hits", F.lit(0)).cast("long").alias("__bh"),
+        )
+        .withColumn("exact_contaminated", F.col("exact_hits") >= 2)
+        .withColumn("bloom_superset_ok", F.col("__bh") >= F.col("exact_hits"))
+    )
+    fp = per_doc.agg(
+        F.avg(
+            F.when(~F.col("exact_contaminated") & (F.col("__bh") >= 2), 1.0).otherwise(0.0)
+        ).alias("__fpr")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(fp))
+        .withColumn("fpr_ok", F.coalesce(F.col("__fpr"), F.lit(0.0)) <= 0.05)
+        .select("doc_id", "exact_hits", "exact_contaminated", "bloom_superset_ok", "fpr_ok")
+    )
+
+
+DECONTAMINATE_BLOOM_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, (doc_id % 10) = 0 AS is_bench,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM docs
+),
+sh1 AS (SELECT doc_id, is_bench, sh FROM sh0 WHERE sh <> ''),
+bsh AS (SELECT DISTINCT sh FROM sh1 WHERE is_bench),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS exact_hits
+  FROM sh1 JOIN bsh USING (sh) WHERE NOT is_bench GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.exact_hits, 0) AS BIGINT) AS exact_hits,
+       COALESCE(h.exact_hits, 0) >= 2 AS exact_contaminated,
+       TRUE AS bloom_superset_ok,
+       TRUE AS fpr_ok
+FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE NOT d.is_bench
+"""
+
+
 def curate_corpus_pipeline(spark, sf_dir):
     """Flagship end-to-end curation DAG — the nightly chain of a training
     -data job, composed from four operator families into ONE lazy plan:
@@ -4801,6 +4917,10 @@ ORACLES["pack_docs_token_bins"] = PACK_BINS_SQL
 ORACLES["dedup_ngram_jaccard"] = _gen_ngram_jaccard_sql(0.6)
 QUERIES["dedup_ngram_containment"] = dedup_ngram_containment
 ORACLES["dedup_ngram_containment"] = _gen_ngram_containment_sql(0.8)
+QUERIES["dedup_boilerplate_chunks"] = dedup_boilerplate_chunks
+ORACLES["dedup_boilerplate_chunks"] = BOILERPLATE_CHUNKS_SQL
+QUERIES["decontaminate_bloom_ngrams"] = decontaminate_bloom_ngrams
+ORACLES["decontaminate_bloom_ngrams"] = DECONTAMINATE_BLOOM_SQL
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
 QUERIES["dedup_simhash_md5"] = dedup_simhash_md5
 ORACLES["dedup_simhash_md5"] = _gen_simhash_md5_sql(3, 15)
@@ -6161,6 +6281,8 @@ _CHECK_FIRST = [
     # (1) new this round — never driver-certified
     "mask_report_synchro_cascade",
     "dedup_ngram_containment",
+    "dedup_boilerplate_chunks",
+    "decontaminate_bloom_ngrams",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

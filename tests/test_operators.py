@@ -752,6 +752,102 @@ def test_chunk_dedup_reconstruct_matches_python_model(spark):
         assert got == model(docs, 4), f"seed={seed}"
 
 
+def test_boilerplate_chunk_removal_semantics(spark):
+    """Crafted corpus: span `a` occurs in 3 docs (df=3 > max_df=2) and must
+    be removed from EVERY doc — including doc 1, the first occurrence that
+    chunk_dedup_reconstruct would keep; span `b` (df=1) and `c` (df=2)
+    survive. Doc 4 is pure boilerplate and must vanish."""
+    a = " ".join(f"a{i}" for i in range(4))
+    b = " ".join(f"b{i}" for i in range(4))
+    c = " ".join(f"c{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{c} {a}"), (3, f"{a} {c}"), (4, a)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.boilerplate_chunk_removal(docs, chunk_tokens=4, max_df=2).collect()
+    }
+    assert out[1].total_chunks == 2 and out[1].kept_chunks == 1 and out[1].clean_text == b
+    assert out[2].clean_text == c and out[3].clean_text == c
+    assert 4 not in out  # every span is boilerplate -> doc dropped
+
+
+def test_boilerplate_chunk_removal_matches_python_model(spark):
+    """Model-based check over seeded random corpora: distributed df-count /
+    join / reassemble must equal a sequential reference that counts span
+    document-frequency globally then filters every doc."""
+    import random
+    from collections import defaultdict
+
+    def model(docs, n, max_df):
+        spans = {}
+        for doc_id, text in docs:
+            toks = [t for t in text.lower().split() if t]
+            spans[doc_id] = [" ".join(toks[i:i + n]) for i in range(0, len(toks), n)]
+        dfc = defaultdict(set)
+        for doc_id, chs in spans.items():
+            for ch in chs:
+                dfc[ch].add(doc_id)
+        out = {}
+        for doc_id, chs in spans.items():
+            kept = [ch for ch in chs if len(dfc[ch]) <= max_df]
+            if kept:
+                out[doc_id] = (len(chs), len(kept), " ".join(kept))
+        return out
+
+    for seed in (3, 11, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(10)]  # tiny vocab -> many hot spans
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 24))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.total_chunks, r.kept_chunks, r.clean_text)
+            for r in dedup.boilerplate_chunk_removal(df, chunk_tokens=4, max_df=2).collect()
+        }
+        assert got == model(docs, 4, 2), f"seed={seed}"
+
+
+def test_decontaminate_bloom_no_false_negatives(spark):
+    """Bloom theorem: per doc, bloom_hits >= the exact distinct-shingle
+    overlap count, for every doc — and docs with no shingles report 0."""
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # overlaps: 2 bench shingles
+            (2, "totally different words entirely here now"),
+            (3, "xy"),                                # < n tokens -> no shingles
+            (4, ""),                                  # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.bloom_hits
+        for r in dedup.decontaminate_bloom_hits(train, bench, n=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] >= 2  # no false negatives: both overlapping shingles hit
+    assert got[3] == 0 and got[4] == 0
+    # empty benchmark -> zero bitset -> zero hits everywhere
+    empty = bench.where(F.col("doc_id") < 0)
+    got0 = {
+        r.doc_id: r.bloom_hits
+        for r in dedup.decontaminate_bloom_hits(train, empty, n=3).collect()
+    }
+    assert all(v == 0 for v in got0.values())
+
+
+def test_bloom_bits_power_of_two_required(spark):
+    bench = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="power of two"):
+        dedup.decontaminate_bloom_hits(bench, bench, m_bits=1000)
+
+
 def test_semantic_decontaminate_matches_numpy_model(spark, embeddings):
     """Model-based check: the Arrow-batched distributed pass must equal a
     sequential numpy reference (round-4dp per pair, then max) on the

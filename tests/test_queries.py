@@ -12,6 +12,8 @@ from mysql_data_anonymizer_spark import queries as Q
 NEW = [
     "mask_report_synchro_cascade",
     "dedup_ngram_containment",
+    "dedup_boilerplate_chunks",
+    "decontaminate_bloom_ngrams",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
@@ -219,6 +221,9 @@ INVARIANCE_SAMPLE = [
     # independence is the property under test
     "dedup_chunks_reconstruct",
     "decontaminate_semantic_embeddings",
+    # Bloom bitset is OR-combined across partitions: the filter contents —
+    # and therefore the superset/FPR gates — must not depend on layout
+    "decontaminate_bloom_ngrams",
 ]
 
 

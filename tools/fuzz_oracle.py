@@ -54,6 +54,8 @@ DEFAULT_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
+    "dedup_boilerplate_chunks",
+    "decontaminate_bloom_ngrams",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",

@@ -77,6 +77,9 @@ BNL_OK: set[str] = {
     # the per-language count table (|langs| rows) — bounded by construction
     "rebalance_corpus_mix",
     "pretraining_pipeline_e2e",  # same rebalance scalar inside the composition
+    # bloom decontamination: the 1-row global-FPR scalar cross-joined onto
+    # the per-doc table — bounded by construction, same class as q11
+    "decontaminate_bloom_ngrams",
 }
 
 
