@@ -31,6 +31,7 @@ HEADLINE = [
     "mask_generator_profile",
     "mask_faker_profile",
     "mask_run_report",
+    "mask_report_synchro_cascade",
     "k_anonymity_audit_customers",
     "l_diversity_audit_customers",
     "rtbf_forget_cascade",
@@ -82,6 +83,7 @@ HEADLINE = [
     "intersect_rich_customers_with_orders",
     "top_supplier_per_nation",
     "approx_distinct_users_daily",
+    "hll_union_rollup_users",
     "json_events_agg",
     "json_source_agg",
     "json_props_struct",
@@ -138,15 +140,19 @@ HEADLINE = [
     "text_nfc_dedup_prep",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",
     "dedup_clusters",
     "dedup_canonical_docs",
+    "split_leakage_safe",
     "dedup_incremental_new_docs",
     "decontaminate_training_docs",
+    "decontaminate_bloom_ngrams",
     "decontaminate_semantic_embeddings",
     "dedup_chunks_reconstruct",
+    "dedup_boilerplate_chunks",
     "doc_repetition_stats",
     "curate_corpus_pipeline",
     "dedup_embedding_cosine",

@@ -4062,6 +4062,52 @@ FROM events GROUP BY 1
 """
 
 
+def hll_union_rollup_users(spark, sf_dir):
+    """Mergeable-sketch ROLLUP (Apache DataSketches HLL, Spark 3.5+
+    built-ins): daily per-event-type user sketches are built ONCE
+    (hll_sketch_agg), then the per-event-type total cardinality is answered
+    by MERGING the daily sketches (hll_union_agg) — the raw data is never
+    re-scanned. This is the 100 TB pre-aggregation contract: store
+    fixed-size sketch bytes per (day, type) cell and answer any coarser
+    rollup (weekly, total, cross-type) by sketch union, turning a
+    petabyte-scale COUNT(DISTINCT) re-shuffle into a merge of kilobyte
+    blobs. Union of HLL registers is exactly max() per register —
+    associative and order-insensitive, so the estimate (and the gate) is
+    partitioning-stable.
+
+    Exact-twin + gate certification (sketch bytes are engine-specific):
+    FINAL columns are the exact COUNT(DISTINCT) twin, the day count, and
+    ``hll_union_ok`` — the unioned estimate within max(10%, 5) of exact
+    (lgConfigK=14 -> ~0.8% typical error; huge margin)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("__day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("__sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    hll_union_ok = F.abs(F.col("__est") - F.col("exact_users")) <= F.greatest(
+        F.col("exact_users") * 0.10, F.lit(5.0)
+    )
+    return (
+        exact.join(rolled, "event_type")
+        .select("event_type", "exact_users", "n_days", hll_union_ok.alias("hll_union_ok"))
+    )
+
+
+HLL_UNION_ROLLUP_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+       TRUE AS hll_union_ok
+FROM events GROUP BY 1
+"""
+
+
 def approx_quantiles_events_value(spark, sf_dir):
     """Approximate percentile sketch (Greenwald-Khanna) per event type —
     the mergeable-quantile companion to the HLL sketch: partial sketches
@@ -4144,6 +4190,60 @@ reach(node, label) AS (
   SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
 )
 SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split — the assignment rule a training
+    pipeline must use AFTER near-dup analysis: if two near-duplicate docs
+    land on opposite sides of the split, the eval set is contaminated even
+    though "no doc appears twice". So the split key is the near-dup CLUSTER
+    (connected component of Jaccard >= 0.6 pairs), not the doc: every member
+    of a cluster follows its canonical (min-id) representative through one
+    deterministic md5 hash gate (80/10/10). Unclustered docs are their own
+    cluster. Same run/partitioning-invariant md5-gate as
+    stratified_sample_docs (seeded RNG would re-deal the split every run).
+
+    100 TB: pairs + components are the dedup pipeline's existing artifacts;
+    the split itself is one broadcast join (component map is small — only
+    clustered docs) + a map-only hash gate."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
+    )
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    assign = docs.join(
+        F.broadcast(cc.withColumnRenamed("node", "doc_id")), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    d = F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string")))
+    gate = F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % 10
+    return assign.withColumn(
+        "split",
+        F.when(gate < 8, F.lit("train")).when(gate < 9, F.lit("val")).otherwise(F.lit("test")),
+    )
+
+
+def _gen_split_leakage_safe_sql(threshold: float = 0.6) -> str:
+    clusters_sql = _gen_dedup_clusters_sql(threshold)
+    d = "md5('split:' || CAST(cluster_id AS VARCHAR))"
+    gate = f"(strpos('{HEXD}', substr({d}, 1, 1)) - 1)"
+    for i in range(2, 9):
+        gate = f"({gate} * 16 + (strpos('{HEXD}', substr({d}, {i}, 1)) - 1))"
+    return f"""
+WITH clusters AS ({clusters_sql}),
+assign AS (
+  SELECT d.doc_id, d.lang, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, lang, cluster_id,
+       CASE WHEN {gate} % 10 < 8 THEN 'train'
+            WHEN {gate} % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM assign
 """
 
 
@@ -4921,6 +5021,10 @@ QUERIES["dedup_boilerplate_chunks"] = dedup_boilerplate_chunks
 ORACLES["dedup_boilerplate_chunks"] = BOILERPLATE_CHUNKS_SQL
 QUERIES["decontaminate_bloom_ngrams"] = decontaminate_bloom_ngrams
 ORACLES["decontaminate_bloom_ngrams"] = DECONTAMINATE_BLOOM_SQL
+QUERIES["split_leakage_safe"] = split_leakage_safe
+ORACLES["split_leakage_safe"] = _gen_split_leakage_safe_sql(0.6)
+QUERIES["hll_union_rollup_users"] = hll_union_rollup_users
+ORACLES["hll_union_rollup_users"] = HLL_UNION_ROLLUP_SQL
 ORACLES["dedup_minhash_lsh"] = _gen_minhash_sql(8, 4, 0.5)
 QUERIES["dedup_simhash_md5"] = dedup_simhash_md5
 ORACLES["dedup_simhash_md5"] = _gen_simhash_md5_sql(3, 15)
@@ -6283,6 +6387,8 @@ _CHECK_FIRST = [
     "dedup_ngram_containment",
     "dedup_boilerplate_chunks",
     "decontaminate_bloom_ngrams",
+    "split_leakage_safe",
+    "hll_union_rollup_users",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -14,6 +14,8 @@ NEW = [
     "dedup_ngram_containment",
     "dedup_boilerplate_chunks",
     "decontaminate_bloom_ngrams",
+    "split_leakage_safe",
+    "hll_union_rollup_users",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
@@ -224,6 +226,10 @@ INVARIANCE_SAMPLE = [
     # Bloom bitset is OR-combined across partitions: the filter contents —
     # and therefore the superset/FPR gates — must not depend on layout
     "decontaminate_bloom_ngrams",
+    # HLL register merges and md5 split gates must be layout-independent;
+    # the split additionally rides the iterative component fixpoint
+    "hll_union_rollup_users",
+    "split_leakage_safe",
 ]
 
 

@@ -56,6 +56,8 @@ DEFAULT_QUERIES = [
     "dedup_ngram_containment",
     "dedup_boilerplate_chunks",
     "decontaminate_bloom_ngrams",
+    "split_leakage_safe",
+    "hll_union_rollup_users",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",
