@@ -76,6 +76,7 @@ HEADLINE = [
     "cube_orders",
     "asof_last_order_per_event",
     "range_join_close_prices",
+    "bloom_join_pruned_revenue",
     "semi_join_parts_ordered",
     "anti_join_customers_no_orders",
     "distinct_nations_per_segment",

@@ -21,6 +21,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mysql_data_anonymizer_spark.operators import bloom
+
 _log = logging.getLogger(__name__)
 
 
@@ -1141,47 +1143,12 @@ def boilerplate_chunk_removal(
 # Bloom-filter decontamination (the no-broadcast-of-raw-shingles scale path)
 # ---------------------------------------------------------------------------
 def _bloom_bits_from_hashes(hashed: DataFrame, m_bits: int, num_hashes: int) -> bytes:
-    """OR-combine per-partition Bloom bitsets built from (h1, h2) int64
-    hash columns into one driver-side bitset of ``m_bits`` bits.
-
-    Positions use Kirsch–Mitzenmacher double hashing: pos_i = (h1 + i*h2)
-    mod m (uint64 wraparound, m a power of two). The heavy hashing
-    (xxhash64 over shingle strings) already happened JVM-side; Python only
-    does vectorized numpy bit arithmetic over int64 batches. The collect is
-    bounded by construction: num_partitions x m_bits/8 bytes (128 KiB per
-    partition at the default 2^20 bits), independent of benchmark row
-    count — at 1000 executors that is ~128 MiB on the driver, and a
-    treeAggregate-style two-level OR (coalesce to sqrt(P) first) halves it
-    again if it ever binds."""
-    if m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
-    nbytes = m_bits // 8
-    mask = np.uint64(m_bits - 1)
-
-    def build(batches):
-        import pandas as pd  # executor-side
-
-        buf = np.zeros(nbytes, dtype=np.uint8)
-        for pdf in batches:
-            h1 = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
-            h2 = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
-            for i in range(num_hashes):
-                idx = (h1 + np.uint64(i) * h2) & mask
-                np.bitwise_or.at(
-                    buf,
-                    (idx >> np.uint64(3)).astype(np.int64),
-                    (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
-                )
-        yield pd.DataFrame({"bits": [buf.tobytes()]})
-
-    parts = hashed.mapInPandas(build, "bits binary").collect()
-    out = np.zeros(nbytes, dtype=np.uint8)
-    for row in parts:
-        out |= np.frombuffer(row["bits"], dtype=np.uint8)
-    return out.tobytes()
+    """Back-compat alias — the shared core lives in operators/bloom.py
+    (also consumed by joins.bloom_prefiltered_join)."""
+    return bloom.bits_from_hashes(hashed, m_bits, num_hashes)
 
 
-_BLOOM_SEED2 = 0x9E3779B9  # golden-ratio salt for the second hash lane
+_BLOOM_SEED2 = bloom.SEED2
 
 
 def decontaminate_bloom_hits(
@@ -1211,40 +1178,16 @@ def decontaminate_bloom_hits(
     gather, no per-row Python) -> one keyed count per doc. No shuffle ever
     carries shingle strings to a join; the only wide exchange is the final
     per-doc count."""
-    from pyspark.sql.functions import pandas_udf
-
     bsh = shingles(bench, id_col, text_col, n).select("sh").distinct()
-    bhash = bsh.select(
-        F.xxhash64("sh").alias("h1"),
-        F.xxhash64("sh", F.lit(_BLOOM_SEED2)).alias("h2"),
+    bits = bloom.bits_from_hashes(
+        bsh.select(*bloom.hash_pair(F.col("sh"))), m_bits, num_hashes
     )
-    bits = _bloom_bits_from_hashes(bhash, m_bits, num_hashes)
     bc = train.sparkSession.sparkContext.broadcast(bits)
-    mask = np.uint64(m_bits - 1)
-
-    @pandas_udf("boolean")
-    def _bloom_hit(h1, h2):
-        import pandas as pd
-
-        buf = np.frombuffer(bc.value, dtype=np.uint8)
-        a = h1.to_numpy(dtype=np.int64).view(np.uint64)
-        b = h2.to_numpy(dtype=np.int64).view(np.uint64)
-        ok = np.ones(len(a), dtype=bool)
-        for i in range(num_hashes):
-            idx = (a + np.uint64(i) * b) & mask
-            ok &= (
-                buf[(idx >> np.uint64(3)).astype(np.int64)]
-                >> (idx & np.uint64(7)).astype(np.uint8)
-            ) & np.uint8(1) == np.uint8(1)
-        return pd.Series(ok)
+    _bloom_hit = bloom.hit_udf(bc, m_bits, num_hashes)
 
     tsh = shingles(train, id_col, text_col, n)
     probed = (
-        tsh.select(
-            F.col("__id"),
-            F.xxhash64("sh").alias("h1"),
-            F.xxhash64("sh", F.lit(_BLOOM_SEED2)).alias("h2"),
-        )
+        tsh.select(F.col("__id"), *bloom.hash_pair(F.col("sh")))
         .withColumn("__hit", _bloom_hit("h1", "h2"))
         .groupBy("__id")
         .agg(F.sum(F.col("__hit").cast("long")).alias("bloom_hits"))

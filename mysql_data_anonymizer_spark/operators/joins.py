@@ -159,3 +159,40 @@ def salted_join(
     cond = (fs[fact_key] == ds[dim_key]) & (fs["__salt"] == ds["__salt"])
     out = fs.join(ds, cond, how)
     return out.drop(fs["__salt"]).drop(ds["__salt"])
+
+
+def bloom_prefiltered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Inner equi-join with a Bloom PRE-FILTER on the fact side — the
+    runtime-filter pattern (Spark's own InjectRuntimeFilter, here explicit
+    and tunable): the dim side's key set is compressed into a constant-size
+    bitset, broadcast, and applied to the fact BEFORE its shuffle, so rows
+    that cannot possibly match never enter the exchange. Bloom has no false
+    negatives, so the final exact join returns EXACTLY the plain-join rows
+    (false positives are eliminated by the join itself) — the identity the
+    certification query oracles against.
+
+    When it pays: dim too big to broadcast-hash-join (so Catalyst picks
+    SMJ and shuffles the FULL fact) but its key set fits a bloom — at
+    100 TB a selective dim cuts the dominant cost, the fact exchange, by
+    the join selectivity while shipping only m_bits/8 bytes per executor.
+    Build is one pass over dim keys (operators/bloom.py); probe is
+    Arrow-batched and map-only against JVM-computed xxhash64 lanes."""
+    from mysql_data_anonymizer_spark.operators import bloom
+
+    bits = bloom.build_over(dim, dim_key, m_bits, num_hashes)
+    bc = fact.sparkSession.sparkContext.broadcast(bits)
+    hit = bloom.hit_udf(bc, m_bits, num_hashes)
+    pruned = fact.withColumns(
+        {
+            "__h1": F.xxhash64(F.col(fact_key)),
+            "__h2": F.xxhash64(F.col(fact_key), F.lit(bloom.SEED2)),
+        }
+    ).where(hit("__h1", "__h2")).drop("__h1", "__h2")
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")

@@ -5215,6 +5215,52 @@ GROUP BY o_year
 """
 
 
+def bloom_join_pruned_revenue(spark, sf_dir):
+    """Runtime-filter join (operators/joins.py::bloom_prefiltered_join):
+    one nation's suppliers (a selective dim) joined to lineitem with the
+    dim key set compressed into a broadcast Bloom bitset and applied to the
+    fact BEFORE its exchange — rows that cannot match never enter the
+    shuffle. Bloom has no false negatives and the exact join removes false
+    positives, so the result is IDENTICAL to the plain join — which is
+    exactly what the plain-SQL oracle asserts. At 100 TB this is the
+    explicit form of Spark's InjectRuntimeFilter: when the dim exceeds the
+    broadcast threshold (SMJ would shuffle the FULL fact), the bitset still
+    ships in m_bits/8 bytes and cuts the fact exchange by the join
+    selectivity (~1/25 here; NATION_19 is populated at every fixture sf)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dim = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_19")
+        .select("s_suppkey", "s_name")
+    )
+    rev = F.sum(
+        _dec("l_extendedprice", 30, 2)
+        * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 6, 4))
+    )
+    return (
+        joins.bloom_prefiltered_join(l, dim, "l_suppkey", "s_suppkey")
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dbl(rev.cast("decimal(30,6)")).alias("revenue"),
+        )
+        .select("s_suppkey", "s_name", "n_items", "revenue")
+    )
+
+
+BLOOM_JOIN_SQL = """
+SELECT s_suppkey, s_name, COUNT(*) AS n_items,
+       CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_19'
+GROUP BY s_suppkey, s_name
+"""
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: top-20 customers by lost revenue from returned items
     in one quarter. Exact decimal revenue makes the ORDER BY engine-stable;
@@ -5727,6 +5773,8 @@ FROM sessions GROUP BY user_id, sid
 QUERIES["q7_volume_shipping"] = q7_volume_shipping
 QUERIES["q8_market_share"] = q8_market_share
 QUERIES["q10_returned_items"] = q10_returned_items
+QUERIES["bloom_join_pruned_revenue"] = bloom_join_pruned_revenue
+ORACLES["bloom_join_pruned_revenue"] = BLOOM_JOIN_SQL
 QUERIES["q13_order_distribution"] = q13_order_distribution
 QUERIES["q15_top_supplier"] = q15_top_supplier
 QUERIES["q16_supplier_part_counts"] = q16_supplier_part_counts
@@ -6389,6 +6437,7 @@ _CHECK_FIRST = [
     "decontaminate_bloom_ngrams",
     "split_leakage_safe",
     "hll_union_rollup_users",
+    "bloom_join_pruned_revenue",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

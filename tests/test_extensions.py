@@ -263,3 +263,47 @@ def test_fallback_faker_consecutive_calls_advance():
     assert n1 != n2, "consecutive calls advance state (Faker parity)"
     fb.seed_with("abc")
     assert fb.name() == n1, "re-seeding resets the stream"
+
+
+# ------------------------------------------------- bloom-prefiltered join
+def test_bloom_prefiltered_join_matches_plain_join(spark, customer, orders):
+    from mysql_data_anonymizer_spark.operators.joins import bloom_prefiltered_join
+    from pyspark.sql import functions as F
+
+    dim = customer.filter(F.col("c_custkey") % 7 == 0).select("c_custkey", "c_name")
+    plain = orders.join(dim, orders.o_custkey == dim.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    pruned = bloom_prefiltered_join(orders, dim, "o_custkey", "c_custkey").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+    # bloom has no false negatives and the exact join removes false
+    # positives -> result identity with the plain join
+    assert pruned.count() == plain.count()
+    assert pruned.exceptAll(plain).count() == 0
+    assert plain.exceptAll(pruned).count() == 0
+
+
+def test_bloom_prefilter_actually_prunes(spark, customer, orders):
+    from mysql_data_anonymizer_spark.operators import bloom
+    from pyspark.sql import functions as F
+
+    dim = customer.filter(F.col("c_custkey") % 7 == 0)
+    bits = bloom.build_over(dim, "c_custkey", 1 << 20, 4)
+    bc = spark.sparkContext.broadcast(bits)
+    hit = bloom.hit_udf(bc, 1 << 20, 4)
+    survivors = (
+        orders.select(*[c.alias(n) for c, n in zip(bloom.hash_pair(F.col("o_custkey")), ["h1", "h2"])])
+        .withColumn("__hit", hit("h1", "h2"))
+        .where("__hit")
+        .count()
+    )
+    matching = orders.join(
+        dim.select("c_custkey").distinct(), orders.o_custkey == dim.c_custkey, "left_semi"
+    ).count()
+    total = orders.count()
+    assert survivors >= matching  # no false negatives
+    # with m=2^20 bits over a tiny key set the FP rate is ~0: the filter
+    # must prune the non-matching bulk, not pass everything through
+    assert survivors < total
+    assert (survivors - matching) <= max(5, 0.01 * total)

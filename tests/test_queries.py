@@ -16,6 +16,7 @@ NEW = [
     "decontaminate_bloom_ngrams",
     "split_leakage_safe",
     "hll_union_rollup_users",
+    "bloom_join_pruned_revenue",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",

@@ -58,6 +58,7 @@ DEFAULT_QUERIES = [
     "decontaminate_bloom_ngrams",
     "split_leakage_safe",
     "hll_union_rollup_users",
+    "bloom_join_pruned_revenue",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",
