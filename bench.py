@@ -164,6 +164,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
+    "knn_sq8",
     "multimodal_featurize",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",

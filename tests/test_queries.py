@@ -17,6 +17,7 @@ NEW = [
     "split_leakage_safe",
     "hll_union_rollup_users",
     "bloom_join_pruned_revenue",
+    "knn_sq8",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
@@ -220,6 +221,7 @@ INVARIANCE_SAMPLE = [
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
+    "knn_sq8",
     # min-struct first-occurrence + float max-reduction: partition-order
     # independence is the property under test
     "dedup_chunks_reconstruct",

@@ -59,6 +59,7 @@ DEFAULT_QUERIES = [
     "split_leakage_safe",
     "hll_union_rollup_users",
     "bloom_join_pruned_revenue",
+    "knn_sq8",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",

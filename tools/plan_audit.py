@@ -54,6 +54,7 @@ BNL_OK: set[str] = {
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
+    "knn_sq8",
     "dedup_simhash",
     "semdedup_ivf",
     # q11: the global threshold is a BROADCAST 1-row aggregate cross-joined
