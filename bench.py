@@ -33,6 +33,7 @@ HEADLINE = [
     "mask_run_report",
     "mask_report_synchro_cascade",
     "k_anonymity_audit_customers",
+    "dp_noised_counts_customers",
     "l_diversity_audit_customers",
     "rtbf_forget_cascade",
     "mask_generalize_customers",

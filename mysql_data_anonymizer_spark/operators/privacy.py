@@ -70,3 +70,41 @@ def forget_cascade(
         kc = key_cols[name]
         out[name] = df.join(fk, df[kc] == fk["key"], "left_anti")
     return out
+
+
+def dp_noised_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 0.5,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private group counts: exact counts plus SEEDED Laplace
+    noise with scale 1/epsilon (count queries have sensitivity 1, so this
+    is the textbook eps-DP Laplace mechanism — Dwork et al. 2006). The
+    noise is derived deterministically from md5(seed, group key) via
+    inverse-CDF: u ~ U(0,1) from the first 8 hex digits, noise =
+    -(1/eps) * sign(u - 1/2) * ln(1 - 2|u - 1/2|). Seeded determinism is
+    what makes a DP release AUDITABLE and re-runnable (same seed -> same
+    release; a fresh seed is a fresh epsilon spend) — and run/partitioning
+    -invariant, unlike rand(). Returns group_cols + (exact_n, noisy_n);
+    callers release ONLY noisy_n — exact_n is the certification twin.
+
+    100 TB: rides the count aggregate's existing keyed shuffle; the noise
+    is one map-side codegen'd expression per group row. No extra pass."""
+    b = 1.0 / epsilon
+    out = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("exact_n"))
+    # NULL group keys get an explicit sentinel: concat_ws would silently
+    # SKIP nulls (colliding ('a', NULL) with ('a',)), and the SQL twin's
+    # `||` would null the whole key
+    key = F.concat_ws(
+        ":",
+        F.lit(seed),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in group_cols],
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    c = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    noise = F.lit(-b) * F.signum(u - F.lit(0.5)) * F.log(c)
+    return out.withColumn(
+        "noisy_n", F.round(F.col("exact_n").cast("double") + noise).cast("long")
+    )

@@ -2936,6 +2936,59 @@ SELECT user_id, event_type, event_id, ts, value FROM (
 """
 
 
+def dp_noised_counts_customers(spark, sf_dir):
+    """eps-differentially-private release of the (segment, nation) customer
+    histogram (operators/privacy.py::dp_noised_counts, Laplace mechanism,
+    eps=0.5): noisy_n is the releasable column; exact_n is the
+    certification twin. The seeded inverse-CDF noise is bit-reproducible
+    from md5 in plain SQL, so the ORACLE RECOMPUTES THE IDENTICAL noise —
+    the driver hash-matches the noisy release itself, not just a gate.
+    ``dp_cal_ok`` additionally asserts the empirical noise calibration:
+    mean |noise| over the 125 groups must sit in [0.2/eps, 5/eps] around
+    the Laplace mean absolute deviation 1/eps = 2.0 (a wrong-scale or
+    degenerate-noise bug trips it). The 1-row calibration scalar is a
+    bounded broadcast crossJoin (plan_audit BNL_OK)."""
+    c = _t(spark, sf_dir, "customer")
+    out = privacy.dp_noised_counts(
+        c, ["c_mktsegment", "c_nationkey"], epsilon=0.5, seed="dp"
+    )
+    cal = out.agg(
+        F.avg(F.abs(F.col("noisy_n") - F.col("exact_n"))).alias("__mad")
+    )
+    return (
+        out.crossJoin(F.broadcast(cal))
+        .withColumn("dp_cal_ok", F.col("__mad").between(0.4, 10.0))
+        .select("c_mktsegment", "c_nationkey", "exact_n", "noisy_n", "dp_cal_ok")
+    )
+
+
+def _gen_dp_noised_sql(epsilon: float = 0.5, seed: str = "dp") -> str:
+    d = (
+        f"md5('{seed}' || ':' || COALESCE(CAST(c_mktsegment AS VARCHAR), '<NULL>')"
+        f" || ':' || COALESCE(CAST(c_nationkey AS VARCHAR), '<NULL>'))"
+    )
+    gate = f"(strpos('{HEXD}', substr({d}, 1, 1)) - 1)"
+    for i in range(2, 9):
+        gate = f"({gate} * 16 + (strpos('{HEXD}', substr({d}, {i}, 1)) - 1))"
+    b = 1.0 / epsilon
+    return f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS exact_n,
+         (CAST({gate} AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM customer GROUP BY 1, 2
+),
+noised AS (
+  SELECT c_mktsegment, c_nationkey, CAST(exact_n AS BIGINT) AS exact_n,
+         CAST(ROUND(CAST(exact_n AS DOUBLE)
+              + (-{b}) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT) AS noisy_n
+  FROM g
+)
+SELECT c_mktsegment, c_nationkey, exact_n, noisy_n,
+       (SELECT AVG(ABS(noisy_n - exact_n)) FROM noised) BETWEEN 0.4 AND 10.0 AS dp_cal_ok
+FROM noised
+"""
+
+
 def k_anonymity_audit_customers(spark, sf_dir):
     """k-anonymity audit over the masked output's quasi-identifiers
     (nation x segment): every returned row is a QI group small enough to
@@ -6400,6 +6453,8 @@ QUERIES["incremental_agg_users"] = incremental_agg_users
 ORACLES["incremental_agg_users"] = INCREMENTAL_AGG_SQL
 QUERIES["compact_latest_events"] = compact_latest_events
 ORACLES["compact_latest_events"] = COMPACT_LATEST_SQL
+QUERIES["dp_noised_counts_customers"] = dp_noised_counts_customers
+ORACLES["dp_noised_counts_customers"] = _gen_dp_noised_sql(0.5, "dp")
 QUERIES["k_anonymity_audit_customers"] = k_anonymity_audit_customers
 ORACLES["k_anonymity_audit_customers"] = K_ANON_SQL
 QUERIES["l_diversity_audit_customers"] = l_diversity_audit_customers
@@ -6471,6 +6526,7 @@ _CHECK_FIRST = [
     "hll_union_rollup_users",
     "bloom_join_pruned_revenue",
     "knn_sq8",
+    "dp_noised_counts_customers",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -565,6 +565,40 @@ def test_privacy_audits_edge_cases(spark):
     assert out["t"].count() == 4
 
 
+def test_dp_noised_counts_properties(spark, customer):
+    """Seeded Laplace release: (1) deterministic — same seed, same noise on
+    repeat; (2) a different seed is a DIFFERENT release (fresh epsilon
+    spend); (3) noise calibration — mean |noise| over the 125 groups near
+    the Laplace MAD 1/eps; (4) NULL group keys get their own group, not a
+    collision with the sentinel-free key."""
+    from mysql_data_anonymizer_spark.operators import privacy
+
+    out1 = {(r.c_mktsegment, r.c_nationkey): r.noisy_n
+            for r in privacy.dp_noised_counts(
+                customer, ["c_mktsegment", "c_nationkey"], epsilon=0.5, seed="dp"
+            ).collect()}
+    out2 = {(r.c_mktsegment, r.c_nationkey): r.noisy_n
+            for r in privacy.dp_noised_counts(
+                customer, ["c_mktsegment", "c_nationkey"], epsilon=0.5, seed="dp"
+            ).collect()}
+    assert out1 == out2
+    other = {(r.c_mktsegment, r.c_nationkey): r.noisy_n
+             for r in privacy.dp_noised_counts(
+                 customer, ["c_mktsegment", "c_nationkey"], epsilon=0.5, seed="dp2"
+             ).collect()}
+    assert other != out1
+    rows = privacy.dp_noised_counts(
+        customer, ["c_mktsegment", "c_nationkey"], epsilon=0.5, seed="dp"
+    ).collect()
+    exact = {(r.c_mktsegment, r.c_nationkey): r.exact_n for r in rows}
+    mad = sum(abs(r.noisy_n - r.exact_n) for r in rows) / len(rows)
+    assert 0.4 <= mad <= 10.0, mad  # Laplace MAD at eps=0.5 is 2.0
+    # NULL group key handling
+    df = spark.createDataFrame([(None, 1), (None, 1), ("a", 1)], "g string, x long")
+    got = privacy.dp_noised_counts(df, ["g"], epsilon=0.5).collect()
+    assert {r.g: r.exact_n for r in got} == {None: 2, "a": 1}
+
+
 def test_rebalance_mix_approximates_target(spark, sf_dir):
     from mysql_data_anonymizer_spark import queries as Q
 

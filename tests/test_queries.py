@@ -18,6 +18,7 @@ NEW = [
     "hll_union_rollup_users",
     "bloom_join_pruned_revenue",
     "knn_sq8",
+    "dp_noised_counts_customers",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",
@@ -233,6 +234,9 @@ INVARIANCE_SAMPLE = [
     # the split additionally rides the iterative component fixpoint
     "hll_union_rollup_users",
     "split_leakage_safe",
+    # seeded DP noise must be identical under any partitioning — a rand()
+    # regression would re-deal the release per layout
+    "dp_noised_counts_customers",
 ]
 
 

@@ -60,6 +60,7 @@ DEFAULT_QUERIES = [
     "hll_union_rollup_users",
     "bloom_join_pruned_revenue",
     "knn_sq8",
+    "dp_noised_counts_customers",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",

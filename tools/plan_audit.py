@@ -81,6 +81,9 @@ BNL_OK: set[str] = {
     # bloom decontamination: the 1-row global-FPR scalar cross-joined onto
     # the per-doc table — bounded by construction, same class as q11
     "decontaminate_bloom_ngrams",
+    # DP release: the 1-row noise-calibration scalar cross-joined onto the
+    # 125-group histogram — bounded by construction, same class as q11
+    "dp_noised_counts_customers",
 }
 
 
