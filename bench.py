@@ -99,6 +99,8 @@ HEADLINE = [
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "orc_source_agg",
+    "xml_source_agg",
+    "text_source_agg",
     "csv_source_agg",
     "binaryfile_media_manifest",
     "pydatasource_synth_agg",

@@ -2058,6 +2058,82 @@ FROM events GROUP BY event_type
 """
 
 
+def xml_source_agg(spark, sf_dir):
+    """Native-XML file-source parity (built into Spark 4, SPARK-44265 —
+    no external spark-xml jar): events round-trip through an XML write
+    (rowTag=event) + sources.files.read_table(fmt='xml') with an explicit
+    schema (inference would scan twice), then aggregate; the oracle runs
+    the same aggregate over the parquet fixture, so green means the XML
+    path is lossless — longs and doubles survive the string round trip via
+    shortest-round-trip repr."""
+    stage = tempfile.mkdtemp(prefix="mda_xml_")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").option("rowTag", "event").format("xml").save(stage)
+    back = files.read_table(
+        spark,
+        stage,
+        fmt="xml",
+        schema="event_id long, user_id long, event_type string, value double",
+        rowTag="event",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("total_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+XML_SOURCE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def text_source_agg(spark, sf_dir):
+    """Whole-line text source (spark.read.text) — the rawest ingest shape
+    (logs, WET/WARC-extracted text, JSONL pre-parse): documents serialize
+    to one line per doc as doc_id TAB lang TAB hex(text) (hex because a real
+    crawl doc may embed tabs/newlines — the fuzz fixtures do — and Spark's
+    base64 emits MIME-chunked output with embedded CRLFs, which would split
+    the line), read
+    back as bare (value string) rows, parsed with split/unbase64, and
+    aggregated per language. The oracle aggregates the parquet fixture
+    directly, so green means the text line-protocol round trip is
+    lossless, including empty/NULL/multiline documents."""
+    stage = tempfile.mkdtemp(prefix="mda_text_")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t",
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("<NULL>")),
+            F.coalesce(F.col("lang"), F.lit("<NULL>")),
+            F.hex(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")),
+        ).alias("value")
+    )
+    docs.write.mode("overwrite").text(stage)
+    back = files.read_table(spark, stage, fmt="text")
+    p = F.split(F.col("value"), "\t")
+    parsed = back.select(
+        p[0].cast("long").alias("doc_id"),
+        F.when(p[1] == "<NULL>", F.lit(None)).otherwise(p[1]).alias("lang"),
+        F.decode(F.unhex(p[2]), "UTF-8").alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+TEXT_SOURCE_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+       MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY lang
+"""
+
+
 def csv_source_agg(spark, sf_dir):
     """CSV file-source parity under the oracle (same pattern as the JSON and
     ORC round trips): events serialized to CSV with an explicit schema on
@@ -5117,6 +5193,10 @@ ORACLES["pit_join_future_event_state"] = PIT_JOIN_SQL
 QUERIES["select_docs_token_budget"] = select_docs_token_budget
 ORACLES["select_docs_token_budget"] = _gen_token_budget_sql()
 QUERIES["orc_source_agg"] = orc_source_agg
+QUERIES["xml_source_agg"] = xml_source_agg
+ORACLES["xml_source_agg"] = XML_SOURCE_SQL
+QUERIES["text_source_agg"] = text_source_agg
+ORACLES["text_source_agg"] = TEXT_SOURCE_SQL
 ORACLES["orc_source_agg"] = ORC_SOURCE_SQL
 QUERIES["decontaminate_training_docs"] = decontaminate_training_docs
 ORACLES["decontaminate_training_docs"] = DECONTAMINATE_SQL
@@ -6527,6 +6607,8 @@ _CHECK_FIRST = [
     "bloom_join_pruned_revenue",
     "knn_sq8",
     "dp_noised_counts_customers",
+    "xml_source_agg",
+    "text_source_agg",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -63,6 +63,16 @@ def read_table(
         return reader.options(**options).json(path)
     if fmt == "orc":
         return reader.options(**options).orc(path)
+    if fmt == "xml":
+        # Native XML source (built into Spark 4, SPARK-44265): rowTag
+        # selects the repeating element. Ingest-side format for feeds /
+        # exports; schema strongly recommended (inference scans twice).
+        return reader.options(**options).format("xml").load(path)
+    if fmt == "text":
+        # Whole-line text source: one (value string) row per line — the
+        # rawest ingest shape (logs, JSONL pre-parse, WET/WARC-extracted
+        # text). Parse downstream with from_json / regexp_extract.
+        return reader.options(**options).text(path)
     if fmt == "binaryFile":
         # Built-in whole-file source for opaque media payloads: one row per
         # file with (path, modificationTime, length, content binary). The

@@ -19,6 +19,8 @@ NEW = [
     "bloom_join_pruned_revenue",
     "knn_sq8",
     "dp_noised_counts_customers",
+    "xml_source_agg",
+    "text_source_agg",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",

@@ -61,6 +61,8 @@ DEFAULT_QUERIES = [
     "bloom_join_pruned_revenue",
     "knn_sq8",
     "dp_noised_counts_customers",
+    "xml_source_agg",
+    "text_source_agg",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",

@@ -63,6 +63,12 @@ FAMILIES = [
     # fixed-bucket quadratic growth, measured instead of claimed
     # (VERDICT r4 #5): x1 -> 16 cells, x5 -> 80, x10 -> 160.
     "semdedup_ivf_prod",
+    # round-6 additions (documents/embeddings-only, so slice-compatible)
+    "dedup_ngram_containment",
+    "dedup_boilerplate_chunks",
+    "decontaminate_bloom_ngrams",
+    "split_leakage_safe",
+    "knn_sq8",
 ]
 
 
