@@ -36,6 +36,7 @@ HEADLINE = [
     "dp_noised_counts_customers",
     "l_diversity_audit_customers",
     "rtbf_forget_cascade",
+    "crypto_shred_rtbf",
     "mask_generalize_customers",
     "suppress_small_groups",
     # relational

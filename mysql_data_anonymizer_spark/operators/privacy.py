@@ -108,3 +108,36 @@ def dp_noised_counts(
     return out.withColumn(
         "noisy_n", F.round(F.col("exact_n").cast("double") + noise).cast("long")
     )
+
+
+def crypto_shred(
+    df: DataFrame,
+    pk_col: str,
+    cols: list[str],
+    key_salt: str = "k1",
+) -> tuple[DataFrame, DataFrame]:
+    """Crypto-shredding envelope encryption — the PRODUCTION right-to-be-
+    forgotten for immutable storage: every subject's PII columns are
+    AES-GCM-encrypted under a PER-SUBJECT key held in a separate (tiny,
+    mutable) key table; "forget user X" is one key-row delete, and the
+    petabytes of immutable parquet holding X's ciphertext become
+    irrecoverable garbage WITHOUT rewriting a single data file. (The
+    anti-join rewrite in ``forget_cascade`` is the complement for mutable
+    stores; at 100 TB you cannot rewrite the lake per erasure request.)
+
+    Returns ``(encrypted_df, key_df)``: encrypted_df carries pk + one
+    ``<col>_ct`` binary per protected column (plaintext dropped); key_df is
+    (pk, __key). Keys here are derived (md5(salt, pk) -> 16-byte AES-128)
+    for reproducible tests; production swaps in a KMS-issued random key —
+    the envelope shape is identical. Encryption is codegen'd JVM
+    `aes_encrypt` (GCM, random IV), map-only; decryption joins the
+    (broadcastable) key table and `try_aes_decrypt` yields NULL where the
+    key is gone — erasure is VERIFIABLE, not assumed."""
+    key = F.unhex(F.md5(F.concat_ws(":", F.lit(key_salt), F.col(pk_col).cast("string"))))
+    key_df = df.select(F.col(pk_col), key.alias("__key"))
+    enc_cols = [
+        F.aes_encrypt(F.col(c).cast("string"), key).alias(f"{c}_ct") for c in cols
+    ]
+    others = [c for c in df.columns if c not in cols and c != pk_col]
+    enc_df = df.select(F.col(pk_col), *others, *enc_cols)
+    return enc_df, key_df

@@ -3012,6 +3012,43 @@ SELECT user_id, event_type, event_id, ts, value FROM (
 """
 
 
+def crypto_shred_rtbf(spark, sf_dir):
+    """Crypto-shredding right-to-be-forgotten (operators/privacy.py::
+    crypto_shred): customer PII (name, segment) AES-GCM-encrypted under
+    per-subject keys; the erasure request (c_custkey % 10 == 3) deletes
+    ONLY key rows — no data-file rewrite — and the query then VERIFIES the
+    erasure: for kept subjects try_aes_decrypt round-trips the plaintext
+    exactly (null-safe compare, so NULL PII round-trips too); for forgotten
+    subjects decryption yields NULL. Both are theorems of the envelope
+    construction, emitted as ``shred_ok``; ``is_recoverable`` (key
+    membership) is the oracle-checked column. At 100 TB this is the only
+    RTBF that doesn't rewrite the lake per request (contrast
+    rtbf_forget_cascade, the mutable-store anti-join)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    enc, keys = privacy.crypto_shred(c, "c_custkey", ["c_name", "c_mktsegment"])
+    kept_keys = keys.where(F.col("c_custkey") % 10 != 3)
+    dec = enc.join(F.broadcast(kept_keys), "c_custkey", "left").select(
+        "c_custkey",
+        F.try_aes_decrypt(F.col("c_name_ct"), F.col("__key")).cast("string").alias("__rn"),
+        F.try_aes_decrypt(F.col("c_mktsegment_ct"), F.col("__key")).cast("string").alias("__rp"),
+        F.col("__key").isNotNull().alias("is_recoverable"),
+    )
+    out = dec.join(c, "c_custkey").withColumn(
+        "shred_ok",
+        F.when(
+            F.col("is_recoverable"),
+            F.expr("__rn <=> c_name") & F.expr("__rp <=> c_mktsegment"),
+        ).otherwise(F.col("__rn").isNull() & F.col("__rp").isNull()),
+    )
+    return out.select("c_custkey", "is_recoverable", "shred_ok")
+
+
+CRYPTO_SHRED_SQL = """
+SELECT c_custkey, (c_custkey % 10) != 3 AS is_recoverable, TRUE AS shred_ok
+FROM customer
+"""
+
+
 def dp_noised_counts_customers(spark, sf_dir):
     """eps-differentially-private release of the (segment, nation) customer
     histogram (operators/privacy.py::dp_noised_counts, Laplace mechanism,
@@ -6533,6 +6570,8 @@ QUERIES["incremental_agg_users"] = incremental_agg_users
 ORACLES["incremental_agg_users"] = INCREMENTAL_AGG_SQL
 QUERIES["compact_latest_events"] = compact_latest_events
 ORACLES["compact_latest_events"] = COMPACT_LATEST_SQL
+QUERIES["crypto_shred_rtbf"] = crypto_shred_rtbf
+ORACLES["crypto_shred_rtbf"] = CRYPTO_SHRED_SQL
 QUERIES["dp_noised_counts_customers"] = dp_noised_counts_customers
 ORACLES["dp_noised_counts_customers"] = _gen_dp_noised_sql(0.5, "dp")
 QUERIES["k_anonymity_audit_customers"] = k_anonymity_audit_customers
@@ -6609,6 +6648,7 @@ _CHECK_FIRST = [
     "dp_noised_counts_customers",
     "xml_source_agg",
     "text_source_agg",
+    "crypto_shred_rtbf",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

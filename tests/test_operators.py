@@ -599,6 +599,31 @@ def test_dp_noised_counts_properties(spark, customer):
     assert {r.g: r.exact_n for r in got} == {None: 2, "a": 1}
 
 
+def test_crypto_shred_envelope(spark):
+    """Crypto-shredding contract: kept subjects decrypt to the exact
+    plaintext (NULL PII round-trips null-safely); deleting a subject's KEY
+    ROW makes their ciphertext irrecoverable — no data rewrite."""
+    from mysql_data_anonymizer_spark.operators import privacy
+
+    df = spark.createDataFrame(
+        [(1, "alice", "a@x.test"), (2, None, "b@x.test"), (3, "carol", None)],
+        "id long, name string, email string",
+    )
+    enc, keys = privacy.crypto_shred(df, "id", ["name", "email"])
+    assert set(enc.columns) == {"id", "name_ct", "email_ct"}
+    # forget subject 2: drop only its key row
+    kept = keys.where(F.col("id") != 2)
+    dec = enc.join(kept, "id", "left").select(
+        "id",
+        F.try_aes_decrypt(F.col("name_ct"), F.col("__key")).cast("string").alias("name"),
+        F.try_aes_decrypt(F.col("email_ct"), F.col("__key")).cast("string").alias("email"),
+    )
+    got = {r.id: (r.name, r.email) for r in dec.collect()}
+    assert got[1] == ("alice", "a@x.test")
+    assert got[3] == ("carol", None)
+    assert got[2] == (None, None)  # shredded: ciphertext without a key
+
+
 def test_rebalance_mix_approximates_target(spark, sf_dir):
     from mysql_data_anonymizer_spark import queries as Q
 

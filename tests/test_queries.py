@@ -21,6 +21,7 @@ NEW = [
     "dp_noised_counts_customers",
     "xml_source_agg",
     "text_source_agg",
+    "crypto_shred_rtbf",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",

@@ -63,6 +63,7 @@ DEFAULT_QUERIES = [
     "dp_noised_counts_customers",
     "xml_source_agg",
     "text_source_agg",
+    "crypto_shred_rtbf",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",
