@@ -134,6 +134,7 @@ HEADLINE = [
     "cohort_retention_weekly",
     "bigram_collocations",
     "profile_orders_columns",
+    "dq_checks_orders",
     "snapshot_diff_orders",
     "fuzzy_pairs_symdelete",
     "kmeans_assign_step",
@@ -172,6 +173,7 @@ HEADLINE = [
     "multimodal_featurize",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
+    "streaming_mask_pseudonymize",
     "streaming_session_agg",
     "streaming_stateful_user_totals",
     "streaming_stream_join",

@@ -2653,6 +2653,67 @@ SELECT bg, n_xy, n_w1, n_w2, lift FROM (
 """
 
 
+def dq_checks_orders(spark, sf_dir):
+    """Pre-flight data-quality gate (operators/constraints.py::dq_report —
+    the Deequ shape): completeness of the FK, uniqueness of the PK, a value
+    -range floor, referential containment in customer, and non-emptiness —
+    five constraints, ONE scan + one broadcast key join, unpivoted to
+    (constraint, metric, passed). The gate a masking run MUST pass first:
+    a non-unique PK silently corrupts the keyed UPDATE path
+    (reference src/Anonymizer.php:274-288 trusts the PK blindly)."""
+    from mysql_data_anonymizer_spark.operators import constraints
+
+    o = _t(spark, sf_dir, "orders")
+    ck = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("__ck")).distinct()
+    j = o.join(F.broadcast(ck), o["o_custkey"] == ck["__ck"], "left")
+    n = F.count(F.lit(1))
+    metrics = {
+        "completeness_o_custkey": F.count("o_custkey").cast("double") / n,
+        "uniqueness_o_orderkey": F.count_distinct(F.col("o_orderkey")).cast("double") / n,
+        "min_o_totalprice": F.min("o_totalprice").cast("double"),
+        "ref_integrity_o_custkey": F.count("__ck").cast("double") / n,
+        "row_count": n.cast("double"),
+    }
+    checks = {
+        "completeness_o_custkey": F.col("completeness_o_custkey") >= 0.99,
+        "uniqueness_o_orderkey": F.col("uniqueness_o_orderkey") == 1.0,
+        "min_o_totalprice": F.col("min_o_totalprice") >= 0.0,
+        "ref_integrity_o_custkey": F.col("ref_integrity_o_custkey") >= 0.99,
+        "row_count": F.col("row_count") > 0.0,
+    }
+    return constraints.dq_report(j, metrics, checks)
+
+
+DQ_CHECKS_SQL = """
+WITH wide AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS nn_ck,
+         COUNT(DISTINCT o_orderkey) AS nd_ok,
+         MIN(o_totalprice) AS minp,
+         COUNT(ck.__ck) AS matched
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS __ck FROM customer) ck
+    ON o.o_custkey = ck.__ck
+)
+SELECT * FROM (
+  SELECT 'completeness_o_custkey' AS constraint,
+         CAST(nn_ck AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+         CAST(nn_ck AS DOUBLE) / CAST(n AS DOUBLE) >= 0.99 AS passed FROM wide
+  UNION ALL
+  SELECT 'uniqueness_o_orderkey',
+         CAST(nd_ok AS DOUBLE) / CAST(n AS DOUBLE),
+         CAST(nd_ok AS DOUBLE) / CAST(n AS DOUBLE) = 1.0 FROM wide
+  UNION ALL
+  SELECT 'min_o_totalprice', CAST(minp AS DOUBLE), CAST(minp AS DOUBLE) >= 0.0 FROM wide
+  UNION ALL
+  SELECT 'ref_integrity_o_custkey',
+         CAST(matched AS DOUBLE) / CAST(n AS DOUBLE),
+         CAST(matched AS DOUBLE) / CAST(n AS DOUBLE) >= 0.99 FROM wide
+  UNION ALL
+  SELECT 'row_count', CAST(n AS DOUBLE), n > 0 FROM wide
+) t
+"""
+
+
 def profile_orders_columns(spark, sf_dir):
     """Single-pass data-profiling operator (schema-drift / quality
     monitoring): per column — null count, distinct count, min and max in
@@ -5874,6 +5935,70 @@ FROM un GROUP BY l_returnflag, charge_type
 """
 
 
+def streaming_mask_pseudonymize(spark, sf_dir):
+    """The engine's two halves COMPOSED in one streaming pipeline:
+    anonymization applied to data in motion. Events are pseudonymized as
+    they arrive — user_id replaced by a keyed sha-256 pseudonym (the
+    streaming analogue of the PK-hash masking the batch compiler emits;
+    deterministic, so the same subject keeps the same pseudonym across
+    micro-batches, which is what makes downstream sessionization of masked
+    streams possible at all) — then flow into a watermarked tumbling-window
+    aggregate over the MASKED column. Bounded replay must equal the batch
+    GROUP BY over the identically-masked fixture, which is exactly what the
+    DuckDB oracle computes (sha-256 hex is bit-identical cross-engine).
+    State is bounded by the watermark; masking is a map-side codegen'd
+    expression adding zero state."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        pseudo = F.substring(
+            F.sha2(F.concat(F.lit("u:"), F.col("user_id").cast("string")), 256), 1, 12
+        )
+        masked = stream.withColumn("pseudonym", pseudo)
+        agg = (
+            masked.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("pseudonym").alias("first_pseudo"),
+                F.max("pseudonym").alias("last_pseudo"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "first_pseudo",
+                "last_pseudo",
+            )
+        )
+        name = f"stream_mask_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+STREAMING_MASK_SQL = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       MIN(substr(sha256('u:' || CAST(user_id AS VARCHAR)), 1, 12)) AS first_pseudo,
+       MAX(substr(sha256('u:' || CAST(user_id AS VARCHAR)), 1, 12)) AS last_pseudo
+FROM events GROUP BY 1, 2
+"""
+
+
 def streaming_sliding_agg(spark, sf_dir):
     """Structured Streaming sliding windows (1h window / 30min slide),
     value-checked: bounded replay through the watermark + sliding-window
@@ -5987,6 +6112,8 @@ QUERIES["q20_volume_share_suppliers"] = q20_volume_share_suppliers
 ORACLES["q2_min_cost_supplier"] = Q2_SQL
 ORACLES["q20_volume_share_suppliers"] = Q20_SQL
 QUERIES["unpivot_lineitem_charges"] = unpivot_lineitem_charges
+QUERIES["streaming_mask_pseudonymize"] = streaming_mask_pseudonymize
+ORACLES["streaming_mask_pseudonymize"] = STREAMING_MASK_SQL
 QUERIES["streaming_sliding_agg"] = streaming_sliding_agg
 QUERIES["streaming_session_agg"] = streaming_session_agg
 ORACLES["q7_volume_shipping"] = Q7_SQL
@@ -6570,6 +6697,8 @@ QUERIES["incremental_agg_users"] = incremental_agg_users
 ORACLES["incremental_agg_users"] = INCREMENTAL_AGG_SQL
 QUERIES["compact_latest_events"] = compact_latest_events
 ORACLES["compact_latest_events"] = COMPACT_LATEST_SQL
+QUERIES["dq_checks_orders"] = dq_checks_orders
+ORACLES["dq_checks_orders"] = DQ_CHECKS_SQL
 QUERIES["crypto_shred_rtbf"] = crypto_shred_rtbf
 ORACLES["crypto_shred_rtbf"] = CRYPTO_SHRED_SQL
 QUERIES["dp_noised_counts_customers"] = dp_noised_counts_customers
@@ -6649,6 +6778,8 @@ _CHECK_FIRST = [
     "xml_source_agg",
     "text_source_agg",
     "crypto_shred_rtbf",
+    "dq_checks_orders",
+    "streaming_mask_pseudonymize",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -22,6 +22,8 @@ NEW = [
     "xml_source_agg",
     "text_source_agg",
     "crypto_shred_rtbf",
+    "dq_checks_orders",
+    "streaming_mask_pseudonymize",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",

@@ -64,6 +64,8 @@ DEFAULT_QUERIES = [
     "xml_source_agg",
     "text_source_agg",
     "crypto_shred_rtbf",
+    "dq_checks_orders",
+    "streaming_mask_pseudonymize",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",
