@@ -174,6 +174,8 @@ HEADLINE = [
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
     "streaming_mask_pseudonymize",
+    "streaming_static_enrich_agg",
+    "streaming_parquet_sink_agg",
     "streaming_session_agg",
     "streaming_stateful_user_totals",
     "streaming_stream_join",

@@ -5935,6 +5935,112 @@ FROM un GROUP BY l_returnflag, charge_type
 """
 
 
+def streaming_static_enrich_agg(spark, sf_dir):
+    """Stream-STATIC join — the most common streaming enrichment shape
+    (events joined to a slowly-changing dimension): the static side
+    broadcasts and every micro-batch joins it STATELESSLY (no watermark or
+    state store involvement on the join, unlike stream-stream), then flows
+    into a watermarked tumbling aggregate per enriched attribute. At 100 TB
+    /day the static dim is re-broadcast per batch at dim-size cost while
+    the stream side never shuffles for the join. Bounded replay must equal
+    the batch join+aggregate — the oracle."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        batch.select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("long"))
+    )
+    with _stream_shuffle(spark):
+        stream = _ts_fix(spark.readStream.schema(batch.schema).parquet(stage))
+        joined = stream.join(F.broadcast(dim), "user_id")
+        agg = (
+            joined.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "30 minutes").alias("w"), "tier")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("__tv"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "tier",
+                "n_events",
+                _dbl(F.col("__tv")).alias("total_value"),
+            )
+        )
+        name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+STREAMING_STATIC_ENRICH_SQL = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+       CAST(user_id % 3 AS BIGINT) AS tier,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def streaming_parquet_sink_agg(spark, sf_dir):
+    """The DEFAULT production streaming sink — append-mode parquet files
+    with a checkpoint (exactly-once via the sink's transaction log:
+    _spark_metadata records committed files, so replayed batches never
+    double-count): events stream through a map-side projection into a
+    parquet directory, the committed files are read BACK through the
+    ordinary batch reader, and the aggregate over the round-tripped data
+    must equal the batch truth — which is what the oracle asserts. At
+    100 TB this is the bronze-layer landing pattern; downstream jobs read
+    the same directory with ordinary scans."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    out_dir = tempfile.mkdtemp(prefix="mda_sink_")
+    ckpt = tempfile.mkdtemp(prefix="mda_ckpt_")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with _stream_shuffle(spark):
+        stream = _ts_fix(spark.readStream.schema(batch.schema).parquet(stage))
+        proj = stream.select(
+            "event_id", "user_id", "event_type", (F.col("value") * 2).alias("value2")
+        )
+        q = (
+            proj.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value2") * 100 + F.lit(0.5)).cast("long")).alias("total2_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+STREAMING_PARQUET_SINK_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 2 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total2_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def streaming_mask_pseudonymize(spark, sf_dir):
     """The engine's two halves COMPOSED in one streaming pipeline:
     anonymization applied to data in motion. Events are pseudonymized as
@@ -6112,6 +6218,10 @@ QUERIES["q20_volume_share_suppliers"] = q20_volume_share_suppliers
 ORACLES["q2_min_cost_supplier"] = Q2_SQL
 ORACLES["q20_volume_share_suppliers"] = Q20_SQL
 QUERIES["unpivot_lineitem_charges"] = unpivot_lineitem_charges
+QUERIES["streaming_static_enrich_agg"] = streaming_static_enrich_agg
+ORACLES["streaming_static_enrich_agg"] = STREAMING_STATIC_ENRICH_SQL
+QUERIES["streaming_parquet_sink_agg"] = streaming_parquet_sink_agg
+ORACLES["streaming_parquet_sink_agg"] = STREAMING_PARQUET_SINK_SQL
 QUERIES["streaming_mask_pseudonymize"] = streaming_mask_pseudonymize
 ORACLES["streaming_mask_pseudonymize"] = STREAMING_MASK_SQL
 QUERIES["streaming_sliding_agg"] = streaming_sliding_agg
@@ -6780,6 +6890,8 @@ _CHECK_FIRST = [
     "crypto_shred_rtbf",
     "dq_checks_orders",
     "streaming_mask_pseudonymize",
+    "streaming_static_enrich_agg",
+    "streaming_parquet_sink_agg",
     # (2) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

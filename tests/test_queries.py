@@ -24,6 +24,8 @@ NEW = [
     "crypto_shred_rtbf",
     "dq_checks_orders",
     "streaming_mask_pseudonymize",
+    "streaming_static_enrich_agg",
+    "streaming_parquet_sink_agg",
     "q4_order_priority",
     "q17_small_quantity_revenue",
     "q22_idle_rich_customers",

@@ -66,6 +66,8 @@ DEFAULT_QUERIES = [
     "crypto_shred_rtbf",
     "dq_checks_orders",
     "streaming_mask_pseudonymize",
+    "streaming_static_enrich_agg",
+    "streaming_parquet_sink_agg",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",
