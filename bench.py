@@ -67,6 +67,7 @@ HEADLINE = [
     "histogram_totalprice",
     "ntile_deciles_acctbal",
     "timeseries_gapfill_hourly",
+    "gapfill_recursive_days",
     "zscore_acctbal_per_segment",
     "pivot_orders_status",
     "order_gaps_lag_lead",

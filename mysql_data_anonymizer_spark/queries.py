@@ -2714,6 +2714,67 @@ SELECT * FROM (
 """
 
 
+def gapfill_recursive_days(spark, sf_dir):
+    """Recursive CTE (new in Spark 4, SPARK-24497): a daily calendar spine
+    generated by WITH RECURSIVE — anchor = min event day, recursive step =
+    +1 day while below max — cross-joined with the event-type dimension and
+    LEFT-joined to per-day counts, so silent gap days appear as zero rows.
+    The bound rides INSIDE the recursive projection (spine carries hi), so
+    the anchor scans events exactly once — a correlated (SELECT hi FROM
+    bounds) in the step predicate would re-aggregate the fact table on
+    every recursion level (measured 13 s -> the fix below).
+    The acyclic recursion terminates structurally (monotone date, bounded
+    above; Spark's UNION-dedup recursion is not supported yet, so cyclic
+    closures still go through the DataFrame fixpoint in
+    operators/dedup.py::connected_components — this query certifies the
+    rCTE engine feature on the shape it's built for). Day emitted as an
+    ISO string (cross-engine DATE canonicalization)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__rc_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('DAY', MIN(ts)) AS lo, date_trunc('DAY', MAX(ts)) AS hi
+          FROM __rc_events
+        ),
+        spine(d, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT d + INTERVAL '1' DAY, hi FROM spine WHERE d < hi
+        ),
+        types AS (SELECT DISTINCT event_type FROM __rc_events WHERE event_type IS NOT NULL),
+        daily AS (
+          SELECT date_trunc('DAY', ts) AS d, event_type, COUNT(*) AS n
+          FROM __rc_events GROUP BY 1, 2
+        )
+        SELECT date_format(s.d, 'yyyy-MM-dd') AS day, t.event_type,
+               CAST(COALESCE(dl.n, 0) AS BIGINT) AS n_events
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN daily dl ON dl.d = s.d AND dl.event_type = t.event_type
+        """
+    )
+
+
+GAPFILL_RECURSIVE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi FROM events
+),
+spine(d, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT d + INTERVAL '1 day', hi FROM spine WHERE d < hi
+),
+types AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+daily AS (
+  SELECT date_trunc('day', ts) AS d, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(s.d, '%Y-%m-%d') AS day, t.event_type,
+       CAST(COALESCE(dl.n, 0) AS BIGINT) AS n_events
+FROM spine s CROSS JOIN types t
+LEFT JOIN daily dl ON dl.d = s.d AND dl.event_type = t.event_type
+"""
+
+
 def profile_orders_columns(spark, sf_dir):
     """Single-pass data-profiling operator (schema-drift / quality
     monitoring): per column — null count, distinct count, min and max in
@@ -6807,6 +6868,8 @@ QUERIES["incremental_agg_users"] = incremental_agg_users
 ORACLES["incremental_agg_users"] = INCREMENTAL_AGG_SQL
 QUERIES["compact_latest_events"] = compact_latest_events
 ORACLES["compact_latest_events"] = COMPACT_LATEST_SQL
+QUERIES["gapfill_recursive_days"] = gapfill_recursive_days
+ORACLES["gapfill_recursive_days"] = GAPFILL_RECURSIVE_SQL
 QUERIES["dq_checks_orders"] = dq_checks_orders
 ORACLES["dq_checks_orders"] = DQ_CHECKS_SQL
 QUERIES["crypto_shred_rtbf"] = crypto_shred_rtbf
@@ -6889,6 +6952,7 @@ _CHECK_FIRST = [
     "text_source_agg",
     "crypto_shred_rtbf",
     "dq_checks_orders",
+    "gapfill_recursive_days",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

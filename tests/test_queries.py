@@ -23,6 +23,7 @@ NEW = [
     "text_source_agg",
     "crypto_shred_rtbf",
     "dq_checks_orders",
+    "gapfill_recursive_days",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

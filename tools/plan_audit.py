@@ -63,6 +63,9 @@ BNL_OK: set[str] = {
     # gap-fill: hour-grid x event-type crossJoin, both post-aggregation tiny
     # (#hours x #types rows regardless of input size)
     "timeseries_gapfill_hourly",
+    # recursive-CTE gap-fill: day-spine x type-dim crossJoin, both tiny by
+    # construction (#days x #types)
+    "gapfill_recursive_days",
     # collocations: the corpus-total (t_uni, t_bi) scalars are a BROADCAST
     # 1-row aggregate cross-joined onto the bigram table — bounded by
     # construction, same class as q11's threshold
