@@ -75,6 +75,7 @@ HEADLINE = [
     "quantiles_acctbal_per_segment",
     "approx_quantiles_events_value",
     "topk_customers_per_segment",
+    "lateral_top2_orders_per_customer",
     "rollup_orders",
     "cube_orders",
     "asof_last_order_per_event",

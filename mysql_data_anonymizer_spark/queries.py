@@ -2714,6 +2714,41 @@ SELECT * FROM (
 """
 
 
+def lateral_top2_orders_per_customer(spark, sf_dir):
+    """Correlated LATERAL subquery — top-2 orders per customer written the
+    way an analyst writes it (per-row dependent subquery with ORDER BY +
+    LIMIT). Catalyst DECORRELATES it into one windowed rank over a single
+    hash join (plan-asserted in tests: no BroadcastNestedLoopJoin, a Window
+    node appears) — the rewrite that makes per-row-looking SQL run as two
+    shuffles at 100 TB instead of one subquery execution per outer row.
+    Deterministic tiebreak (price DESC, orderkey ASC) keeps both engines'
+    LIMIT identical."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(CAST(t.o_totalprice AS DECIMAL(30,2)) AS STRING) AS totalprice
+        FROM __lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        """
+    )
+
+
+LATERAL_TOP2_SQL = """
+SELECT c.c_custkey, t.o_orderkey,
+       CAST(CAST(t.o_totalprice AS DECIMAL(30,2)) AS VARCHAR) AS totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+"""
+
+
 def gapfill_recursive_days(spark, sf_dir):
     """Recursive CTE (new in Spark 4, SPARK-24497): a daily calendar spine
     generated by WITH RECURSIVE — anchor = min event day, recursive step =
@@ -6868,6 +6903,8 @@ QUERIES["incremental_agg_users"] = incremental_agg_users
 ORACLES["incremental_agg_users"] = INCREMENTAL_AGG_SQL
 QUERIES["compact_latest_events"] = compact_latest_events
 ORACLES["compact_latest_events"] = COMPACT_LATEST_SQL
+QUERIES["lateral_top2_orders_per_customer"] = lateral_top2_orders_per_customer
+ORACLES["lateral_top2_orders_per_customer"] = LATERAL_TOP2_SQL
 QUERIES["gapfill_recursive_days"] = gapfill_recursive_days
 ORACLES["gapfill_recursive_days"] = GAPFILL_RECURSIVE_SQL
 QUERIES["dq_checks_orders"] = dq_checks_orders
@@ -6953,6 +6990,7 @@ _CHECK_FIRST = [
     "crypto_shred_rtbf",
     "dq_checks_orders",
     "gapfill_recursive_days",
+    "lateral_top2_orders_per_customer",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

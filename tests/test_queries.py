@@ -24,6 +24,7 @@ NEW = [
     "crypto_shred_rtbf",
     "dq_checks_orders",
     "gapfill_recursive_days",
+    "lateral_top2_orders_per_customer",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",
@@ -117,6 +118,16 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     o_rows = sorted(tuple(_norm(v) for v in row) for row in odf[cols].itertuples(index=False))
     assert len(s_rows) == len(o_rows), f"{name}: {len(s_rows)} vs {len(o_rows)} rows"
     assert s_rows == o_rows
+
+
+def test_lateral_decorrelates_to_window_join(spark, sf_dir):
+    """The correlated LATERAL ORDER BY/LIMIT subquery must decorrelate into
+    one windowed rank over a hash join — no per-outer-row execution, no
+    BroadcastNestedLoopJoin."""
+    plan = Q.QUERIES["lateral_top2_orders_per_customer"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_q4_is_semijoin_not_subquery_per_row(spark, sf_dir):

@@ -66,6 +66,7 @@ DEFAULT_QUERIES = [
     "crypto_shred_rtbf",
     "dq_checks_orders",
     "gapfill_recursive_days",
+    "lateral_top2_orders_per_customer",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",
