@@ -35,6 +35,7 @@ HEADLINE = [
     "k_anonymity_audit_customers",
     "dp_noised_counts_customers",
     "l_diversity_audit_customers",
+    "t_closeness_audit_customers",
     "rtbf_forget_cascade",
     "crypto_shred_rtbf",
     "mask_generalize_customers",

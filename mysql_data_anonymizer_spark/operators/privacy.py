@@ -141,3 +141,73 @@ def crypto_shred(
     others = [c for c in df.columns if c not in cols and c != pk_col]
     enc_df = df.select(F.col(pk_col), *others, *enc_cols)
     return enc_df, key_df
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) for a
+    CATEGORICAL sensitive attribute: a QI group violates t-closeness when
+    the total-variation distance between its sensitive-value distribution
+    and the table-global one exceeds ``t = t_num/t_den``. Completes the
+    k-anonymity / l-diversity audit triad — an l-diverse group still leaks
+    when its distribution is SKEWED versus the population (the "equally
+    diverse but 90% cancer" attack the paper opens with).
+
+    All comparisons are EXACT INTEGER arithmetic — no float thresholds:
+      TV(g) = 1/2 * sum_i |c_gi/n_g - C_i/N|
+      scaled: D_g = sum_i |c_gi*N - C_i*n_g|   (= TV * 2*n_g*N)
+      violation  <=>  t_den * D_g > 2 * t_num * n_g * N
+    Missing categories need no completion join:
+      D_g = sum_{i in g}(|c_gi*N - C_i*n_g| - C_i*n_g) + n_g*N.
+    The reported ``tv_distance`` is a single IEEE division of exact
+    integers (cross-engine bit-stable).
+
+    Scale: one (QI, sensitive)-keyed hash aggregate over the facts; all
+    later joins/regroups are over post-aggregation tables (category counts
+    broadcast; QI-group totals rejoin on the QI key). The N scalar is a
+    1-row broadcast cross join. BIGINT products bound the audit to
+    n_g*N < 2^63 (~3e18, i.e. N up to ~1.7e9 rows); beyond that switch the
+    three products to DECIMAL(38,0) — same plan shape.
+    """
+    # NULL-sentinel the sensitive col: it is a join key below, and NULL
+    # never equi-joins (both engines) — a NULL category would silently drop
+    s = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("<NULL>")).alias("__s")
+    grp = df.select(*quasi_cols, s).groupBy(*quasi_cols, "__s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cat = grp.groupBy("__s").agg(F.sum("c").alias("cat_n"))  # tiny: one row/category
+    tot = cat.agg(F.sum("cat_n").alias("N"))  # 1 row
+    ng = grp.groupBy(*quasi_cols).agg(F.sum("c").alias("group_size"))
+    out = (
+        grp.join(F.broadcast(cat), "__s")
+        .join(ng, quasi_cols)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.first("group_size").alias("group_size"),
+            F.first("N").alias("N"),
+            F.sum(
+                F.abs(F.col("c") * F.col("N") - F.col("cat_n") * F.col("group_size"))
+                - F.col("cat_n") * F.col("group_size")
+            ).alias("d_part"),
+        )
+        .withColumn("d_scaled", F.col("d_part") + F.col("group_size") * F.col("N"))
+        .where(
+            F.lit(t_den) * F.col("d_scaled")
+            > F.lit(2 * t_num) * F.col("group_size") * F.col("N")
+        )
+        .select(
+            *quasi_cols,
+            "group_size",
+            (
+                F.col("d_scaled").cast("double")
+                / (F.lit(2.0) * F.col("group_size").cast("double") * F.col("N").cast("double"))
+            ).alias("tv_distance"),
+        )
+    )
+    return out

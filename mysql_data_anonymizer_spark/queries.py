@@ -3296,6 +3296,65 @@ HAVING COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) < 4
 """
 
 
+def t_closeness_audit_customers(spark, sf_dir):
+    """t-closeness audit (Li et al., ICDE 2007) — the third leg of the
+    privacy-audit triad: QI groups (nation x acctbal band) whose
+    market-segment DISTRIBUTION diverges from the table-global one by
+    total-variation distance > t = 0.10. k-anonymity bounds group size and
+    l-diversity bounds distinct values; neither catches the skewed-but-
+    diverse group this measures. The violation test is exact integer
+    arithmetic (t_den*D > 2*t_num*n_g*N, all BIGINT); the reported distance
+    is one IEEE division of exact ints. QI keys are NULL-sentineled so a
+    NULL-keyed group audits instead of silently dropping at the regroup
+    join."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.coalesce(F.col("c_nationkey"), F.lit(-999999)).alias("nationkey"),
+        F.coalesce(
+            F.floor(F.col("c_acctbal") / 2000).cast("long"), F.lit(-999999)
+        ).alias("bal_band"),
+        "c_mktsegment",
+    )
+    return privacy.t_closeness_audit(
+        cust, ["nationkey", "bal_band"], "c_mktsegment", t_num=10, t_den=100
+    ).orderBy("nationkey", "bal_band")
+
+
+T_CLOSENESS_SQL = """
+WITH base AS (
+  SELECT COALESCE(c_nationkey, -999999) AS nationkey,
+         COALESCE(CAST(FLOOR(c_acctbal / 2000) AS BIGINT), -999999) AS bal_band,
+         COALESCE(CAST(c_mktsegment AS VARCHAR), '<NULL>') AS s
+  FROM customer
+), g AS (
+  SELECT nationkey, bal_band, s, COUNT(*) AS c FROM base GROUP BY 1, 2, 3
+), cat AS (
+  SELECT s, CAST(SUM(c) AS BIGINT) AS cat_n FROM g GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cat_n) AS BIGINT) AS total_n FROM cat
+), ng AS (
+  SELECT nationkey, bal_band, CAST(SUM(c) AS BIGINT) AS group_size
+  FROM g GROUP BY 1, 2
+), d AS (
+  SELECT g.nationkey, g.bal_band, ng.group_size, tot.total_n,
+         CAST(SUM(ABS(g.c * tot.total_n - cat.cat_n * ng.group_size)
+                  - cat.cat_n * ng.group_size) AS BIGINT)
+           + ng.group_size * tot.total_n AS d_scaled
+  FROM g
+  JOIN cat USING (s)
+  JOIN ng USING (nationkey, bal_band)
+  CROSS JOIN tot
+  GROUP BY 1, 2, 3, 4
+)
+SELECT nationkey, bal_band, group_size,
+       CAST(d_scaled AS DOUBLE)
+         / (2.0 * CAST(group_size AS DOUBLE) * CAST(total_n AS DOUBLE))
+         AS tv_distance
+FROM d
+WHERE 100 * d_scaled > 2 * 10 * group_size * total_n
+ORDER BY nationkey, bal_band
+"""
+
+
 def rtbf_forget_cascade(spark, sf_dir):
     """Right-to-be-forgotten cascade (operators.privacy.forget_cascade):
     a deterministic forget set of customers is erased from the customer
@@ -6917,6 +6976,8 @@ QUERIES["k_anonymity_audit_customers"] = k_anonymity_audit_customers
 ORACLES["k_anonymity_audit_customers"] = K_ANON_SQL
 QUERIES["l_diversity_audit_customers"] = l_diversity_audit_customers
 ORACLES["l_diversity_audit_customers"] = L_DIV_SQL
+QUERIES["t_closeness_audit_customers"] = t_closeness_audit_customers
+ORACLES["t_closeness_audit_customers"] = T_CLOSENESS_SQL
 QUERIES["rtbf_forget_cascade"] = rtbf_forget_cascade
 ORACLES["rtbf_forget_cascade"] = RTBF_SQL
 QUERIES["mask_generalize_customers"] = mask_generalize_customers
@@ -6991,6 +7052,7 @@ _CHECK_FIRST = [
     "dq_checks_orders",
     "gapfill_recursive_days",
     "lateral_top2_orders_per_customer",
+    "t_closeness_audit_customers",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

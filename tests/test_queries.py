@@ -25,6 +25,7 @@ NEW = [
     "dq_checks_orders",
     "gapfill_recursive_days",
     "lateral_top2_orders_per_customer",
+    "t_closeness_audit_customers",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -60,6 +60,10 @@ BNL_OK: set[str] = {
     # q11: the global threshold is a BROADCAST 1-row aggregate cross-joined
     # onto the 25-row per-nation table — bounded by construction
     "q11_important_nations",
+    # t-closeness: the N scalar is a BROADCAST 1-row aggregate cross-joined
+    # onto the post-aggregation (QI x category) table — bounded by
+    # construction, same class as q11's threshold
+    "t_closeness_audit_customers",
     # gap-fill: hour-grid x event-type crossJoin, both post-aggregation tiny
     # (#hours x #types rows regardless of input size)
     "timeseries_gapfill_hourly",
