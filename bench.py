@@ -100,6 +100,7 @@ HEADLINE = [
     "segment_nation_list",
     "events_hourly_window",
     "sessionize_events",
+    "max_concurrent_events_sweepline",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "orc_source_agg",

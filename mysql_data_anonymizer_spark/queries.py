@@ -37,6 +37,7 @@ from mysql_data_anonymizer_spark.operators import (
     privacy,
     scd,
     similarity,
+    sweepline,
     text,
 )
 from mysql_data_anonymizer_spark.sources import files
@@ -1153,6 +1154,45 @@ WITH marked AS (
 SELECT user_id, session_no, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM sessions GROUP BY user_id, session_no
+"""
+
+
+def max_concurrent_events_sweepline(spark, sf_dir):
+    """Peak concurrency per event type (each event holds a [ts, ts+10min)
+    interval): the interval-overlap question answered by a SWEEP-LINE, not
+    an O(N^2) interval self-join. operators/sweepline.py runs it as a
+    two-phase distributed prefix sum — bucket-local cumulative windows plus
+    a tiny per-bucket offset table — so parallelism scales with the time
+    range instead of serializing each key into one task. Tie rule (ends
+    before starts at equal t) means touching intervals never overlap; the
+    oracle reproduces the same sweep with one global window, which is legal
+    for DuckDB because the oracle corpus fits one node."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.coalesce(F.col("event_type"), F.lit("<NULL>")).alias("etype"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    return sweepline.max_concurrency(ev, "etype", "start_ts", "end_ts", bucket="day")
+
+
+MAX_CONCURRENT_SQL = """
+WITH iv AS (
+  SELECT COALESCE(event_type, '<NULL>') AS etype, ts
+  FROM events WHERE ts IS NOT NULL
+), b AS (
+  SELECT etype, ts AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT etype, ts + INTERVAL 10 MINUTE, -1 FROM iv
+), r AS (
+  SELECT etype, t,
+         CAST(SUM(delta) OVER (PARTITION BY etype ORDER BY t, delta) AS BIGINT) AS run
+  FROM b
+), m AS (
+  SELECT etype, MAX(run) AS max_concurrent FROM r GROUP BY 1
+)
+SELECT m.etype, m.max_concurrent, MIN(r.t) AS peak_ts
+FROM m JOIN r ON r.etype = m.etype AND r.run = m.max_concurrent
+GROUP BY 1, 2
 """
 
 
@@ -6978,6 +7018,8 @@ QUERIES["l_diversity_audit_customers"] = l_diversity_audit_customers
 ORACLES["l_diversity_audit_customers"] = L_DIV_SQL
 QUERIES["t_closeness_audit_customers"] = t_closeness_audit_customers
 ORACLES["t_closeness_audit_customers"] = T_CLOSENESS_SQL
+QUERIES["max_concurrent_events_sweepline"] = max_concurrent_events_sweepline
+ORACLES["max_concurrent_events_sweepline"] = MAX_CONCURRENT_SQL
 QUERIES["rtbf_forget_cascade"] = rtbf_forget_cascade
 ORACLES["rtbf_forget_cascade"] = RTBF_SQL
 QUERIES["mask_generalize_customers"] = mask_generalize_customers
@@ -7053,6 +7095,7 @@ _CHECK_FIRST = [
     "gapfill_recursive_days",
     "lateral_top2_orders_per_customer",
     "t_closeness_audit_customers",
+    "max_concurrent_events_sweepline",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

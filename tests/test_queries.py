@@ -26,6 +26,7 @@ NEW = [
     "gapfill_recursive_days",
     "lateral_top2_orders_per_customer",
     "t_closeness_audit_customers",
+    "max_concurrent_events_sweepline",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",
@@ -229,6 +230,10 @@ INVARIANCE_SAMPLE = [
     # partition-order dependence would bite first
     "shard_training_corpus",
     "rebalance_corpus_mix",
+    # two-phase sweep-line: bucket-local cum + offset table must equal the
+    # global scan under any partitioning; ties (ends-before-starts) are the
+    # hazard
+    "max_concurrent_events_sweepline",
     "bigram_collocations",
     "running_total_per_customer",
     "semdedup_embeddings",

@@ -68,6 +68,7 @@ DEFAULT_QUERIES = [
     "gapfill_recursive_days",
     "lateral_top2_orders_per_customer",
     "t_closeness_audit_customers",
+    "max_concurrent_events_sweepline",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",
