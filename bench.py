@@ -101,6 +101,7 @@ HEADLINE = [
     "events_hourly_window",
     "sessionize_events",
     "max_concurrent_events_sweepline",
+    "frequent_part_pairs",
     "scd2_user_event_history",
     "pit_join_future_event_state",
     "orc_source_agg",

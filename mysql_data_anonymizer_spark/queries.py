@@ -36,6 +36,7 @@ from mysql_data_anonymizer_spark.operators import (
     joins,
     privacy,
     scd,
+    itemsets,
     similarity,
     sweepline,
     text,
@@ -1154,6 +1155,39 @@ WITH marked AS (
 SELECT user_id, session_no, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM sessions GROUP BY user_id, session_no
+"""
+
+
+def frequent_part_pairs(spark, sf_dir):
+    """Market-basket mining: part pairs co-ordered in >= 2 orders
+    (operators/itemsets.py::frequent_pairs). A-priori pruning drops
+    infrequent items before the pair join and the deterministic basket cap
+    bounds the per-basket pair blowup — the two guards that keep
+    co-occurrence counting at Sum(n_b * cap) instead of Sum(n_b^2) on a
+    100 TB basket log. Pair generation is one basket-keyed self-equi-join;
+    support is a map-side-combinable (item, item) aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return itemsets.frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, max_basket=50
+    )
+
+
+FREQUENT_PAIRS_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), freq AS (
+  SELECT it FROM items GROUP BY it HAVING COUNT(*) >= 2
+), pruned AS (
+  SELECT bk, it FROM items WHERE it IN (SELECT it FROM freq)
+), capped AS (
+  SELECT bk, it FROM (
+    SELECT bk, it, ROW_NUMBER() OVER (PARTITION BY bk ORDER BY it) AS rn
+    FROM pruned
+  ) WHERE rn <= 50
+)
+SELECT a.it AS item_1, b.it AS item_2, COUNT(*) AS support
+FROM capped a JOIN capped b ON a.bk = b.bk AND a.it < b.it
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
@@ -7020,6 +7054,8 @@ QUERIES["t_closeness_audit_customers"] = t_closeness_audit_customers
 ORACLES["t_closeness_audit_customers"] = T_CLOSENESS_SQL
 QUERIES["max_concurrent_events_sweepline"] = max_concurrent_events_sweepline
 ORACLES["max_concurrent_events_sweepline"] = MAX_CONCURRENT_SQL
+QUERIES["frequent_part_pairs"] = frequent_part_pairs
+ORACLES["frequent_part_pairs"] = FREQUENT_PAIRS_SQL
 QUERIES["rtbf_forget_cascade"] = rtbf_forget_cascade
 ORACLES["rtbf_forget_cascade"] = RTBF_SQL
 QUERIES["mask_generalize_customers"] = mask_generalize_customers
@@ -7096,6 +7132,7 @@ _CHECK_FIRST = [
     "lateral_top2_orders_per_customer",
     "t_closeness_audit_customers",
     "max_concurrent_events_sweepline",
+    "frequent_part_pairs",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -69,6 +69,7 @@ DEFAULT_QUERIES = [
     "lateral_top2_orders_per_customer",
     "t_closeness_audit_customers",
     "max_concurrent_events_sweepline",
+    "frequent_part_pairs",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",
