@@ -68,6 +68,7 @@ HEADLINE = [
     "histogram_totalprice",
     "ntile_deciles_acctbal",
     "timeseries_gapfill_hourly",
+    "interpolate_hourly_values",
     "gapfill_recursive_days",
     "zscore_acctbal_per_segment",
     "pivot_orders_status",

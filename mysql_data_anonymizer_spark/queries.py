@@ -1158,6 +1158,140 @@ FROM sessions GROUP BY user_id, session_no
 """
 
 
+def interpolate_hourly_values(spark, sf_dir):
+    """Time-series LINEAR INTERPOLATION over the hourly grid: missing hours
+    get the value interpolated between the bracketing observed hours
+    (boundary hours hold the nearest observation) — the value-series
+    complement of the zero-filling `timeseries_gapfill_hourly`. Bracketing
+    is last/first-ignoreNulls windows over the POST-AGGREGATION spine
+    (#hours x #types rows — tiny regardless of fact size), so the only
+    fact-scale work is the one map-side-combined hourly rollup. Numeric
+    discipline: hourly values are one IEEE division of exact cents/count
+    ints; the interpolation is a fixed double expression tree identical in
+    both engines (+,-,*,/ are exact-rounded — cross-engine bit-stable,
+    unlike transcendentals)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ev = ev.select(
+        F.coalesce(F.col("event_type"), F.lit("<NULL>")).alias("etype"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.col("value"),
+    )
+    obs = ev.groupBy("etype", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(_dec("value", 30, 2)) * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("h")).alias("lo"),
+        F.date_trunc("hour", F.max("h")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_start")
+    )
+    types = ev.select(F.col("etype").alias("t_etype")).distinct()
+    grid = hours.crossJoin(types).join(
+        obs,
+        (obs["h"] == F.col("hour_start")) & (obs["etype"] == F.col("t_etype")),
+        "left",
+    ).select(
+        F.col("t_etype").alias("etype"),
+        "hour_start",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.when(
+            F.col("cents").isNotNull(),
+            F.col("cents").cast("double") / F.col("n_events").cast("double"),
+        ).alias("obs_cents"),
+    ).withColumn("e", F.floor(F.col("hour_start").cast("long") / 3600).cast("long"))
+    wp = (
+        Window.partitionBy("etype")
+        .orderBy("e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("etype").orderBy("e").rowsBetween(0, Window.unboundedFollowing)
+    obs_e = F.when(F.col("obs_cents").isNotNull(), F.col("e"))
+    g = (
+        grid.withColumn("prev_v", F.last("obs_cents", ignorenulls=True).over(wp))
+        .withColumn("prev_e", F.last(obs_e, ignorenulls=True).over(wp))
+        .withColumn("next_v", F.first("obs_cents", ignorenulls=True).over(wn))
+        .withColumn("next_e", F.first(obs_e, ignorenulls=True).over(wn))
+    )
+    filled = (
+        F.when(F.col("obs_cents").isNotNull(), F.col("obs_cents"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            (
+                F.col("prev_v") * (F.col("next_e") - F.col("e")).cast("double")
+                + F.col("next_v") * (F.col("e") - F.col("prev_e")).cast("double")
+            )
+            / (F.col("next_e") - F.col("prev_e")).cast("double")
+        )
+    )
+    src = (
+        F.when(F.col("obs_cents").isNotNull(), F.lit("obs"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit("hold"))
+        .otherwise(F.lit("interp"))
+    )
+    return g.select(
+        "etype",
+        "hour_start",
+        "n_events",
+        (filled / F.lit(100.0)).alias("value_filled"),
+        src.alias("src"),
+    )
+
+
+INTERPOLATE_HOURLY_SQL = """
+WITH ev AS (
+  SELECT COALESCE(event_type, '<NULL>') AS etype,
+         date_trunc('hour', ts) AS h, value
+  FROM events WHERE ts IS NOT NULL
+), obs AS (
+  SELECT etype, h, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(30,2))) * 100 AS BIGINT) AS cents
+  FROM ev GROUP BY 1, 2
+), b AS (
+  SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start FROM b
+), types AS (
+  SELECT DISTINCT etype FROM ev
+), grid AS (
+  SELECT t.etype, hours.hour_start,
+         COALESCE(o.n_events, 0) AS n_events,
+         CASE WHEN o.cents IS NOT NULL
+              THEN CAST(o.cents AS DOUBLE) / CAST(o.n_events AS DOUBLE) END AS obs_cents,
+         CAST(floor(epoch(hours.hour_start)) AS BIGINT) // 3600 AS e
+  FROM hours CROSS JOIN types t
+  LEFT JOIN obs o ON o.h = hours.hour_start AND o.etype = t.etype
+), g AS (
+  SELECT *,
+    LAST_VALUE(obs_cents IGNORE NULLS) OVER (PARTITION BY etype ORDER BY e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    LAST_VALUE(CASE WHEN obs_cents IS NOT NULL THEN e END IGNORE NULLS)
+      OVER (PARTITION BY etype ORDER BY e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_e,
+    FIRST_VALUE(obs_cents IGNORE NULLS) OVER (PARTITION BY etype ORDER BY e
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    FIRST_VALUE(CASE WHEN obs_cents IS NOT NULL THEN e END IGNORE NULLS)
+      OVER (PARTITION BY etype ORDER BY e
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_e
+  FROM grid
+)
+SELECT etype, hour_start, n_events,
+       (CASE WHEN obs_cents IS NOT NULL THEN obs_cents
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE (prev_v * CAST(next_e - e AS DOUBLE)
+                   + next_v * CAST(e - prev_e AS DOUBLE))
+                  / CAST(next_e - prev_e AS DOUBLE)
+        END) / 100.0 AS value_filled,
+       CASE WHEN obs_cents IS NOT NULL THEN 'obs'
+            WHEN prev_v IS NULL OR next_v IS NULL THEN 'hold'
+            ELSE 'interp' END AS src
+FROM g
+"""
+
+
 def frequent_part_pairs(spark, sf_dir):
     """Market-basket mining: part pairs co-ordered in >= 2 orders
     (operators/itemsets.py::frequent_pairs). A-priori pruning drops
@@ -7056,6 +7190,8 @@ QUERIES["max_concurrent_events_sweepline"] = max_concurrent_events_sweepline
 ORACLES["max_concurrent_events_sweepline"] = MAX_CONCURRENT_SQL
 QUERIES["frequent_part_pairs"] = frequent_part_pairs
 ORACLES["frequent_part_pairs"] = FREQUENT_PAIRS_SQL
+QUERIES["interpolate_hourly_values"] = interpolate_hourly_values
+ORACLES["interpolate_hourly_values"] = INTERPOLATE_HOURLY_SQL
 QUERIES["rtbf_forget_cascade"] = rtbf_forget_cascade
 ORACLES["rtbf_forget_cascade"] = RTBF_SQL
 QUERIES["mask_generalize_customers"] = mask_generalize_customers
@@ -7133,6 +7269,7 @@ _CHECK_FIRST = [
     "t_closeness_audit_customers",
     "max_concurrent_events_sweepline",
     "frequent_part_pairs",
+    "interpolate_hourly_values",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -70,6 +70,7 @@ DEFAULT_QUERIES = [
     "t_closeness_audit_customers",
     "max_concurrent_events_sweepline",
     "frequent_part_pairs",
+    "interpolate_hourly_values",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -67,6 +67,8 @@ BNL_OK: set[str] = {
     # gap-fill: hour-grid x event-type crossJoin, both post-aggregation tiny
     # (#hours x #types rows regardless of input size)
     "timeseries_gapfill_hourly",
+    # linear interpolation: same hour-grid x types crossJoin as gap-fill
+    "interpolate_hourly_values",
     # recursive-CTE gap-fill: day-spine x type-dim crossJoin, both tiny by
     # construction (#days x #types)
     "gapfill_recursive_days",
