@@ -69,6 +69,10 @@ HEADLINE = [
     "ntile_deciles_acctbal",
     "timeseries_gapfill_hourly",
     "interpolate_hourly_values",
+    "mask_date_shift_orders",
+    "mask_swap_acctbal_nation",
+    "mask_microaggregate_acctbal",
+    "user_daily_streaks",
     "gapfill_recursive_days",
     "zscore_acctbal_per_segment",
     "pivot_orders_status",

@@ -211,3 +211,128 @@ def t_closeness_audit(
         )
     )
     return out
+
+
+def date_shift(
+    df: DataFrame,
+    subject_col: str,
+    date_col: str,
+    max_shift_days: int = 30,
+    seed: str = "dshift",
+) -> DataFrame:
+    """Consistent per-subject date shifting (the HIPAA Safe-Harbor-adjacent
+    SDC technique): every record of a subject moves by the SAME uniformly
+    chosen offset in [-max_shift_days, +max_shift_days], so within-subject
+    intervals (order cadence, length-of-stay, inter-event gaps) are
+    preserved exactly while absolute dates are perturbed. The offset is
+    derived deterministically from md5(seed, subject) — same seed, same
+    release (auditable, re-runnable, partitioning-invariant), a fresh seed
+    is a fresh release. Adds ``shift_days`` (certification twin — a real
+    release projects it away) and ``<date_col>_shifted``.
+
+    100 TB: one codegen'd expression per row — no shuffle, no join, no
+    per-subject state; consistency comes from hashing, not coordination.
+    """
+    span = 2 * max_shift_days + 1
+    key = F.concat(
+        F.lit(f"{seed}:"),
+        F.coalesce(F.col(subject_col).cast("string"), F.lit("<NULL>")),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    shift = (h % F.lit(span) - F.lit(max_shift_days)).cast("int")
+    return df.withColumn("shift_days", shift).withColumn(
+        f"{date_col}_shifted",
+        F.date_format(
+            F.date_add(F.to_date(F.col(date_col)), F.col("shift_days")), "yyyy-MM-dd"
+        ),
+    )
+
+
+def rank_swap_cyclic(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Data swapping (Dalenius-Reiss): each record releases ANOTHER record's
+    value from the same group — here the deterministic cyclic variant: sort
+    the group by (value, tie-break), record at rank r releases rank r+1's
+    value (the last wraps to the first). Group-level statistics (multiset,
+    sum, mean, quantiles) are preserved EXACTLY — the multiset is merely
+    permuted — while row-level linkage is broken. Adds ``<value_col>_swapped``
+    plus ``swap_moved`` (did the value actually change — false only in
+    degenerate all-equal or singleton groups).
+
+    100 TB: one keyed shuffle on the group key; lead/first_value ride a
+    single window over it. No self-join, no second pass.
+    """
+    from pyspark.sql import Window
+
+    # asc_nulls_last everywhere: Spark's default is NULLS FIRST, DuckDB's is
+    # NULLS LAST — pin the one the SQL twins assume
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc_nulls_last(),
+        *[F.col(c).asc_nulls_last() for c in order_cols],
+    )
+    swapped = F.coalesce(
+        F.lead(value_col).over(w), F.first(value_col).over(w)
+    )
+    return df.withColumn(f"{value_col}_swapped", swapped).withColumn(
+        "swap_moved", ~F.col(f"{value_col}_swapped").eqNullSafe(F.col(value_col))
+    )
+
+
+def microaggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cents: "F.Column",
+    order_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-microaggregation (Domingo-Ferrer/Mateo-Sanz, the μ-Argus SDC
+    method): within each group, sort by the attribute and partition the
+    ranks into ceil-even clusters of AT LEAST k records, then release each
+    record's CLUSTER MEAN instead of its value. Unlike generalization the
+    release stays numeric; unlike suppression nothing is dropped. Cluster
+    assignment is the exact integer rule g = (rank-1)*ncl div n with
+    ncl = max(n div k, 1): every cluster gets floor(n/ncl) or ceil(n/ncl)
+    members, all >= k (singleton-to-k-1 groups collapse to one cluster).
+    ``value_cents`` must be an exact-integer Column (e.g. cents) so the
+    released mean is ONE IEEE division of exact ints — cross-engine stable.
+
+    Returns the input plus (cluster_id, cluster_size, value_masked,
+    k_ok) where k_ok asserts cluster_size >= min(k, group size).
+
+    100 TB: two window passes over the SAME group-key shuffle partitioning
+    plus one (group, cluster)-keyed re-shuffle for the means — no
+    self-joins, no global sort; each group sorts locally within its
+    partition.
+    """
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*group_cols)
+    # NULLS LAST to match the DuckDB twin (see rank_swap_cyclic)
+    wr = Window.partitionBy(*group_cols).orderBy(
+        F.col("__cents").asc_nulls_last(),
+        *[F.col(c).asc_nulls_last() for c in order_cols],
+    )
+    staged = (
+        df.withColumn("__cents", value_cents.cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__ncl", F.greatest(F.expr(f"__n div {k}"), F.lit(1)))
+        .withColumn("cluster_id", F.expr("((__rn - 1) * __ncl) div __n"))
+    )
+    wc = Window.partitionBy(*group_cols, "cluster_id")
+    return (
+        staged.withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "value_masked",
+            F.sum("__cents").over(wc).cast("double")
+            / F.col("cluster_size").cast("double")
+            / F.lit(100.0),
+        )
+        .withColumn("k_ok", F.col("cluster_size") >= F.least(F.lit(k), F.col("__n")))
+        .drop("__cents", "__rn", "__ncl")
+        .withColumnRenamed("__n", "group_size")
+    )

@@ -143,6 +143,17 @@ def _sql_digest(column: str, key_sql: str, seed: int = SEED) -> str:
     return f"md5('{seed}:{column}|' || CAST({key_sql} AS VARCHAR))"
 
 
+def _sql_md5_u32(digest_sql: str) -> str:
+    """First 8 hex digits of an md5 VARCHAR expression as a BIGINT in
+    [0, 2^32) — the DuckDB twin of Spark's conv(substring(md5(k),1,8),16,10)
+    (DuckDB has no base-conv builtin; the strpos chain is the same trick as
+    the DP oracle's)."""
+    v = f"(strpos('{HEXD}', substr({digest_sql}, 1, 1)) - 1)"
+    for i in range(2, 9):
+        v = f"({v} * 16 + (strpos('{HEXD}', substr({digest_sql}, {i}, 1)) - 1))"
+    return f"CAST({v} AS BIGINT)"
+
+
 # ===========================================================================
 # masking queries (route through the real engine: Blueprint -> compile_plan)
 # ===========================================================================
@@ -3677,6 +3688,167 @@ FROM (
 """
 
 
+def mask_date_shift_orders(spark, sf_dir):
+    """Consistent per-subject date shifting
+    (operators/privacy.py::date_shift): all of a customer's orders move by
+    one deterministic offset in [-30, +30] days, preserving within-subject
+    intervals exactly — the SDC technique the reference's random-date
+    generator can't express (it destroys cadence;
+    src/helpers/StringHelpers.php generates unrelated dates per row). Seeded
+    md5 makes the release auditable AND the oracle exact: DuckDB recomputes
+    the identical shift, so the driver hash-matches the released dates
+    themselves. Map-only, zero shuffle. ``shift_days`` is the certification
+    twin column (a real release projects it away)."""
+    o = _t(spark, sf_dir, "orders")
+    out = privacy.date_shift(o, "o_custkey", "o_orderdate", 30, "dshift")
+    return out.select("o_orderkey", "o_custkey", "shift_days", "o_orderdate_shifted")
+
+
+_DSHIFT_U32 = _sql_md5_u32(
+    "md5('dshift:' || COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>'))"
+)
+
+MASK_DATE_SHIFT_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CAST({_DSHIFT_U32} % 61 - 30 AS INTEGER) AS shift_days,
+       strftime(CAST(o_orderdate AS DATE)
+                + CAST({_DSHIFT_U32} % 61 - 30 AS INTEGER), '%Y-%m-%d')
+         AS o_orderdate_shifted
+FROM orders
+"""
+
+
+def mask_swap_acctbal_nation(spark, sf_dir):
+    """Data swapping (operators/privacy.py::rank_swap_cyclic): each customer
+    releases a same-nation NEIGHBOR's balance (cyclic shift along the sorted
+    order), so every per-nation statistic — multiset, sum, mean, quantiles —
+    survives exactly while the row-level (customer -> balance) linkage is
+    broken. Deterministic, so the oracle recomputes the identical
+    permutation. One keyed shuffle on the nation, one window."""
+    cust = _t(spark, sf_dir, "customer")
+    out = privacy.rank_swap_cyclic(cust, ["c_nationkey"], "c_acctbal", ["c_custkey"])
+    return out.select("c_custkey", "c_nationkey", "c_acctbal_swapped", "swap_moved")
+
+
+MASK_SWAP_SQL = """
+SELECT c_custkey, c_nationkey,
+       COALESCE(LEAD(c_acctbal) OVER w, FIRST_VALUE(c_acctbal) OVER w)
+         AS c_acctbal_swapped,
+       (COALESCE(LEAD(c_acctbal) OVER w, FIRST_VALUE(c_acctbal) OVER w)
+          IS DISTINCT FROM c_acctbal) AS swap_moved
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC NULLS LAST)
+"""
+
+
+def mask_microaggregate_acctbal(spark, sf_dir):
+    """k-microaggregation (operators/privacy.py::microaggregate, k=5):
+    within each nation the sorted balances partition into clusters of >= 5
+    and every customer releases the CLUSTER MEAN — numeric utility kept
+    (unlike generalization's string bands), nothing suppressed. Cluster
+    assignment is the exact integer rule g = (rank-1)*ncl div n, so the
+    oracle reproduces it digit-for-digit; the released mean is one IEEE
+    division of exact cents ints. ``k_ok`` asserts the >= min(k, n)
+    disclosure bound row-by-row."""
+    cust = _t(spark, sf_dir, "customer")
+    out = privacy.microaggregate(
+        cust, ["c_nationkey"], _dec("c_acctbal", 30, 2) * 100, ["c_custkey"], k=5
+    )
+    return out.select(
+        "c_custkey", "c_nationkey", "cluster_id", "cluster_size", "value_masked", "k_ok"
+    )
+
+
+MASK_MICROAGG_SQL = """
+WITH s AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT)
+                      ASC NULLS LAST,
+                    c_custkey ASC NULLS LAST) AS rn
+  FROM customer
+), c AS (
+  SELECT *, ((rn - 1) * GREATEST(n // 5, 1)) // n AS cluster_id FROM s
+)
+SELECT c_custkey, c_nationkey, cluster_id,
+       COUNT(*) OVER w AS cluster_size,
+       CAST(SUM(cents) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) / 100.0
+         AS value_masked,
+       (COUNT(*) OVER w >= LEAST(5, n)) AS k_ok
+FROM c
+WINDOW w AS (PARTITION BY c_nationkey, cluster_id)
+"""
+
+
+def user_daily_streaks(spark, sf_dir):
+    """Gaps-and-islands: per user, maximal runs of CONSECUTIVE active days
+    (the classic anchor trick — rank minus epoch-day is constant within an
+    island), released as the best streak per user with its bounds plus the
+    user's island count and total active days. All integer arithmetic on
+    epoch days; dates release as ISO strings. Two windows and one aggregate,
+    all riding the same user-keyed shuffle after the distinct."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wd = Window.partitionBy("user_id").orderBy("d")
+    epoch = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    islands = (
+        days.withColumn("anchor", epoch - F.row_number().over(wd))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.min("d").alias("s"),
+            F.max("d").alias("e"),
+        )
+    )
+    wu = Window.partitionBy("user_id")
+    wbest = Window.partitionBy("user_id").orderBy(F.col("len").desc(), F.col("s").asc())
+    return (
+        islands.withColumn("n_streaks", F.count(F.lit(1)).over(wu))
+        .withColumn("active_days", F.sum("len").over(wu))
+        .withColumn("__r", F.row_number().over(wbest))
+        .where(F.col("__r") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("best_streak_days"),
+            F.date_format("s", "yyyy-MM-dd").alias("best_start"),
+            F.date_format("e", "yyyy-MM-dd").alias("best_end"),
+            "n_streaks",
+            "active_days",
+        )
+    )
+
+
+USER_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL
+), islands AS (
+  SELECT user_id, date_diff('day', DATE '1970-01-01', d)
+                  - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS anchor,
+         d
+  FROM days
+), agg AS (
+  SELECT user_id, anchor, COUNT(*) AS len, MIN(d) AS s, MAX(d) AS e
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, len AS best_streak_days,
+       strftime(s, '%Y-%m-%d') AS best_start,
+       strftime(e, '%Y-%m-%d') AS best_end,
+       n_streaks, active_days
+FROM (
+  SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+         CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT) AS active_days,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, s) AS r
+  FROM agg
+)
+WHERE r = 1
+"""
+
+
 SYNTH_ROWS = 2000
 
 
@@ -7192,6 +7364,14 @@ QUERIES["frequent_part_pairs"] = frequent_part_pairs
 ORACLES["frequent_part_pairs"] = FREQUENT_PAIRS_SQL
 QUERIES["interpolate_hourly_values"] = interpolate_hourly_values
 ORACLES["interpolate_hourly_values"] = INTERPOLATE_HOURLY_SQL
+QUERIES["mask_date_shift_orders"] = mask_date_shift_orders
+ORACLES["mask_date_shift_orders"] = MASK_DATE_SHIFT_SQL
+QUERIES["mask_swap_acctbal_nation"] = mask_swap_acctbal_nation
+ORACLES["mask_swap_acctbal_nation"] = MASK_SWAP_SQL
+QUERIES["mask_microaggregate_acctbal"] = mask_microaggregate_acctbal
+ORACLES["mask_microaggregate_acctbal"] = MASK_MICROAGG_SQL
+QUERIES["user_daily_streaks"] = user_daily_streaks
+ORACLES["user_daily_streaks"] = USER_STREAKS_SQL
 QUERIES["rtbf_forget_cascade"] = rtbf_forget_cascade
 ORACLES["rtbf_forget_cascade"] = RTBF_SQL
 QUERIES["mask_generalize_customers"] = mask_generalize_customers
@@ -7270,6 +7450,10 @@ _CHECK_FIRST = [
     "max_concurrent_events_sweepline",
     "frequent_part_pairs",
     "interpolate_hourly_values",
+    "mask_date_shift_orders",
+    "mask_swap_acctbal_nation",
+    "mask_microaggregate_acctbal",
+    "user_daily_streaks",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -71,6 +71,10 @@ DEFAULT_QUERIES = [
     "max_concurrent_events_sweepline",
     "frequent_part_pairs",
     "interpolate_hourly_values",
+    "mask_date_shift_orders",
+    "mask_swap_acctbal_nation",
+    "mask_microaggregate_acctbal",
+    "user_daily_streaks",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",
