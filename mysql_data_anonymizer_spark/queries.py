@@ -3688,6 +3688,93 @@ FROM (
 """
 
 
+def mask_fpe_card_customers(spark, sf_dir):
+    """Format-preserving Luhn-valid card masking (functions/fpe.py): the
+    original card comes from the engine's own deterministic Luhn generator
+    (the reference's substitution formatter, src/Anonymizer.php:53-58 — the
+    fixture has no card column, so generation IS the reference behavior
+    being upgraded); the mask keeps BIN + last-4 (incl. the original check
+    digit), re-derives digits 7-11 from md5(seed, card), and absorbs the
+    Luhn residue into digit 12. ``luhn_ok``/``format_ok`` are RECOMPUTED
+    validations (not literals) — the oracle rebuilds the identical token
+    chain, so the driver hash-matches the masked numbers themselves. One
+    codegen'd projection, zero shuffle, zero Python."""
+    from mysql_data_anonymizer_spark.functions import fpe
+
+    cust = _t(spark, sf_dir, "customer")
+    gen = DeterministicGenerator(SEED, F.col("c_custkey"), "cc")
+    out = cust.select("c_custkey", gen.credit_card_number.alias("cc"))
+    out = out.withColumn("cc_masked", fpe.fpe_mask_card(F.col("cc"), "fpe"))
+    return out.select(
+        "c_custkey",
+        "cc",
+        "cc_masked",
+        fpe.luhn_valid(F.col("cc_masked")).alias("luhn_ok"),
+        (
+            (F.substring("cc_masked", 1, 6) == F.substring("cc", 1, 6))
+            & (F.substring("cc_masked", 13, 4) == F.substring("cc", 13, 4))
+            & (F.length("cc_masked") == 16)
+        ).alias("format_ok"),
+    )
+
+
+def _sql_luhn_contrib(x: str, pos: int) -> str:
+    """Luhn contribution of digit expression ``x`` at 1-based ``pos``
+    (odd positions double-and-fold) — twin of functions/fpe.py::_contrib."""
+    if pos % 2 == 1:
+        return f"(CASE WHEN ({x}) * 2 > 9 THEN ({x}) * 2 - 9 ELSE ({x}) * 2 END)"
+    return f"({x})"
+
+
+def _gen_fpe_card_sql() -> str:
+    d = _sql_digest("cc", "c_custkey")
+
+    def hx(dg: str, p: int) -> str:
+        return f"(strpos('{HEXD}', substr({dg}, {p}, 1)) - 1)"
+
+    # generation twin (same construction as the de_DE profile oracle's cc)
+    digs = ["4"] + [f"({hx(d, p)} % 10)" for p in range(1, 15)]
+    luhn = " + ".join(_sql_luhn_contrib(x, i) for i, x in enumerate(digs, start=1))
+    cc = (
+        " || ".join(f"CAST({x} AS VARCHAR)" for x in digs)
+        + f" || CAST((10 - ({luhn}) % 10) % 10 AS VARCHAR)"
+    )
+    # mask twin: digits 7-11 from the fpe digest, 12 absorbs the residue
+    mids = {p: f"({hx('dg', p - 6)} % 10)" for p in range(7, 12)}
+    keep = {p: f"CAST(substr(cc, {p}, 1) AS INTEGER)" for p in [1, 2, 3, 4, 5, 6, 13, 14, 15, 16]}
+    s = " + ".join(
+        [_sql_luhn_contrib(x, p) for p, x in keep.items()]
+        + [_sql_luhn_contrib(x, p) for p, x in mids.items()]
+    )
+    masked = (
+        "substr(cc, 1, 6) || "
+        + " || ".join(f"CAST({mids[p]} AS VARCHAR)" for p in range(7, 12))
+        + " || CAST((10 - (" + s + ") % 10) % 10 AS VARCHAR) || substr(cc, 13, 4)"
+    )
+    mluhn = " + ".join(
+        _sql_luhn_contrib(f"CAST(substr(cc_masked, {p}, 1) AS INTEGER)", p)
+        for p in range(1, 17)
+    )
+    return f"""
+WITH gen AS (
+  SELECT c_custkey, {cc} AS cc FROM customer
+), dgt AS (
+  SELECT c_custkey, cc, md5('fpe:' || cc) AS dg FROM gen
+), mk AS (
+  SELECT c_custkey, cc, {masked} AS cc_masked FROM dgt
+)
+SELECT c_custkey, cc, cc_masked,
+       ({mluhn}) % 10 = 0 AS luhn_ok,
+       (substr(cc_masked, 1, 6) = substr(cc, 1, 6)
+        AND substr(cc_masked, 13, 4) = substr(cc, 13, 4)
+        AND length(cc_masked) = 16) AS format_ok
+FROM mk
+"""
+
+
+MASK_FPE_CARD_SQL = _gen_fpe_card_sql()
+
+
 def mask_date_shift_orders(spark, sf_dir):
     """Consistent per-subject date shifting
     (operators/privacy.py::date_shift): all of a customer's orders move by
@@ -7364,6 +7451,8 @@ QUERIES["frequent_part_pairs"] = frequent_part_pairs
 ORACLES["frequent_part_pairs"] = FREQUENT_PAIRS_SQL
 QUERIES["interpolate_hourly_values"] = interpolate_hourly_values
 ORACLES["interpolate_hourly_values"] = INTERPOLATE_HOURLY_SQL
+QUERIES["mask_fpe_card_customers"] = mask_fpe_card_customers
+ORACLES["mask_fpe_card_customers"] = MASK_FPE_CARD_SQL
 QUERIES["mask_date_shift_orders"] = mask_date_shift_orders
 ORACLES["mask_date_shift_orders"] = MASK_DATE_SHIFT_SQL
 QUERIES["mask_swap_acctbal_nation"] = mask_swap_acctbal_nation
@@ -7450,6 +7539,7 @@ _CHECK_FIRST = [
     "max_concurrent_events_sweepline",
     "frequent_part_pairs",
     "interpolate_hourly_values",
+    "mask_fpe_card_customers",
     "mask_date_shift_orders",
     "mask_swap_acctbal_nation",
     "mask_microaggregate_acctbal",

@@ -978,3 +978,37 @@ def test_nfc_normalize_composes_decomposed_text(spark):
         ["text"], "doc_id",
     ).collect()
     assert len(out) == 2  # {café menu} + {plain ascii}
+
+
+def test_fpe_mask_card_properties(spark):
+    """FPE card mask: Luhn-valid output, BIN+last4 preserved, deterministic,
+    value actually moves, NULL passes through."""
+    from mysql_data_anonymizer_spark.functions import fpe
+
+    cards = ["4539578763621486", "4916338506082832", "4024007198964305"]
+    for c in cards:  # fixture sanity: inputs are Luhn-valid
+        digs = [int(x) for x in c]
+        s = sum(d * 2 - 9 if i % 2 == 0 and d * 2 > 9 else (d * 2 if i % 2 == 0 else d)
+                for i, d in enumerate(digs))
+        assert s % 10 == 0, c
+    df = spark.createDataFrame([(c,) for c in cards] + [(None,)], "cc string")
+    out = df.select(
+        "cc",
+        fpe.fpe_mask_card(F.col("cc")).alias("m"),
+        fpe.luhn_valid(fpe.fpe_mask_card(F.col("cc"))).alias("ok"),
+    ).collect()
+    by_cc = {r.cc: r for r in out}
+    for c in cards:
+        r = by_cc[c]
+        assert r.ok is True
+        assert len(r.m) == 16 and r.m != c
+        assert r.m[:6] == c[:6] and r.m[12:] == c[12:]
+    assert by_cc[None].m is None
+    # deterministic: same input, same token; different seed, different token
+    again = df.where(F.col("cc").isNotNull()).select(
+        fpe.fpe_mask_card(F.col("cc")).alias("m1"),
+        fpe.fpe_mask_card(F.col("cc")).alias("m2"),
+        fpe.fpe_mask_card(F.col("cc"), "other").alias("m3"),
+    ).collect()
+    assert all(r.m1 == r.m2 for r in again)
+    assert any(r.m1 != r.m3 for r in again)
