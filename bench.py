@@ -69,6 +69,7 @@ HEADLINE = [
     "ntile_deciles_acctbal",
     "timeseries_gapfill_hourly",
     "interpolate_hourly_values",
+    "udtf_trigram_stats",
     "mask_fpe_card_customers",
     "mask_date_shift_orders",
     "mask_swap_acctbal_nation",

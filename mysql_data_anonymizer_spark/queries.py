@@ -3688,6 +3688,44 @@ FROM (
 """
 
 
+def udtf_trigram_stats(spark, sf_dir):
+    """Python UDTF (Spark 4 `@udtf`) certified end-to-end: word trigrams
+    expand per document through a LATERAL correlated table function
+    (functions/udtfs.py::WordNgramsUDTF), then aggregate to (trigram,
+    occurrences, distinct docs) with a repetition floor. This is the
+    set-returning EXTENSION SEAM of the function surface — the reference's
+    Faker hook is scalar-only; Spark's UDTF generalizes it — certified here
+    against an exact DuckDB replay of the same expansion. The UDTF is the
+    deliberate slow-path demonstration: production n-grams stay in codegen'd
+    array algebra (operators/dedup.py shingles)."""
+    from mysql_data_anonymizer_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.ngram, COUNT(*) AS n, COUNT(DISTINCT d.doc_id) AS ndocs
+        FROM __udtf_docs d, LATERAL word_ngrams(d.text, 3) t
+        GROUP BY t.ngram HAVING COUNT(*) >= 3
+        """
+    )
+
+
+UDTF_TRIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents WHERE text IS NOT NULL
+), tri AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+  FROM toks, UNNEST(generate_series(1, greatest(len(ts) - 2, 0))) AS g(i)
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+FROM tri GROUP BY 1 HAVING COUNT(*) >= 3
+"""
+
+
 def mask_fpe_card_customers(spark, sf_dir):
     """Format-preserving Luhn-valid card masking (functions/fpe.py): the
     original card comes from the engine's own deterministic Luhn generator
@@ -7451,6 +7489,8 @@ QUERIES["frequent_part_pairs"] = frequent_part_pairs
 ORACLES["frequent_part_pairs"] = FREQUENT_PAIRS_SQL
 QUERIES["interpolate_hourly_values"] = interpolate_hourly_values
 ORACLES["interpolate_hourly_values"] = INTERPOLATE_HOURLY_SQL
+QUERIES["udtf_trigram_stats"] = udtf_trigram_stats
+ORACLES["udtf_trigram_stats"] = UDTF_TRIGRAM_SQL
 QUERIES["mask_fpe_card_customers"] = mask_fpe_card_customers
 ORACLES["mask_fpe_card_customers"] = MASK_FPE_CARD_SQL
 QUERIES["mask_date_shift_orders"] = mask_date_shift_orders
@@ -7539,6 +7579,7 @@ _CHECK_FIRST = [
     "max_concurrent_events_sweepline",
     "frequent_part_pairs",
     "interpolate_hourly_values",
+    "udtf_trigram_stats",
     "mask_fpe_card_customers",
     "mask_date_shift_orders",
     "mask_swap_acctbal_nation",

@@ -71,6 +71,7 @@ DEFAULT_QUERIES = [
     "max_concurrent_events_sweepline",
     "frequent_part_pairs",
     "interpolate_hourly_values",
+    "udtf_trigram_stats",
     "mask_fpe_card_customers",
     "mask_date_shift_orders",
     "mask_swap_acctbal_nation",
