@@ -74,7 +74,11 @@ HEADLINE = [
     "mask_date_shift_orders",
     "mask_swap_acctbal_nation",
     "mask_microaggregate_acctbal",
+    "mask_pram_mktsegment",
+    "benford_first_digit_audit",
     "user_daily_streaks",
+    "ohlc_hourly_events",
+    "not_in_null_aware_customers",
     "gapfill_recursive_days",
     "zscore_acctbal_per_segment",
     "pivot_orders_status",

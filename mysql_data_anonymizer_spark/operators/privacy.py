@@ -336,3 +336,74 @@ def microaggregate(
         .drop("__cents", "__rn", "__ncl")
         .withColumnRenamed("__n", "group_size")
     )
+
+
+def pram_randomize(
+    df: DataFrame,
+    pk_col: str,
+    cat_col: str,
+    p_keep: float = 0.7,
+    seed: str = "pram",
+) -> DataFrame:
+    """PRAM — the Post-RAndomization Method for categorical data
+    (Gouweleeuw et al., JOS 1998; the categorical counterpart of noise
+    addition, also shipped in μ-Argus): each non-NULL category is kept with
+    probability ``p_keep`` and otherwise replaced by a category drawn
+    uniformly from the observed domain. Because misclassification
+    probabilities are PUBLIC, analysts can unbias estimates computed on the
+    released data — unlike ad-hoc swapping. The reference engine
+    (src/Anonymizer.php) only supports deterministic replacement; PRAM is
+    the statistical-disclosure-control upgrade.
+
+    Randomness is SEEDED per row (md5(seed, pk) -> two independent u32
+    lanes: keep-test and replacement pick), so the release is auditable,
+    re-runnable and partitioning-invariant — same properties as
+    ``dp_noised_counts``. NULL categories pass through unchanged.
+
+    Returns pk + ``<cat>_orig`` (certification twin; callers drop it for
+    release) + ``<cat>_pram``.
+
+    100 TB: the domain is a tiny sorted dim (one distinct aggregate, a few
+    rows) broadcast to a map-side join on the picked index; the keep/pick
+    lanes are pure codegen expressions. One keyed shuffle for the distinct,
+    nothing else."""
+    from pyspark.sql import Window
+
+    dom = df.select(F.col(cat_col).alias("__cat")).where(
+        F.col("__cat").isNotNull()
+    ).distinct()
+    # tiny post-distinct dim (#categories rows): the global window is bounded
+    # by the domain size, not the table size
+    dom = dom.withColumn(
+        "__idx", F.row_number().over(Window.orderBy(F.col("__cat").asc())) - 1
+    )
+    n_cat = dom.count()  # bounded scalar: |domain|
+    # NULL-sentinel the pk lane: concat_ws would silently SKIP a NULL pk
+    # (colliding every NULL-pk row onto one digest) and the SQL twin's `||`
+    # would null the whole key
+    digest = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.coalesce(F.col(pk_col).cast("string"), F.lit("<NULL>")),
+        )
+    )
+    u_keep = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    pick = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    keep = ((u_keep.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)) < F.lit(
+        p_keep
+    )
+    staged = df.withColumn(
+        "__pick_idx",
+        F.when(keep | F.col(cat_col).isNull(), F.lit(None)).otherwise(
+            pick % F.lit(n_cat)
+        ),
+    )
+    out = staged.join(
+        F.broadcast(dom), staged["__pick_idx"] == dom["__idx"], "left"
+    )
+    return out.select(
+        *[c for c in df.columns if c != cat_col],
+        F.col(cat_col).alias(f"{cat_col}_orig"),
+        F.coalesce(F.col("__cat"), F.col(cat_col)).alias(f"{cat_col}_pram"),
+    )

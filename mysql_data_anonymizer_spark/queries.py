@@ -19,6 +19,7 @@ driver's value-hash comparison is meaningful:
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import tempfile
@@ -143,13 +144,14 @@ def _sql_digest(column: str, key_sql: str, seed: int = SEED) -> str:
     return f"md5('{seed}:{column}|' || CAST({key_sql} AS VARCHAR))"
 
 
-def _sql_md5_u32(digest_sql: str) -> str:
-    """First 8 hex digits of an md5 VARCHAR expression as a BIGINT in
-    [0, 2^32) — the DuckDB twin of Spark's conv(substring(md5(k),1,8),16,10)
-    (DuckDB has no base-conv builtin; the strpos chain is the same trick as
-    the DP oracle's)."""
-    v = f"(strpos('{HEXD}', substr({digest_sql}, 1, 1)) - 1)"
-    for i in range(2, 9):
+def _sql_md5_u32(digest_sql: str, start: int = 1) -> str:
+    """8 hex digits of an md5 VARCHAR expression (positions ``start`` ..
+    ``start+7``) as a BIGINT in [0, 2^32) — the DuckDB twin of Spark's
+    conv(substring(md5(k),start,8),16,10) (DuckDB has no base-conv builtin;
+    the strpos chain is the same trick as the DP oracle's). ``start=9``
+    yields a second independent uniform from the same digest."""
+    v = f"(strpos('{HEXD}', substr({digest_sql}, {start}, 1)) - 1)"
+    for i in range(start + 1, start + 8):
         v = f"({v} * 16 + (strpos('{HEXD}', substr({digest_sql}, {i}, 1)) - 1))"
     return f"CAST({v} AS BIGINT)"
 
@@ -7550,6 +7552,222 @@ QUERIES["streaming_dedup_then_window"] = streaming_dedup_then_window
 ORACLES["streaming_dedup_then_window"] = STREAMING_CHAIN_SQL
 
 
+def ohlc_hourly_events(spark, sf_dir):
+    """Hourly OHLC bars per event type — the hypertable/time-bucket rollup
+    every metrics store ships (TimescaleDB time_bucket + first/last,
+    InfluxDB FIRST/LAST): open/close via Spark's ``min_by``/``max_by`` over
+    a zero-padded (epoch_micros, event_id) string order key. The composite
+    key makes the pick DETERMINISTIC under ties (event_id is unique) and —
+    unlike a packed-BIGINT key — never overflows at any timestamp or id
+    scale; DuckDB's arg_min/arg_max accept only flat orderables, so the
+    lexicographic string is also what makes the oracle exact. One keyed
+    shuffle on (hour, type); min_by/max_by fold map-side like any other
+    agg — no window, no self-join, no per-group sort."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_hour"), "event_type"
+        )
+        .agg(
+            F.min_by("value", okey).alias("open_value"),
+            F.max_by("value", okey).alias("close_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dbl(F.sum(_dec("value", 30, 2))).alias("total_value"),
+        )
+    )
+
+
+_OHLC_OKEY_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 20, '0')"
+)
+
+OHLC_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+       arg_min(value, {_OHLC_OKEY_SQL}) AS open_value,
+       arg_max(value, {_OHLC_OKEY_SQL}) AS close_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE value IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def mask_pram_mktsegment(spark, sf_dir):
+    """PRAM randomized response on the market segment
+    (operators/privacy.py::pram_randomize, p_keep=0.7): the released
+    category is kept or uniformly re-drawn per row from the observed
+    domain, with seeded md5 lanes so the ORACLE RECOMPUTES THE IDENTICAL
+    release — the driver hash-matches the randomized values themselves.
+    ``pram_cal_ok`` asserts the empirical change rate sits around the
+    design rate (1-p)(1-1/n) = 0.24 — a stuck always-keep / always-replace
+    bug trips it. The 1-row calibration scalar is a bounded broadcast
+    crossJoin (plan_audit BNL_OK)."""
+    cust = _t(spark, sf_dir, "customer")
+    out = privacy.pram_randomize(
+        cust, "c_custkey", "c_mktsegment", p_keep=0.7, seed="pram"
+    ).select("c_custkey", "c_mktsegment_orig", "c_mktsegment_pram")
+    cal = out.agg(
+        F.avg(
+            F.when(
+                ~F.col("c_mktsegment_pram").eqNullSafe(F.col("c_mktsegment_orig")),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("__chg")
+    )
+    return (
+        out.crossJoin(F.broadcast(cal))
+        .withColumn("pram_cal_ok", F.col("__chg").between(0.10, 0.40))
+        .select("c_custkey", "c_mktsegment_orig", "c_mktsegment_pram", "pram_cal_ok")
+    )
+
+
+def _gen_pram_sql(p_keep: float = 0.7, seed: str = "pram") -> str:
+    d = f"md5('{seed}' || ':' || COALESCE(CAST(c_custkey AS VARCHAR), '<NULL>'))"
+    return f"""
+WITH dom AS (
+  SELECT __cat, row_number() OVER (ORDER BY __cat ASC) - 1 AS __idx
+  FROM (SELECT DISTINCT c_mktsegment AS __cat FROM customer
+        WHERE c_mktsegment IS NOT NULL)
+), nn AS (SELECT COUNT(*) AS n FROM dom),
+r AS (
+  SELECT c_custkey, c_mktsegment,
+         {_sql_md5_u32(d, 1)} AS u_keep,
+         {_sql_md5_u32(d, 9)} AS pick
+  FROM customer
+), m AS (
+  SELECT r.c_custkey, r.c_mktsegment AS c_mktsegment_orig,
+         CASE WHEN (CAST(r.u_keep AS DOUBLE) + 0.5) / 4294967296.0 < {p_keep}
+                   OR r.c_mktsegment IS NULL
+              THEN r.c_mktsegment ELSE d.__cat END AS c_mktsegment_pram
+  FROM r CROSS JOIN nn LEFT JOIN dom d ON d.__idx = r.pick % nn.n
+)
+SELECT c_custkey, c_mktsegment_orig, c_mktsegment_pram,
+       (SELECT AVG(CASE WHEN c_mktsegment_pram IS DISTINCT FROM c_mktsegment_orig
+                        THEN 1.0 ELSE 0.0 END) FROM m)
+         BETWEEN 0.10 AND 0.40 AS pram_cal_ok
+FROM m
+"""
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d); the SQL twin
+# inlines the IDENTICAL Python float literals (shortest round-trip repr), so
+# both engines parse the same correctly-rounded doubles.
+_BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law fraud audit on order totals: observed first-significant-
+    digit counts vs the log10(1+1/d) expectation, with the per-digit
+    chi-square contribution — the screening test auditors run on financial
+    populations (Nigrini 1996). The first digit comes from the DECIMAL(30,2)
+    string form (double→string is sci-notation-unstable cross-engine; the
+    decimal route is exact in both). Expected/chi are per-row IEEE
+    expressions over exact ints and shared literals — deterministic without
+    any cross-engine float summation (a global chi2 would sum 9 doubles in
+    engine-dependent order; the per-digit terms carry the same information).
+    The 1-row N scalar is a bounded broadcast crossJoin (BNL_OK). One hash
+    aggregate on a 9-value key; the audit is a single scan at any scale."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(30,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = obs.agg(F.sum("n_obs").cast("bigint").alias("__N"))
+    expected = F.col("__N").cast("double") * _benford_p_col(F.col("digit"))
+    diff = F.col("n_obs").cast("double") - expected
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .withColumn("expected_n", expected)
+        .withColumn("chi_term", (diff * diff) / F.col("expected_n"))
+        .select("digit", "n_obs", "expected_n", "chi_term")
+    )
+
+
+def _benford_p_col(digit_col):
+    expr = F.lit(None).cast("double")
+    for d, p in _BENFORD_P.items():
+        expr = F.when(digit_col == d, F.lit(p)).otherwise(expr)
+    return expr
+
+
+def _gen_benford_sql() -> str:
+    cases = " ".join(
+        f"WHEN digit = {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+    )
+    return f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(30,2)) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS __N FROM obs)
+SELECT digit, n_obs,
+       CAST(__N AS DOUBLE) * (CASE {cases} END) AS expected_n,
+       (CAST(n_obs AS DOUBLE) - CAST(__N AS DOUBLE) * (CASE {cases} END))
+         * (CAST(n_obs AS DOUBLE) - CAST(__N AS DOUBLE) * (CASE {cases} END))
+         / (CAST(__N AS DOUBLE) * (CASE {cases} END)) AS chi_term
+FROM obs CROSS JOIN tot
+"""
+
+
+def not_in_null_aware_customers(spark, sf_dir):
+    """NOT IN with a nullable subquery — the null-aware anti join. `x NOT IN
+    (subq)` is three-valued: ONE NULL in the subquery empties the whole
+    result, which a plain anti join gets wrong. Spark compiles the
+    single-column case to a BroadcastHashJoin in NullAwareAntiJoin mode
+    (spark.sql.optimizeNullAwareAntiJoin, on by default) instead of the
+    naive BroadcastNestedLoopJoin — plan-asserted in tests. The clean
+    fixtures have no NULL o_custkey; the fuzz relational family does, so
+    both the fast path and the empty-on-NULL semantics are exercised."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__naaj_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__naaj_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM __naaj_customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM __naaj_orders WHERE o_totalprice > 300000.0
+        )
+        """
+    )
+
+
+NOT_IN_NAAJ_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+)
+"""
+
+
+QUERIES["ohlc_hourly_events"] = ohlc_hourly_events
+ORACLES["ohlc_hourly_events"] = OHLC_HOURLY_SQL
+QUERIES["mask_pram_mktsegment"] = mask_pram_mktsegment
+ORACLES["mask_pram_mktsegment"] = _gen_pram_sql()
+QUERIES["benford_first_digit_audit"] = benford_first_digit_audit
+ORACLES["benford_first_digit_audit"] = _gen_benford_sql()
+QUERIES["not_in_null_aware_customers"] = not_in_null_aware_customers
+ORACLES["not_in_null_aware_customers"] = NOT_IN_NAAJ_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -7585,6 +7803,10 @@ _CHECK_FIRST = [
     "mask_swap_acctbal_nation",
     "mask_microaggregate_acctbal",
     "user_daily_streaks",
+    "ohlc_hourly_events",
+    "mask_pram_mktsegment",
+    "benford_first_digit_audit",
+    "not_in_null_aware_customers",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

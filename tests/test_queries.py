@@ -10,6 +10,10 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "ohlc_hourly_events",
+    "mask_pram_mktsegment",
+    "benford_first_digit_audit",
+    "not_in_null_aware_customers",
     "mask_report_synchro_cascade",
     "dedup_ngram_containment",
     "dedup_boilerplate_chunks",
@@ -180,6 +184,57 @@ def test_q10_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_not_in_compiles_to_null_aware_anti_join(spark, sf_dir):
+    """Single-column NOT IN must take Spark's NullAwareAntiJoin fast path
+    (optimizeNullAwareAntiJoin) — a hash join that still honors the
+    three-valued empty-on-NULL semantics — never the naive
+    BroadcastNestedLoopJoin the unoptimized rewrite produces."""
+    import re
+
+    plan = (
+        Q.QUERIES["not_in_null_aware_customers"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # BroadcastHashJoinExec prints its isNullAwareAntiJoin flag as a bare
+    # trailing `true` after the build side: `... LeftAnti, BuildRight, true`
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, Build\w+, true", plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_open_close_tie_determinism(spark, sf_dir):
+    """open/close must be picked by the (ts, event_id) composite — verify
+    against an independent window-function recompute (first/last value over
+    the same lexicographic key per bucket)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = Q._t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    w = Window.partitionBy(
+        F.date_trunc("hour", "ts"), "event_type"
+    ).orderBy(okey).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    twin = (
+        ev.withColumn("__o", F.first("value").over(w))
+        .withColumn("__c", F.last("value").over(w))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_hour"), "event_type")
+        .agg(F.first("__o").alias("open_value"), F.first("__c").alias("close_value"))
+    )
+    got = {
+        (r.bucket_hour, r.event_type): (r.open_value, r.close_value)
+        for r in Q.QUERIES["ohlc_hourly_events"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.bucket_hour, r.event_type): (r.open_value, r.close_value)
+        for r in twin.collect()
+    }
+    assert got == want
+
+
 def test_gapfill_grid_is_complete(spark, sf_dir):
     """Every (hour, event_type) cell in the span must be present, including
     zero-filled gaps: rows == n_distinct_hours * n_distinct_types."""
@@ -270,6 +325,9 @@ INVARIANCE_SAMPLE = [
     # seeded DP noise must be identical under any partitioning — a rand()
     # regression would re-deal the release per layout
     "dp_noised_counts_customers",
+    # PRAM: seeded keep/replace lanes + domain-index join must re-deal the
+    # IDENTICAL release under any layout (same class as the DP release)
+    "mask_pram_mktsegment",
 ]
 
 

@@ -38,6 +38,10 @@ GLOBAL_WINDOW_OK = {
     "mask_static",
     "mask_generator_email",
     "mask_unique_uuid",
+    # PRAM: the row_number window runs over the POST-DISTINCT category
+    # domain (|distinct categories| rows — 5 market segments), not the fact
+    # table; bounded by domain cardinality regardless of input size
+    "mask_pram_mktsegment",
 }
 
 # queries whose broadcast-nested-loop join is over an intentionally bounded
@@ -93,6 +97,12 @@ BNL_OK: set[str] = {
     # DP release: the 1-row noise-calibration scalar cross-joined onto the
     # 125-group histogram — bounded by construction, same class as q11
     "dp_noised_counts_customers",
+    # PRAM calibration: the 1-row empirical-change-rate scalar cross-joined
+    # onto the release — bounded by construction, same class as q11
+    "mask_pram_mktsegment",
+    # Benford: the 1-row N-total scalar cross-joined onto the 9-row digit
+    # histogram — bounded by construction, same class as q11
+    "benford_first_digit_audit",
 }
 
 
