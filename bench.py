@@ -124,6 +124,8 @@ HEADLINE = [
     "pydatasource_stream_agg",
     "zorder_orders_key",
     "zorder_lineitem_key3",
+    "bucketed_join_revenue",
+    "partition_pruned_orders_agg",
     "variant_events_agg",
     "jdbc_roundtrip_agg",
     # text / dedup / similarity

@@ -7768,6 +7768,144 @@ QUERIES["not_in_null_aware_customers"] = not_in_null_aware_customers
 ORACLES["not_in_null_aware_customers"] = NOT_IN_NAAJ_SQL
 
 
+def _session_tag(sf_dir: str) -> str:
+    return re.sub(r"\W+", "_", sf_dir).strip("_")
+
+
+def bucketed_join_revenue(spark, sf_dir):
+    """Co-bucketed shuffle-free sort-merge join — THE 100 TB layout story
+    for repeated fact-fact joins (sources/bucketing.py): lineitem and
+    orders are persisted ONCE bucketed+sorted on the order key (hive
+    `CLUSTERED BY ... INTO 8 BUCKETS`), so the join plans with ZERO
+    Exchange on either side — each task merge-joins bucket i of both
+    tables in place. The reference re-reads and re-shuffles per run
+    (src/Anonymizer.php:298-317 has no layout control at all).
+
+    ``colocated_ok`` is computed from the ACTUAL physical plan of the join
+    (no Exchange node anywhere under it, and the join is the hinted
+    SortMergeJoin, not a broadcast that would trivially avoid the shuffle)
+    — the driver certifies the layout claim, not just the values. The
+    bucketed tables are memoized per (session, sf_dir) and written with
+    external paths, so bench reps and re-certification amortize the one
+    layout pass exactly as a warehouse would."""
+    from mysql_data_anonymizer_spark.sources import bucketing
+
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_bucketed_tables", None)
+    if cache is None:
+        cache = {}
+        spark._mda_bucketed_tables = cache
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    if tag not in cache:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        bucketing.write_bucketed(
+            li, lt, ["l_orderkey"], num_buckets=8,
+            path=tempfile.mkdtemp(prefix="mda_bkt_li_"),
+        )
+        bucketing.write_bucketed(
+            o, ot, ["o_orderkey"], num_buckets=8,
+            path=tempfile.mkdtemp(prefix="mda_bkt_o_"),
+        )
+        cache[tag] = (lt, ot)
+    joined = (
+        bucketing.read_bucketed(spark, lt)
+        .hint("merge")
+        .join(
+            bucketing.read_bucketed(spark, ot),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    colocated = ("Exchange" not in plan) and ("SortMergeJoin" in plan)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dbl(
+                F.sum(_dec("l_extendedprice", 30, 2) * (1 - _dec("l_discount", 30, 2)))
+            ).alias("revenue"),
+        )
+        .withColumn("colocated_ok", F.lit(bool(colocated)))
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))
+                     * (1 - CAST(l_discount AS DECIMAL(30,2)))) AS VARCHAR)
+            AS DOUBLE) AS revenue,
+       TRUE AS colocated_ok
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def partition_pruned_orders_agg(spark, sf_dir):
+    """Hive-style partition pruning — the COARSEST scan-elimination lever
+    (above Z-order's row-group zone maps): orders are persisted ONCE
+    partitioned by o_orderpriority (sources/sinks.py::write_partitioned),
+    and a priority-equality predicate never opens the other partitions'
+    files — directory-level pruning, before any footer is read.
+
+    ``pruned_ok`` certifies the layout two ways: (a) the predicate appears
+    under PartitionFilters in the ACTUAL scan plan (it reached partition
+    pruning, not a post-scan Filter), and (b) reading ONLY the selected
+    partition directory yields the exact same row count — partition
+    isolation, not just filtering. Partitioned copies are memoized per
+    (session, sf_dir)."""
+    from mysql_data_anonymizer_spark.sources import sinks
+
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_part_dirs", None)
+    if cache is None:
+        cache = {}
+        spark._mda_part_dirs = cache
+    if tag not in cache:
+        d = tempfile.mkdtemp(prefix="mda_part_")
+        sinks.write_parquet_partitioned(
+            _t(spark, sf_dir, "orders"), d, ["o_orderpriority"]
+        )
+        cache[tag] = d
+    d = cache[tag]
+    pri = "1-URGENT"
+    scan = spark.read.parquet(d).where(F.col("o_orderpriority") == pri)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    after = plan.split("PartitionFilters: [", 1)
+    plan_pruned = len(after) == 2 and "o_orderpriority" in after[1].split("]", 1)[0]
+    direct = spark.read.parquet(f"{d}/o_orderpriority={pri}").count()
+    isolated = scan.count() == direct
+    return (
+        scan.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dbl(F.sum(_dec("o_totalprice", 30, 2))).alias("total_price"),
+        )
+        .withColumn("pruned_ok", F.lit(bool(plan_pruned and isolated)))
+    )
+
+
+PARTITION_PRUNED_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+         AS total_price,
+       TRUE AS pruned_ok
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES["bucketed_join_revenue"] = bucketed_join_revenue
+ORACLES["bucketed_join_revenue"] = BUCKETED_JOIN_SQL
+QUERIES["partition_pruned_orders_agg"] = partition_pruned_orders_agg
+ORACLES["partition_pruned_orders_agg"] = PARTITION_PRUNED_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -7807,6 +7945,8 @@ _CHECK_FIRST = [
     "mask_pram_mktsegment",
     "benford_first_digit_audit",
     "not_in_null_aware_customers",
+    "bucketed_join_revenue",
+    "partition_pruned_orders_agg",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -10,6 +10,8 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "bucketed_join_revenue",
+    "partition_pruned_orders_agg",
     "ohlc_hourly_events",
     "mask_pram_mktsegment",
     "benford_first_digit_audit",

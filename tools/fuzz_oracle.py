@@ -99,6 +99,7 @@ DEFAULT_QUERIES = [
     # events family: duplicate timestamps (window-tie determinism),
     # malformed/missing JSON props, extreme values, unseen event types
     "events_hourly_window",
+    "ohlc_hourly_events",
     "sessionize_events",
     "winsorize_events_value",
     "funnel_view_click_purchase",
@@ -140,6 +141,8 @@ DEFAULT_QUERIES = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q22_idle_rich_customers",
+    "benford_first_digit_audit",
+    "not_in_null_aware_customers",
     "pivot_orders_status",
     "grouping_sets_orders",
     "rollup_orders",
@@ -169,6 +172,8 @@ DEFAULT_QUERIES = [
     # the Morton fold — truncation must agree bit-for-bit across engines
     "zorder_orders_key",
     "zorder_lineitem_key3",
+    "bucketed_join_revenue",
+    "partition_pruned_orders_agg",
     # embeddings family: zero vector (norm 0 -> cosine divide hazard),
     # huge/tiny magnitudes, exact duplicate of an existing vector
     "knn_brute_force",
@@ -196,6 +201,7 @@ DEFAULT_QUERIES = [
     "k_anonymity_audit_customers",
     "l_diversity_audit_customers",
     "mask_generalize_customers",
+    "mask_pram_mktsegment",
     "suppress_small_groups",
     "quantiles_acctbal_per_segment",
     "zscore_acctbal_per_segment",
