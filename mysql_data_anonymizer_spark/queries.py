@@ -7906,6 +7906,56 @@ QUERIES["partition_pruned_orders_agg"] = partition_pruned_orders_agg
 ORACLES["partition_pruned_orders_agg"] = PARTITION_PRUNED_SQL
 
 
+def cms_frequency_parts(spark, sf_dir):
+    """Count-min sketch frequency estimation over part keys
+    (operators/sketches.py, Cormode & Muthukrishnan 2005) — completes the
+    mergeable-sketch quartet (HLL cardinality, Bloom membership, GK
+    quantiles, CMS frequency). The d x w cell grid (4 x 2048 longs) is
+    built in ONE map-side-combinable aggregate and broadcast back for
+    estimation; constant size regardless of input rows.
+
+    Certification (exact-twin + gate pattern): exact per-key counts are the
+    oracle twin; the sketch is certified by
+      - ``cms_lower_ok`` (THEOREM: every lane only over-counts, so
+        min-of-lanes >= exact — a violation means the build or join broke);
+      - ``cms_err_ok``: (est - exact) * width <= 3 * N — the e*N/w accuracy
+        contract with headroom (measured max 1.5*N/w at sf0.001/0.01/0.1;
+        e ~ 2.72 is the theoretical 1 - e^-depth bound).
+    Output bounded to the deterministic l_partkey % 7 slice; the sketch is
+    still built over the FULL table. The 1-row N scalar is a bounded
+    broadcast crossJoin (BNL_OK)."""
+    from mysql_data_anonymizer_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = sketches.cms_key_estimates(li, "l_partkey", depth=4, width=2048)
+    total = li.agg(F.count(F.lit(1)).alias("__N"))
+    return (
+        est.where(F.col("l_partkey") % 7 == 0)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_lower_ok"),
+            (
+                (F.col("cms_est") - F.col("exact_cnt")) * 2048 <= 3 * F.col("__N")
+            ).alias("cms_err_ok"),
+        )
+    )
+
+
+CMS_FREQUENCY_SQL = """
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+       TRUE AS cms_lower_ok, TRUE AS cms_err_ok
+FROM lineitem
+WHERE l_partkey % 7 = 0
+GROUP BY l_partkey
+"""
+
+
+QUERIES["cms_frequency_parts"] = cms_frequency_parts
+ORACLES["cms_frequency_parts"] = CMS_FREQUENCY_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -7947,6 +7997,7 @@ _CHECK_FIRST = [
     "not_in_null_aware_customers",
     "bucketed_join_revenue",
     "partition_pruned_orders_agg",
+    "cms_frequency_parts",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

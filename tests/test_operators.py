@@ -1012,3 +1012,32 @@ def test_fpe_mask_card_properties(spark):
     ).collect()
     assert all(r.m1 == r.m2 for r in again)
     assert any(r.m1 != r.m3 for r in again)
+
+
+def test_cms_merge_and_lower_bound(spark):
+    """CMS contract: (a) min-of-lanes >= exact for EVERY key (theorem);
+    (b) sketches of disjoint shards merge by cell-wise ADDITION into
+    exactly the whole-corpus sketch — the property that makes per-shard
+    build + global merge work at scale."""
+    from pyspark.sql import functions as F
+
+    from mysql_data_anonymizer_spark.operators import sketches
+
+    rows = [(i % 17,) for i in range(500)] + [(3,)] * 40 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    est = sketches.cms_key_estimates(df, "k", depth=3, width=64)
+    got = est.collect()
+    assert len(got) == 18  # 17 keys + NULL group
+    assert all(r.cms_est >= r.exact_cnt for r in got)
+    # mergeability: shard sketches sum to the full sketch, cell by cell
+    a = df.where((F.col("k") % 2 == 0) | F.col("k").isNull())
+    b = df.where(F.col("k") % 2 == 1)
+    merged = (
+        sketches.cms_cells(a, "k", depth=3, width=64)
+        .unionByName(sketches.cms_cells(b, "k", depth=3, width=64))
+        .groupBy("lane", "bucket")
+        .agg(F.sum("cell_cnt").alias("cell_cnt"))
+    )
+    full = sketches.cms_cells(df, "k", depth=3, width=64)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0

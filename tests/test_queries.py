@@ -10,6 +10,7 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "cms_frequency_parts",
     "bucketed_join_revenue",
     "partition_pruned_orders_agg",
     "ohlc_hourly_events",
@@ -294,6 +295,9 @@ INVARIANCE_SAMPLE = [
     # hash gates, windows, double arithmetic — the shapes where hidden
     # partition-order dependence would bite first
     "shard_training_corpus",
+    # sketch build + gates must be identical under any layout (map-side
+    # partial aggregation cannot change any cell count)
+    "cms_frequency_parts",
     "rebalance_corpus_mix",
     # two-phase sweep-line: bucket-local cum + offset table must equal the
     # global scan under any partitioning; ties (ends-before-starts) are the

@@ -165,6 +165,7 @@ DEFAULT_QUERIES = [
     "unpivot_lineitem_charges",
     "q10_returned_items",
     "q17_small_quantity_revenue",
+    "cms_frequency_parts",
     "customer_order_keys_array",
     "segment_nation_list",
     "rtbf_forget_cascade",

@@ -103,6 +103,9 @@ BNL_OK: set[str] = {
     # Benford: the 1-row N-total scalar cross-joined onto the 9-row digit
     # histogram — bounded by construction, same class as q11
     "benford_first_digit_audit",
+    # CMS: the 1-row N scalar cross-joined onto the per-key estimates for
+    # the accuracy gate — bounded by construction, same class as q11
+    "cms_frequency_parts",
 }
 
 
