@@ -201,6 +201,7 @@ HEADLINE = [
     "streaming_dedup_events",
     "streaming_dedup_then_window",
     "streaming_jdbc_upsert_agg",
+    "streaming_ohlc_window_agg",
 ]
 
 

@@ -7956,6 +7956,69 @@ QUERIES["cms_frequency_parts"] = cms_frequency_parts
 ORACLES["cms_frequency_parts"] = CMS_FREQUENCY_SQL
 
 
+def streaming_ohlc_window_agg(spark, sf_dir):
+    """Streaming OHLC bars (streaming/stream_ops.py::ohlc_window_aggregates)
+    — min_by/max_by + extremes + volume folding INCREMENTALLY inside
+    watermarked tumbling-window state, complete-mode memory sink driven
+    with availableNow. On a bounded replay the streaming bars must equal
+    the batch GROUP BY bit-for-bit, including the (epoch_micros, event_id)
+    tie rule for open/close — which is what the oracle asserts. Against an
+    unbounded source the same topology holds one bar-sized state row per
+    (window, type): the continuous-aggregate shape at 100 TB/day rates."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import ohlc_window_aggregates
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            ).parquet(stage)
+        )
+        agg = ohlc_window_aggregates(stream, window="30 minutes", watermark="30 minutes")
+        name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "window_start",
+        "event_type",
+        "open_value",
+        "close_value",
+        "high_value",
+        "low_value",
+        "n_events",
+        _dbl(F.col("total_value")).alias("total_value"),
+    )
+
+
+STREAMING_OHLC_SQL = f"""
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
+       arg_min(value, {_OHLC_OKEY_SQL}) AS open_value,
+       arg_max(value, {_OHLC_OKEY_SQL}) AS close_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE value IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+QUERIES["streaming_ohlc_window_agg"] = streaming_ohlc_window_agg
+ORACLES["streaming_ohlc_window_agg"] = STREAMING_OHLC_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -7998,6 +8061,7 @@ _CHECK_FIRST = [
     "bucketed_join_revenue",
     "partition_pruned_orders_agg",
     "cms_frequency_parts",
+    "streaming_ohlc_window_agg",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

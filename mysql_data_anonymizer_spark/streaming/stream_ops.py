@@ -64,6 +64,50 @@ def tumbling_aggregates(
     )
 
 
+def ohlc_window_aggregates(
+    stream: DataFrame,
+    window: str = "30 minutes",
+    watermark: str | None = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming OHLC bars — the hypertable/metrics-store rollup
+    (TimescaleDB continuous aggregate shape) as a watermarked tumbling
+    aggregate: open/close via ``min_by``/``max_by`` over a zero-padded
+    (epoch_micros, event_id) lexicographic key (deterministic under
+    timestamp ties, overflow-free at any scale), high/low/volume riding
+    the same state. min_by/max_by are declarative aggregates, so the
+    whole bar folds incrementally in the window state — no sort, no
+    per-window buffering of raw events."""
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        stream.where(F.col("value").isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", okey).alias("open_value"),
+            F.max_by("value", okey).alias("close_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_value",
+            "close_value",
+            "high_value",
+            "low_value",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sliding_counts(
     stream: DataFrame,
     window: str = "1 hour",

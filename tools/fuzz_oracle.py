@@ -120,6 +120,7 @@ DEFAULT_QUERIES = [
     "streaming_dedup_events",
     "streaming_dedup_then_window",
     "streaming_jdbc_upsert_agg",
+    "streaming_ohlc_window_agg",
     # event-joined relational ops (v2): as-of/point-in-time/range joins and
     # event history — late/duplicate/boundary timestamps stress the
     # inequality-join and ordering logic
