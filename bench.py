@@ -144,6 +144,7 @@ HEADLINE = [
     "importance_sample_docs",
     "pretraining_pipeline_e2e",
     "vocab_top_terms",
+    "bm25_term_scores",
     "chunk_docs_for_rag",
     "approx_top_terms",
     "explode_doc_sentences",

@@ -8019,6 +8019,105 @@ QUERIES["streaming_ohlc_window_agg"] = streaming_ohlc_window_agg
 ORACLES["streaming_ohlc_window_agg"] = STREAMING_OHLC_SQL
 
 
+_BM25_TERMS = ("join", "vector", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_term_scores(spark, sf_dir):
+    """BM25 relevance scoring (Robertson & Walker, SIGIR 1994 — the
+    standard used by Lucene/Elasticsearch) for a fixed query-term set over
+    the document corpus: per (doc, term) the exact tf/dl/df integers plus
+    the two BM25 factors, each a FIXED-SHAPE IEEE expression over exact
+    ints and shared literals so both engines compute bit-identical doubles:
+
+      - ``idf_arg`` = (N - df + 0.5)/(df + 0.5) + 1 — the argument of
+        BM25's log-idf, emitted UN-logged: ln is monotone, so every
+        ranking/thresholding decision is identical on the raw argument,
+        without betting the value hash on cross-engine ln bit-parity
+        (the same discipline as doc_top_terms/bigram_collocations).
+      - ``tf_norm`` = tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)) — the
+        saturation/length-normalization factor, left-associative operand
+        order pinned on both sides.
+
+    Plan: tokenize once; tf filters to the |terms|-sized query set BEFORE
+    the (doc,term) aggregate, so the scored stream is a tiny fraction of
+    the token stream; df and the 1-row corpus stats broadcast (BNL_OK);
+    dl joins on the doc key. Vocabulary-independent: cost is one token
+    scan + two keyed aggregates at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("__n_docs")).crossJoin(
+        F.broadcast(toks.agg(F.count(F.lit(1)).alias("__tot_toks")))
+    )
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("__n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("__tot_toks").cast("double") / nd
+    idf_arg = (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0)
+    tf_norm = (tfd * F.lit(_BM25_K1 + 1.0)) / (
+        tfd + F.lit(_BM25_K1) * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * dld / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(dfr), ["term"])
+        .join(dl, ["doc_id"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dl",
+            "df",
+            idf_arg.alias("idf_arg"),
+            tf_norm.alias("tf_norm"),
+        )
+    )
+
+
+BM25_SQL = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM base
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM base) AS n_docs,
+         (SELECT COUNT(*) FROM toks2) AS tot_toks
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+  WHERE term IN {str(tuple(_BM25_TERMS))} GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term, tf.tf, dl.dl, df.df,
+       (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         / (CAST(df AS DOUBLE) + 0.5) + 1.0 AS idf_arg,
+       (CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+         / (CAST(tf AS DOUBLE) + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+            + {_BM25_B!r} * CAST(dl AS DOUBLE)
+              / (CAST(tot_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         AS tf_norm
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+"""
+
+
+QUERIES["bm25_term_scores"] = bm25_term_scores
+ORACLES["bm25_term_scores"] = BM25_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8062,6 +8161,7 @@ _CHECK_FIRST = [
     "partition_pruned_orders_agg",
     "cms_frequency_parts",
     "streaming_ohlc_window_agg",
+    "bm25_term_scores",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

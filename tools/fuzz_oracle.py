@@ -93,6 +93,7 @@ DEFAULT_QUERIES = [
     "rebalance_corpus_mix",
     "importance_sample_docs",
     "bigram_collocations",
+    "bm25_term_scores",
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
     "pretraining_pipeline_e2e",

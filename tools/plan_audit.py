@@ -106,6 +106,9 @@ BNL_OK: set[str] = {
     # CMS: the 1-row N scalar cross-joined onto the per-key estimates for
     # the accuracy gate — bounded by construction, same class as q11
     "cms_frequency_parts",
+    # BM25: the 1-row (n_docs, tot_toks) corpus stats scalar cross-joined
+    # onto the scored rows — bounded by construction, same class as q11
+    "bm25_term_scores",
 }
 
 
