@@ -157,6 +157,7 @@ HEADLINE = [
     "dq_checks_orders",
     "snapshot_diff_orders",
     "fuzzy_pairs_symdelete",
+    "trigram_name_matches",
     "kmeans_assign_step",
     "media_frame_sample",
     "cdc_apply_changelog_orders",

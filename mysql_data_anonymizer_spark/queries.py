@@ -8118,6 +8118,103 @@ QUERIES["bm25_term_scores"] = bm25_term_scores
 ORACLES["bm25_term_scores"] = BM25_SQL
 
 
+def trigram_name_matches(spark, sf_dir):
+    """Character-trigram fuzzy matching on entity names (the pg_trgm /
+    record-linkage workhorse; complements fuzzy_pairs_symdelete's edit
+    distance with a set-similarity join that tolerates word reordering
+    and multi-char edits): candidate pairs come from a posting-list
+    SELF-JOIN on distinct trigrams — never an all-pairs cross join — and
+    exact Jaccard over the distinct-trigram sets keeps only pairs >= 0.45.
+
+    Correctness shape: any pair at Jaccard >= t > 0 shares a trigram, so
+    the posting-list join finds EVERY qualifying pair (completeness is a
+    theorem, not a heuristic); the threshold test is exact integer
+    cross-multiplication (shared*100 >= 45*union) and the reported
+    jaccard is one IEEE division of exact ints. Names under 3 chars have
+    no trigram set and are excluded by definition on both sides.
+
+    100 TB: shuffle keyed on trigram; a hot trigram (e.g. 'the') creates
+    a quadratic posting list — production would cap posting-list df
+    exactly as operators/dedup.py::ngram_jaccard_pairs does (documented
+    trade: drops only pairs whose ONLY shared trigrams are stopword-level
+    common, which sit far below any useful threshold). The certification
+    slice (p_partkey % 10) bounds the oracle, not the engine."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_partkey") % 10 == 0)
+            & F.col("p_name").isNotNull()
+            & (F.length(F.trim(F.lower(F.col("p_name")))) >= 3)
+        )
+        .select(
+            F.col("p_partkey").alias("k"),
+            F.trim(F.lower(F.col("p_name"))).alias("nm"),
+        )
+    )
+    tri = p.select(
+        "k",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))")
+            )
+        ).alias("tg"),
+    )
+    sz = tri.groupBy("k").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = tri.alias("a"), tri.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tg") == F.col("b.tg")) & (F.col("a.k") < F.col("b.k")))
+        .groupBy(F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sz.select(F.col("k").alias("k_a"), F.col("sz").alias("size_a"))
+    sb = sz.select(F.col("k").alias("k_b"), F.col("sz").alias("size_b"))
+    uni = F.col("size_a") + F.col("size_b") - F.col("shared")
+    return (
+        shared.join(F.broadcast(sa), ["k_a"])
+        .join(F.broadcast(sb), ["k_b"])
+        .where(F.col("shared") * 100 >= 45 * uni)
+        .select(
+            "k_a",
+            "k_b",
+            "shared",
+            "size_a",
+            "size_b",
+            (F.col("shared").cast("double") / uni.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+TRIGRAM_MATCH_SQL = """
+WITH p AS (
+  SELECT p_partkey AS k, trim(lower(p_name)) AS nm FROM part
+  WHERE p_partkey % 10 = 0 AND p_name IS NOT NULL
+    AND length(trim(lower(p_name))) >= 3
+),
+tri AS (
+  SELECT DISTINCT k,
+         unnest(list_transform(range(1, length(nm) - 1),
+                               i -> substr(nm, CAST(i AS INTEGER), 3))) AS tg
+  FROM p
+),
+sz AS (SELECT k, COUNT(*) AS sz FROM tri GROUP BY k),
+shared AS (
+  SELECT a.k AS k_a, b.k AS k_b, COUNT(*) AS shared
+  FROM tri a JOIN tri b ON a.tg = b.tg AND a.k < b.k
+  GROUP BY 1, 2
+)
+SELECT k_a, k_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) AS jaccard
+FROM shared
+JOIN sz sa ON sa.k = shared.k_a
+JOIN sz sb ON sb.k = shared.k_b
+WHERE shared * 100 >= 45 * (sa.sz + sb.sz - shared)
+"""
+
+
+QUERIES["trigram_name_matches"] = trigram_name_matches
+ORACLES["trigram_name_matches"] = TRIGRAM_MATCH_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8162,6 +8259,7 @@ _CHECK_FIRST = [
     "cms_frequency_parts",
     "streaming_ohlc_window_agg",
     "bm25_term_scores",
+    "trigram_name_matches",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

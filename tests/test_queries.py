@@ -10,6 +10,7 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "trigram_name_matches",
     "bm25_term_scores",
     "streaming_ohlc_window_agg",
     "cms_frequency_parts",

@@ -96,6 +96,7 @@ DEFAULT_QUERIES = [
     "bm25_term_scores",
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
+    "trigram_name_matches",
     "pretraining_pipeline_e2e",
     # events family: duplicate timestamps (window-tie determinism),
     # malformed/missing JSON props, extreme values, unseen event types
