@@ -191,6 +191,7 @@ HEADLINE = [
     "knn_ivf",
     "knn_pq",
     "knn_sq8",
+    "knn_ivfpq",
     "multimodal_featurize",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",

@@ -557,6 +557,89 @@ def _merge_pool(
     return (s, i)
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    refine: int = 8,
+    seed: int = 42,
+    dim: int | None = DEFAULT_DIM,
+) -> DataFrame:
+    """IVF-PQ composite — the faiss IVFPQ architecture and THE deployed
+    billion-scale ANN configuration: the coarse quantizer (trained IVF
+    cells) prunes WHICH rows are scored, product quantization prunes WHAT
+    is read per row (m code lookups, no floats), and a tiny exact re-rank
+    restores precision. Composes the engine's own pieces:
+    ``train_ivf_centroids`` + ``train_pq_codebooks`` (both bounded seeded
+    samples — the corpus is never iterated for training),
+    ``ivf_assign_expr`` for the one-pass cell assignment, the ADC LUT scan
+    of ``pq_topk`` restricted to each query's probed cells, and
+    ``_exact_rerank``.
+
+    100 TB: search cost is (nprobe/n_cells) * corpus * (m lookups) — both
+    factors multiply, which is why this is the shape that survives a
+    billion vectors. The probed-cell union is pushed down as a plain
+    ``__cell IN (...)`` filter, so with the codes table laid out
+    partitioned-by-cell the scan prunes at the file level too."""
+    import pandas as pd
+
+    cents = train_ivf_centroids(df, vec_col, n_cells, seed=seed)
+    books = train_pq_codebooks(df, vec_col, m=m, k_codes=k_codes, seed=seed)
+    dsub = books.shape[2]
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_unit = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    luts = np.einsum("qjd,jkd->qjk", q_unit.reshape(len(q_unit), m, dsub), books)
+    # probe assignment for the (tiny, already-collected) query set happens
+    # driver-side: |Q| x n_cells scores
+    probe = np.argsort(-(q_unit @ cents.T), axis=1)[:, :nprobe]
+    probes = {int(qid): row.astype(np.int64) for qid, row in zip(q_ids, probe)}
+    all_cells = sorted({int(c) for row in probe for c in row})
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, books, luts, probes))
+    n_cand = refine * k
+    corp = df.select(
+        id_col, vec_col, F.explode(ivf_assign_expr(vec_col, cents, 1)).alias("__cell")
+    ).where(F.col("__cell").isin(all_cells))
+    out_schema = f"query_id long, {id_col} long"
+
+    def part_candidates(batches):
+        q_ids_l, books_l, luts_l, probes_l = b.value
+        best: dict[int, tuple] = {}
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cells = pdf["__cell"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                xj = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = -2.0 * (xj @ books_l[j].T) + (books_l[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1)
+            for qi, qid in enumerate(q_ids_l):
+                pmask = np.isin(cells, probes_l[int(qid)]) & (ids != qid)
+                if not pmask.any():
+                    continue
+                scores = luts_l[qi][np.arange(m)[None, :], codes[pmask]].sum(axis=1)
+                best[int(qid)] = _merge_pool(
+                    best.get(int(qid)), scores, ids[pmask], n_cand
+                )
+        rows = [
+            (qid, int(nid)) for qid, (_, pool_ids) in best.items() for nid in pool_ids
+        ]
+        yield pd.DataFrame(rows, columns=["query_id", id_col])
+
+    cand = corp.mapInPandas(part_candidates, out_schema).distinct()
+    return _exact_rerank(df, queries, cand, k, id_col, vec_col, dim)
+
+
 def sq8_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -8215,6 +8215,41 @@ QUERIES["trigram_name_matches"] = trigram_name_matches
 ORACLES["trigram_name_matches"] = TRIGRAM_MATCH_SQL
 
 
+def knn_ivfpq(spark, sf_dir):
+    """IVF-PQ composite ANN (similarity.ivfpq_topk — the faiss IVFPQ
+    architecture, Jegou et al. 2011 §V): trained coarse cells prune WHICH
+    rows are scored (nprobe/n_cells of the corpus), PQ/ADC prunes WHAT is
+    read per row (m code lookups), exact re-rank restores precision — the
+    multiplicative combination that is THE deployed billion-scale
+    configuration. Certified like the rest of the quantized-ANN ladder
+    (knn_lsh/knn_ivf/knn_pq/knn_sq8): FINAL columns are the exact
+    brute-force twin + a GLOBAL ``recall_ok`` gate (hits >= 12 of 25 true
+    pairs; measured 19-20/25 across sf0.001/0.01/0.1 with n_cells=16,
+    nprobe=8, k_codes=32, refine=32). The 1-row hit count is a bounded
+    broadcast crossJoin (plan_audit BNL_OK)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.matmul_topk(emb, queries, k=5)
+    approx = similarity.ivfpq_topk(
+        emb, queries, k=5, n_cells=16, nprobe=8, k_codes=32, refine=32
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    return (
+        exact.crossJoin(F.broadcast(hits))
+        .withColumn("recall_ok", F.col("__hits") >= 12)
+        .select("query_id", "neighbor_id", "cosine", "rank", "recall_ok")
+    )
+
+
+QUERIES["knn_ivfpq"] = knn_ivfpq
+ORACLES["knn_ivfpq"] = (
+    "SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok "
+    f"FROM ({_gen_knn_sql(5)}) t"
+)
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8260,6 +8295,7 @@ _CHECK_FIRST = [
     "streaming_ohlc_window_agg",
     "bm25_term_scores",
     "trigram_name_matches",
+    "knn_ivfpq",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

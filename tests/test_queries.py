@@ -10,6 +10,7 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "knn_ivfpq",
     "trigram_name_matches",
     "bm25_term_scores",
     "streaming_ohlc_window_agg",
@@ -320,6 +321,7 @@ INVARIANCE_SAMPLE = [
     "knn_ivf",
     "knn_pq",
     "knn_sq8",
+    "knn_ivfpq",
     # min-struct first-occurrence + float max-reduction: partition-order
     # independence is the property under test
     "dedup_chunks_reconstruct",

@@ -185,6 +185,7 @@ DEFAULT_QUERIES = [
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
+    "knn_ivfpq",
     "dedup_embedding_cosine",
     "semdedup_embeddings",
     "semdedup_ivf",

@@ -109,6 +109,9 @@ BNL_OK: set[str] = {
     # BM25: the 1-row (n_docs, tot_toks) corpus stats scalar cross-joined
     # onto the scored rows — bounded by construction, same class as q11
     "bm25_term_scores",
+    # IVFPQ: the 1-row recall hit count cross-joined onto the exact twin —
+    # same class as knn_pq/knn_sq8
+    "knn_ivfpq",
 }
 
 
