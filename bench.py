@@ -34,6 +34,7 @@ HEADLINE = [
     "mask_report_synchro_cascade",
     "k_anonymity_audit_customers",
     "dp_noised_counts_customers",
+    "dp_bounded_sum_events",
     "l_diversity_audit_customers",
     "t_closeness_audit_customers",
     "rtbf_forget_cascade",

@@ -110,6 +110,63 @@ def dp_noised_counts(
     )
 
 
+def dp_bounded_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    user_col: str,
+    value_col: str,
+    clamp_cents: int = 10000,
+    epsilon: float = 0.5,
+    seed: str = "dpsum",
+) -> DataFrame:
+    """eps-DP SUM with per-user contribution bounding — the step the count
+    mechanism (``dp_noised_counts``) doesn't need but every DP *sum/mean*
+    release does: an unbounded user could shift the sum arbitrarily, so
+    sensitivity is undefined until each user's per-group total is CLAMPED
+    to [0, clamp_cents]. After clamping, sensitivity = clamp_cents and the
+    textbook Laplace mechanism applies with scale clamp_cents/eps
+    (Dwork et al. 2006; the contribution-bounding discipline of
+    Wilson et al., "Differentially Private SQL", VLDB 2020).
+
+    Money flows as EXACT CENTS (DECIMAL->BIGINT) end to end; the seeded
+    inverse-CDF Laplace noise (md5(seed, group key), same auditable
+    construction as dp_noised_counts) rounds to integer cents, so the
+    release is bit-reproducible in plain SQL. Returns group_cols +
+    (exact_sum_cents, noisy_sum_cents); callers release ONLY the noisy
+    column — exact is the certification twin.
+
+    100 TB: two keyed shuffles — (user, group) partial sums then the group
+    rollup — both map-side combinable; clamp and noise are codegen
+    projections. No extra pass, no driver work."""
+    b = float(clamp_cents) / epsilon
+    cents = F.col(value_col).cast("decimal(30,2)") * 100
+    per_user = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(user_col, *group_cols)
+        .agg(F.sum(cents).cast("long").alias("__user_cents"))
+        .withColumn(
+            "__clamped",
+            F.greatest(F.lit(0), F.least(F.col("__user_cents"), F.lit(clamp_cents))),
+        )
+    )
+    out = per_user.groupBy(*group_cols).agg(
+        F.sum("__clamped").cast("long").alias("exact_sum_cents")
+    )
+    key = F.concat_ws(
+        ":",
+        F.lit(seed),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in group_cols],
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    c = F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))
+    noise = F.lit(-b) * F.signum(u - F.lit(0.5)) * F.log(c)
+    return out.withColumn(
+        "noisy_sum_cents",
+        F.round(F.col("exact_sum_cents").cast("double") + noise).cast("long"),
+    )
+
+
 def crypto_shred(
     df: DataFrame,
     pk_col: str,

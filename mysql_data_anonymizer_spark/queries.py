@@ -8250,6 +8250,68 @@ ORACLES["knn_ivfpq"] = (
 )
 
 
+def dp_bounded_sum_events(spark, sf_dir):
+    """eps-DP per-event-type revenue release with PER-USER CONTRIBUTION
+    BOUNDING (operators/privacy.py::dp_bounded_sum, clamp=10000 cents,
+    eps=0.5) — the mechanism step DP sums need that DP counts don't: each
+    user's per-type total is clamped to [0, $100] so sensitivity is the
+    clamp, then seeded Laplace(clamp/eps) noise rounds to integer cents.
+    The oracle RECOMPUTES THE IDENTICAL release (exact-cents clamping +
+    md5 inverse-CDF noise); ``dp_cal_ok`` asserts the empirical mean
+    |noise| sits in [0.1, 4] x scale (20000 cents) — a wrong-sensitivity
+    or degenerate-noise bug trips it. The 1-row calibration scalar is a
+    bounded broadcast crossJoin (BNL_OK)."""
+    ev = _t(spark, sf_dir, "events")
+    out = privacy.dp_bounded_sum(
+        ev, ["event_type"], "user_id", "value",
+        clamp_cents=10000, epsilon=0.5, seed="dpsum",
+    )
+    cal = out.agg(
+        F.avg(F.abs(F.col("noisy_sum_cents") - F.col("exact_sum_cents"))).alias("__mad")
+    )
+    return (
+        out.crossJoin(F.broadcast(cal))
+        .withColumn("dp_cal_ok", F.col("__mad").between(2000.0, 80000.0))
+        .select("event_type", "exact_sum_cents", "noisy_sum_cents", "dp_cal_ok")
+    )
+
+
+def _gen_dp_bounded_sum_sql(
+    clamp_cents: int = 10000, epsilon: float = 0.5, seed: str = "dpsum"
+) -> str:
+    d = f"md5('{seed}' || ':' || COALESCE(CAST(event_type AS VARCHAR), '<NULL>'))"
+    b = float(clamp_cents) / epsilon
+    return f"""
+WITH per_user AS (
+  SELECT user_id, event_type,
+         GREATEST(0, LEAST(CAST(SUM(CAST(value AS DECIMAL(30,2)) * 100) AS BIGINT),
+                           {clamp_cents})) AS clamped
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, event_type
+),
+g AS (
+  SELECT event_type, CAST(SUM(clamped) AS BIGINT) AS exact_sum_cents,
+         (CAST({_sql_md5_u32(d, 1)} AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM per_user GROUP BY event_type
+),
+noised AS (
+  SELECT event_type, exact_sum_cents,
+         CAST(ROUND(CAST(exact_sum_cents AS DOUBLE)
+              + (-{b!r}) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT)
+           AS noisy_sum_cents
+  FROM g
+)
+SELECT event_type, exact_sum_cents, noisy_sum_cents,
+       (SELECT AVG(ABS(noisy_sum_cents - exact_sum_cents)) FROM noised)
+         BETWEEN 2000.0 AND 80000.0 AS dp_cal_ok
+FROM noised
+"""
+
+
+QUERIES["dp_bounded_sum_events"] = dp_bounded_sum_events
+ORACLES["dp_bounded_sum_events"] = _gen_dp_bounded_sum_sql()
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8296,6 +8358,7 @@ _CHECK_FIRST = [
     "bm25_term_scores",
     "trigram_name_matches",
     "knn_ivfpq",
+    "dp_bounded_sum_events",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -10,6 +10,7 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "dp_bounded_sum_events",
     "knn_ivfpq",
     "trigram_name_matches",
     "bm25_term_scores",
@@ -339,6 +340,8 @@ INVARIANCE_SAMPLE = [
     # PRAM: seeded keep/replace lanes + domain-index join must re-deal the
     # IDENTICAL release under any layout (same class as the DP release)
     "mask_pram_mktsegment",
+    # DP bounded sum: clamped cents + seeded noise, same invariance class
+    "dp_bounded_sum_events",
 ]
 
 

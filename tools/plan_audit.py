@@ -112,6 +112,9 @@ BNL_OK: set[str] = {
     # IVFPQ: the 1-row recall hit count cross-joined onto the exact twin —
     # same class as knn_pq/knn_sq8
     "knn_ivfpq",
+    # DP bounded sum: the 1-row noise-calibration scalar cross-joined onto
+    # the per-type release — bounded by construction, same class as q11
+    "dp_bounded_sum_events",
 }
 
 
