@@ -128,6 +128,7 @@ HEADLINE = [
     "zorder_lineitem_key3",
     "bucketed_join_revenue",
     "partition_pruned_orders_agg",
+    "compact_small_files_events",
     "variant_events_agg",
     "jdbc_roundtrip_agg",
     # text / dedup / similarity

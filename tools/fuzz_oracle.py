@@ -179,6 +179,7 @@ DEFAULT_QUERIES = [
     "zorder_lineitem_key3",
     "bucketed_join_revenue",
     "partition_pruned_orders_agg",
+    "compact_small_files_events",
     # embeddings family: zero vector (norm 0 -> cosine divide hazard),
     # huge/tiny magnitudes, exact duplicate of an existing vector
     "knn_brute_force",
