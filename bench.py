@@ -124,6 +124,7 @@ HEADLINE = [
     "binaryfile_media_manifest",
     "pydatasource_synth_agg",
     "pydatasource_stream_agg",
+    "pydatasource_write_roundtrip",
     "zorder_orders_key",
     "zorder_lineitem_key3",
     "bucketed_join_revenue",

@@ -570,6 +570,8 @@ def ivfpq_topk(
     refine: int = 8,
     seed: int = 42,
     dim: int | None = DEFAULT_DIM,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ composite — the faiss IVFPQ architecture and THE deployed
     billion-scale ANN configuration: the coarse quantizer (trained IVF
@@ -589,8 +591,12 @@ def ivfpq_topk(
     partitioned-by-cell the scan prunes at the file level too."""
     import pandas as pd
 
-    cents = train_ivf_centroids(df, vec_col, n_cells, seed=seed)
-    books = train_pq_codebooks(df, vec_col, m=m, k_codes=k_codes, seed=seed)
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        df, vec_col, n_cells, seed=seed
+    )
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        df, vec_col, m=m, k_codes=k_codes, seed=seed
+    )
     dsub = books.shape[2]
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)

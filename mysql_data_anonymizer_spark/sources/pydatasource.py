@@ -26,7 +26,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SYNTH_SEED = 42
@@ -130,3 +132,92 @@ class SynthStreamDataSource(DataSource):
 def register_stream(spark) -> None:
     """Idempotent registration of the synthstream format on a session."""
     spark.dataSource.register(SynthStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER — the sink face of the connector API
+# ---------------------------------------------------------------------------
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class HexLinesWriter(DataSourceWriter):
+    """Partition-parallel sink with TWO-PHASE COMMIT — the exactly-once
+    pattern every production sink needs under task retries/speculation:
+
+      1. ``write`` (executor, per partition) serializes its rows to a
+         UNIQUELY-NAMED file in a staging dir and returns the name as its
+         commit message. A retried/speculative duplicate task writes a
+         DIFFERENT staged file.
+      2. ``commit`` (driver, once, with the messages of the WINNING task
+         per partition only) renames exactly those staged files into the
+         target and stamps a _SUCCESS manifest; orphaned staged files from
+         losing attempts are never published. ``abort`` removes the
+         staging dir wholesale.
+
+    Line format is length-safe and binary-safe: each field is either ``N``
+    (NULL) or ``V`` + hex(utf8) — hex, not base64, because Spark's
+    ``base64()`` MIME-chunks with embedded CRLFs and corrupts any
+    line-oriented protocol. Readers reverse it with unhex/decode in pure
+    codegen."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.txt")
+        with open(fname, "w", encoding="ascii") as fh:
+            for row in iterator:
+                fields = []
+                for v in row:
+                    if v is None:
+                        fields.append("N")
+                    else:
+                        fields.append("V" + str(v).encode("utf-8").hex())
+                fh.write("|".join(fields) + "\n")
+        return _StagedFile(fname)
+
+    def commit(self, messages):
+        import os
+
+        published = []
+        for m in messages:
+            base = os.path.basename(m.path)
+            dest = os.path.join(self.path, base)
+            os.rename(m.path, dest)
+            published.append(base)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("\n".join(sorted(published)))
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class HexLinesDataSource(DataSource):
+    """``df.write.format("hexlines").option("path", dir).save()`` — a pure
+    Python sink built on the Spark 4 DataSource writer API, completing the
+    connector surface (batch reader `synthrows`, stream reader
+    `synthstream`, and now a writer). On a cluster the staging/target dir
+    is shared storage; the two-phase rename contract is unchanged."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hexlines"
+
+    def writer(self, schema, overwrite: bool):
+        return HexLinesWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the hexlines sink on a session."""
+    spark.dataSource.register(HexLinesDataSource)

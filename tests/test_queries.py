@@ -10,6 +10,7 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "pydatasource_write_roundtrip",
     "compact_small_files_events",
     "dp_bounded_sum_events",
     "knn_ivfpq",

@@ -501,3 +501,36 @@ def test_zorder_key_expr_n_three_dims(spark):
         layout.zorder_key_expr_n(["a"])
     with pytest.raises(ValueError, match="signed long"):
         layout.zorder_key_expr_n(["a", "b", "c"], bits=21)
+
+
+# ------------------------------------------------ Python DataSource writer
+def test_hexlines_writer_two_phase_commit_retry_semantics(tmp_path):
+    """A retried/speculative task writes a SECOND staged file; only the
+    message the driver commits is published — the loser's rows must never
+    appear in the target, and abort wipes staging."""
+    from pyspark.sql import Row
+
+    from mysql_data_anonymizer_spark.sources.pydatasource import HexLinesWriter
+
+    target = str(tmp_path / "out")
+    import os
+
+    os.makedirs(target)
+    w = HexLinesWriter({"path": target}, overwrite=False)
+    winner = w.write(iter([Row(a=1, b="x"), Row(a=None, b="ü")]))
+    loser = w.write(iter([Row(a=99, b="DUPLICATE-ATTEMPT")]))  # retry twin
+    w.commit([winner])  # driver publishes only the winning attempt
+    published = [f for f in os.listdir(target) if f.endswith(".txt")]
+    assert len(published) == 1
+    body = open(os.path.join(target, published[0]), encoding="ascii").read()
+    assert "V" + b"x".hex() in body and "N|" not in body.split("\n")[0][:1]
+    assert b"DUPLICATE-ATTEMPT".hex() not in body
+    # NULL marker round-trips, unicode survives hex
+    lines = body.strip().split("\n")
+    assert lines[1].split("|")[0] == "N"
+    assert bytes.fromhex(lines[1].split("|")[1][1:]).decode() == "ü"
+    # manifest lists exactly the published file
+    assert open(os.path.join(target, "_SUCCESS")).read().strip() == published[0]
+    # abort clears staging (the loser's file lives there until then)
+    w.abort([loser])
+    assert not os.path.exists(os.path.join(target, "_staging"))

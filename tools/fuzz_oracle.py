@@ -209,6 +209,7 @@ DEFAULT_QUERIES = [
     "l_diversity_audit_customers",
     "mask_generalize_customers",
     "mask_pram_mktsegment",
+    "pydatasource_write_roundtrip",
     "suppress_small_groups",
     "quantiles_acctbal_per_segment",
     "zscore_acctbal_per_segment",

@@ -69,6 +69,9 @@ FAMILIES = [
     "decontaminate_bloom_ngrams",
     "split_leakage_safe",
     "knn_sq8",
+    # round-6 additions
+    "knn_ivfpq",
+    "bm25_term_scores",
 ]
 
 
