@@ -148,6 +148,7 @@ HEADLINE = [
     "pretraining_pipeline_e2e",
     "vocab_top_terms",
     "bm25_term_scores",
+    "readability_scores_docs",
     "chunk_docs_for_rag",
     "approx_top_terms",
     "explode_doc_sentences",
@@ -208,6 +209,7 @@ HEADLINE = [
     "streaming_dedup_then_window",
     "streaming_jdbc_upsert_agg",
     "streaming_ohlc_window_agg",
+    "streaming_update_mode_agg",
 ]
 
 

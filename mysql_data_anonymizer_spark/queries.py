@@ -8451,6 +8451,163 @@ QUERIES["pydatasource_write_roundtrip"] = pydatasource_write_roundtrip
 ORACLES["pydatasource_write_roundtrip"] = PYDS_WRITE_SQL
 
 
+def readability_scores_docs(spark, sf_dir):
+    """Flesch reading-ease scoring (Flesch 1948; the quality-signal family
+    Gopher/C4-style corpus filters draw on): per document, exact integer
+    word / sentence / syllable-proxy counts plus the Flesch score as ONE
+    fixed-shape IEEE expression over those ints (the same
+    transcendental-free discipline as bm25_term_scores). Syllables are
+    proxied by vowel-run count ([aeiouyAEIOUY]+ on the RAW text — no
+    lower() in the count path, so unicode case quirks can't split
+    engines); sentences are the non-blank [.!?]+ fragments shared with
+    explode_doc_sentences. Pure codegen map stage — regexp_count and
+    split never leave the JVM; zero shuffles beyond the scan."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_sent = F.size(
+        F.filter(
+            F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+    ).cast("long")
+    n_syl = F.regexp_count(F.col("text"), F.lit(r"[aeiouyAEIOUY]+")).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    ).where((F.col("n_words") >= 1) & (F.col("n_sentences") >= 1))
+    wd = F.col("n_words").cast("double")
+    sd = F.col("n_sentences").cast("double")
+    yd = F.col("n_syllables").cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd)
+    )
+    return base.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch")
+    )
+
+
+READABILITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(list_transform(
+                regexp_split_to_array(text, '[.!?]+'), s -> trim(s)),
+                s -> s <> '')) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch
+FROM base
+WHERE n_words >= 1 AND n_sentences >= 1
+"""
+
+
+QUERIES["readability_scores_docs"] = readability_scores_docs
+ORACLES["readability_scores_docs"] = READABILITY_SQL
+
+
+def streaming_update_mode_agg(spark, sf_dir):
+    """UPDATE output mode — the third streaming output contract (complete
+    and append are certified elsewhere): each micro-batch emits only the
+    (window, type) rows whose aggregate CHANGED, and the sink is expected
+    to upsert them. The fixture is split into two time-ordered micro-batch
+    files at the midpoint timestamp (so batch 2 never falls behind batch
+    1's watermark — no silent late-drops in the certified path), the
+    updates land in a ``foreachBatch`` parquet sink stamped with batch_id,
+    and the FINAL STATE is reconstructed exactly as an upserting consumer
+    would: latest batch_id per key. On a bounded replay that state must
+    equal the batch GROUP BY — which is what the oracle asserts.
+    ``multibatch_ok`` pins that >= 2 micro-batches actually ran (a
+    one-batch degenerate run would certify nothing about update mode);
+    its 1-row scalar is a bounded broadcast crossJoin (BNL_OK)."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import tumbling_aggregates
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_update_stage", None)
+    if cache is None:
+        cache = {}
+        spark._mda_update_stage = cache
+    if tag not in cache:
+        stage = tempfile.mkdtemp(prefix="mda_updstage_")
+        ev = _t(spark, sf_dir, "events")
+        lohi = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        cut = lohi.lo + (lohi.hi - lohi.lo) / 2
+        halves = [
+            ev.where(F.col("ts") < F.lit(cut)),
+            ev.where(~(F.col("ts") < F.lit(cut)) | F.col("ts").isNull()),
+        ]
+        for i, h in enumerate(halves):
+            tmp = tempfile.mkdtemp(prefix="mda_updtmp_")
+            h.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(os.path.join(tmp, part), os.path.join(stage, f"half_{i}.parquet"))
+        cache[tag] = stage
+    stage = cache[tag]
+    outdir = tempfile.mkdtemp(prefix=f"mda_updout_{uuid.uuid4().hex[:6]}_")
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        agg = tumbling_aggregates(stream, window="30 minutes", watermark="30 minutes")
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    upd = spark.read.parquet(outdir)
+    w = Window.partitionBy("window_start", "event_type").orderBy(F.desc("batch_id"))
+    final = upd.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    nb = upd.agg(F.countDistinct("batch_id").alias("__nb"))
+    return (
+        final.crossJoin(F.broadcast(nb))
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            _dbl(F.col("total_value")).alias("total_value"),
+            (F.col("__nb") >= 2).alias("multibatch_ok"),
+        )
+    )
+
+
+STREAMING_UPDATE_SQL = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+         AS total_value,
+       TRUE AS multibatch_ok
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES["streaming_update_mode_agg"] = streaming_update_mode_agg
+ORACLES["streaming_update_mode_agg"] = STREAMING_UPDATE_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8500,6 +8657,8 @@ _CHECK_FIRST = [
     "dp_bounded_sum_events",
     "compact_small_files_events",
     "pydatasource_write_roundtrip",
+    "readability_scores_docs",
+    "streaming_update_mode_agg",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -10,6 +10,8 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "streaming_update_mode_agg",
+    "readability_scores_docs",
     "pydatasource_write_roundtrip",
     "compact_small_files_events",
     "dp_bounded_sum_events",

@@ -94,6 +94,7 @@ DEFAULT_QUERIES = [
     "importance_sample_docs",
     "bigram_collocations",
     "bm25_term_scores",
+    "readability_scores_docs",
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",
@@ -124,6 +125,7 @@ DEFAULT_QUERIES = [
     "streaming_dedup_then_window",
     "streaming_jdbc_upsert_agg",
     "streaming_ohlc_window_agg",
+    "streaming_update_mode_agg",
     # event-joined relational ops (v2): as-of/point-in-time/range joins and
     # event history — late/duplicate/boundary timestamps stress the
     # inequality-join and ordering logic

@@ -115,6 +115,9 @@ BNL_OK: set[str] = {
     # DP bounded sum: the 1-row noise-calibration scalar cross-joined onto
     # the per-type release — bounded by construction, same class as q11
     "dp_bounded_sum_events",
+    # streaming update mode: the 1-row batch-count gate scalar cross-joined
+    # onto the reconstructed state — bounded by construction
+    "streaming_update_mode_agg",
 }
 
 
