@@ -196,6 +196,7 @@ HEADLINE = [
     "knn_pq",
     "knn_sq8",
     "knn_ivfpq",
+    "embedding_norms_arrow",
     "multimodal_featurize",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",

@@ -557,6 +557,79 @@ def _merge_pool(
     return (s, i)
 
 
+def arrow_l2_norms(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector L2 norms through ``mapInArrow`` — the LOWEST-overhead
+    Python seam Spark has (raw Arrow RecordBatches in and out: no pandas
+    Series materialization, no per-row objects), completing the engine's
+    Python-boundary ladder (row UDF < pandas UDF < mapInPandas <
+    mapInArrow). The list column is consumed via its Arrow buffers
+    directly: one flat float64 square, one cumulative sum, one
+    offset-difference gather — vectorized end to end, zero copies beyond
+    the cast.
+
+    Same 1e-12 norm floor as ``norm_expr`` (the fuzz-hardened zero-vector
+    guard). Summation order differs from the JVM's sequential
+    ``aggregate`` fold (cumsum is still sequential but float64 vs the
+    JVM's float64 on float32 inputs can differ in the last ulp), so
+    consumers compare with a relative tolerance, not equality — the
+    certified twin is the JVM expression."""
+    import pyarrow as pa
+
+    def batches(it):
+        for rb in it:
+            ids = rb.column(0)
+            emb = rb.column(1)
+            offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            raw = emb.values
+            # NULL elements inside a vector: the JVM fold yields NULL for
+            # the whole sum -> norm floors to 1e-12. Mirror that per row —
+            # and zero the NaN placeholders FIRST, or one null element
+            # poisons the cumulative sum for every later row in the batch
+            # (fuzz finding).
+            nulls = raw.is_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            vals = raw.to_numpy(zero_copy_only=False).astype(np.float64)
+            vals[nulls > 0] = 0.0
+            # per-SEGMENT sums via reduceat — NOT a global cumsum + diff: a
+            # single huge vector (~1e38 elements -> 1e76 squares) in the
+            # batch makes every later row's sum a difference of ~1e77
+            # giants, catastrophic cancellation wiping 60 digits (fuzz
+            # finding). reduceat sums each row independently.
+            lo, hi = int(offs[0]), int(offs[-1])
+            seg = (vals[lo:hi]) ** 2
+            segn = nulls[lo:hi]
+            starts = offs[:-1] - lo
+            lengths = offs[1:] - offs[:-1]
+            valid = lengths > 0
+            ssum = np.zeros(len(lengths))
+            nnul = np.zeros(len(lengths))
+            if seg.size:
+                idx = np.minimum(starts, seg.size - 1)
+                ssum[valid] = np.add.reduceat(seg, idx)[valid]
+                nnul[valid] = np.add.reduceat(segn, idx)[valid]
+            norms = np.sqrt(np.maximum(ssum, 0.0))
+            norms[nnul > 0] = 0.0
+            norms = np.maximum(norms, 1e-12)
+            n_dims = lengths
+            cols = [ids, pa.array(n_dims), pa.array(norms)]
+            names = [id_col, "n_dims", "arrow_norm"]
+            # passthrough columns ride the batch unchanged (row-aligned by
+            # construction — consumers never need an id join back)
+            for i in range(2, rb.num_columns):
+                cols.append(rb.column(i))
+                names.append(rb.schema.names[i])
+            yield pa.record_batch(cols, names=names)
+
+    extra = [c for c in df.columns if c not in (id_col, vec_col)]
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in extra
+    )
+    return df.select(id_col, vec_col, *extra).mapInArrow(
+        batches, f"{id_col} long, n_dims long, arrow_norm double{extra_schema}"
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     queries: DataFrame,

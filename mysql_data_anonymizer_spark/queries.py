@@ -8608,6 +8608,50 @@ QUERIES["streaming_update_mode_agg"] = streaming_update_mode_agg
 ORACLES["streaming_update_mode_agg"] = STREAMING_UPDATE_SQL
 
 
+def embedding_norms_arrow(spark, sf_dir):
+    """mapInArrow certification (similarity.arrow_l2_norms) — raw Arrow
+    RecordBatches with zero pandas materialization, the seam a production
+    engine uses when even Series construction is too much overhead. The
+    HASH-MATCHED columns are the JVM codegen twin (norm_expr rounded 4dp,
+    exact in both engines); the Arrow path is certified by
+    ``arrow_ok``: |arrow_norm - jvm_norm| <= 1e-9 * max(jvm_norm, 1) per
+    row (summation-order ulp tolerance; the 1e-12 zero-vector floor is
+    shared). One join on vec_id between the two computations — both
+    map-only over the same scan."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    # the JVM twin rides THROUGH the Arrow op as a passthrough column —
+    # row-aligned by construction, so duplicate ids (fuzz) can't cross-pair
+    withj = emb.select(
+        "vec_id", "embedding", similarity.norm_expr("embedding", None).alias("__jn")
+    )
+    both = similarity.arrow_l2_norms(withj)
+    ok = (
+        F.abs(F.col("arrow_norm") - F.col("__jn"))
+        <= F.lit(1e-9) * F.greatest(F.col("__jn"), F.lit(1.0))
+    )
+    return both.select(
+        "vec_id",
+        "n_dims",
+        F.round(F.col("__jn"), 4).alias("norm4"),
+        ok.alias("arrow_ok"),
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       ROUND(GREATEST(sqrt(list_sum(list_transform(embedding,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 1e-12), 4) AS norm4,
+       TRUE AS arrow_ok
+FROM embeddings
+WHERE embedding IS NOT NULL
+"""
+
+
+QUERIES["embedding_norms_arrow"] = embedding_norms_arrow
+ORACLES["embedding_norms_arrow"] = EMBEDDING_NORMS_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8659,6 +8703,7 @@ _CHECK_FIRST = [
     "pydatasource_write_roundtrip",
     "readability_scores_docs",
     "streaming_update_mode_agg",
+    "embedding_norms_arrow",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -190,6 +190,7 @@ DEFAULT_QUERIES = [
     "knn_ivf",
     "knn_pq",
     "knn_ivfpq",
+    "embedding_norms_arrow",
     "dedup_embedding_cosine",
     "semdedup_embeddings",
     "semdedup_ivf",
