@@ -162,6 +162,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",
+    "entity_clusters_parts",
     "kmeans_assign_step",
     "media_frame_sample",
     "cdc_apply_changelog_orders",

@@ -8652,6 +8652,73 @@ QUERIES["embedding_norms_arrow"] = embedding_norms_arrow
 ORACLES["embedding_norms_arrow"] = EMBEDDING_NORMS_SQL
 
 
+def entity_clusters_parts(spark, sf_dir):
+    """Entity resolution END TO END (Fellegi-Sunter shape: blocking ->
+    pairwise scoring -> transitive clustering): trigram posting-list
+    blocking + exact Jaccard scoring (the trigram_name_matches pipeline)
+    feeds the SAME connected-components fixpoint the dedup family uses, and
+    every record in the universe gets an entity id — clustered members
+    inherit the component min, singletons are their own entity. The
+    composition is the point: at 100 TB the blocker bounds candidate pairs,
+    the fixpoint runs on the (tiny) match graph, and the final assignment
+    is one broadcast left join onto the record universe. Oracle replays the
+    whole chain, components as a recursive CTE."""
+    matches = trigram_name_matches(spark, sf_dir).select("k_a", "k_b")
+    cc = dedup.connected_components(
+        matches.select(F.col("k_a").alias("id_a"), F.col("k_b").alias("id_b"))
+    )
+    universe = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_partkey") % 10 == 0)
+            & F.col("p_name").isNotNull()
+            & (F.length(F.trim(F.lower(F.col("p_name")))) >= 3)
+        )
+        .select(F.col("p_partkey").alias("k"))
+    )
+    return (
+        universe.join(
+            F.broadcast(cc.withColumnRenamed("node", "k")), "k", "left"
+        )
+        .select(
+            "k",
+            F.coalesce(F.col("component"), F.col("k")).alias("entity_id"),
+            F.col("component").isNotNull().alias("is_clustered"),
+        )
+    )
+
+
+ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT k_a, k_b FROM ({TRIGRAM_MATCH_SQL}) t
+),
+sym AS (
+  SELECT k_a AS src, k_b AS dst FROM pairs
+  UNION ALL
+  SELECT k_b AS src, k_a AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+),
+cc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+universe AS (
+  SELECT p_partkey AS k FROM part
+  WHERE p_partkey % 10 = 0 AND p_name IS NOT NULL
+    AND length(trim(lower(p_name))) >= 3
+)
+SELECT u.k,
+       COALESCE(cc.component, u.k) AS entity_id,
+       cc.component IS NOT NULL AS is_clustered
+FROM universe u LEFT JOIN cc ON cc.node = u.k
+"""
+
+
+QUERIES["entity_clusters_parts"] = entity_clusters_parts
+ORACLES["entity_clusters_parts"] = ENTITY_CLUSTERS_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8704,6 +8771,7 @@ _CHECK_FIRST = [
     "readability_scores_docs",
     "streaming_update_mode_agg",
     "embedding_norms_arrow",
+    "entity_clusters_parts",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -98,6 +98,7 @@ DEFAULT_QUERIES = [
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",
+    "entity_clusters_parts",
     "pretraining_pipeline_e2e",
     # events family: duplicate timestamps (window-tie determinism),
     # malformed/missing JSON props, extreme values, unseen event types
