@@ -102,6 +102,7 @@ HEADLINE = [
     "top_supplier_per_nation",
     "approx_distinct_users_daily",
     "hll_union_rollup_users",
+    "hll_intersection_users",
     "cms_frequency_parts",
     "json_events_agg",
     "json_source_agg",

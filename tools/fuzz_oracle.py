@@ -116,6 +116,7 @@ DEFAULT_QUERIES = [
     "timeseries_gapfill_hourly",
     "approx_quantiles_events_value",
     "approx_distinct_users_daily",
+    "hll_intersection_users",
     "dp_bounded_sum_events",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",

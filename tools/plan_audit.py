@@ -118,6 +118,9 @@ BNL_OK: set[str] = {
     # streaming update mode: the 1-row batch-count gate scalar cross-joined
     # onto the reconstructed state — bounded by construction
     "streaming_update_mode_agg",
+    # HLL intersection: |types|^2 pair join over the tiny per-type sketch
+    # aggregate — bounded by the event-type domain
+    "hll_intersection_users",
 }
 
 
