@@ -261,6 +261,8 @@ def train_ivf_centroids(
     single assignment pass in ``ivf_topk``."""
     frac = min(1.0, sample_size / max(df.count(), 1))
     sample = df.sample(fraction=frac, seed=seed).select(vec_col).collect()
+    if not sample:
+        raise ValueError("train_ivf_centroids: empty training sample (empty corpus?)")
     x = np.array([r[0] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

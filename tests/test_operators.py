@@ -1041,3 +1041,41 @@ def test_cms_merge_and_lower_bound(spark):
     full = sketches.cms_cells(df, "k", depth=3, width=64)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_ivfpq_recall_determinism_and_cell_pruning(spark, embeddings):
+    """IVF-PQ composite: recall against brute force; externally-passed
+    models reproduce results exactly; and the candidate scan really is
+    CELL-PRUNED — with nprobe = n_cells it must behave like plain PQ
+    (superset of the pruned run's candidates)."""
+    q = embeddings.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in similarity.brute_force_topk(embeddings, q, k=5).collect()}
+    cents = similarity.train_ivf_centroids(embeddings, n_cells=16)
+    books = similarity.train_pq_codebooks(embeddings, m=8, k_codes=32, seed=42)
+    kw = dict(k=5, n_cells=16, k_codes=32, refine=32,
+              centroids=cents, codebooks=books)
+    pruned = {(r.query_id, r.neighbor_id)
+              for r in similarity.ivfpq_topk(embeddings, q, nprobe=8, **kw).collect()}
+    assert len(bf & pruned) / len(bf) >= 0.4
+    r1 = sorted((r.query_id, r.neighbor_id, r.rank)
+                for r in similarity.ivfpq_topk(embeddings, q, nprobe=8, **kw).collect())
+    r2 = sorted((r.query_id, r.neighbor_id, r.rank)
+                for r in similarity.ivfpq_topk(embeddings, q, nprobe=8, **kw).collect())
+    assert r1 == r2
+    # probing every cell >= probing some cells (recall monotone in nprobe)
+    full = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivfpq_topk(embeddings, q, nprobe=16, **kw).collect()}
+    assert len(bf & full) >= len(bf & pruned)
+
+
+def test_ivfpq_rejects_bad_inputs(spark, embeddings):
+    """Same edge contract as PQ: empty corpus and non-dividing m raise
+    cleanly (the trainers own the checks; the composite must not mask
+    them)."""
+    empty = embeddings.filter(F.col("vec_id") < 0)
+    q = embeddings.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.ivfpq_topk(empty, q, k=5)
+    with pytest.raises(ValueError, match="subspaces"):
+        similarity.ivfpq_topk(embeddings, q, k=5, m=7)
