@@ -213,6 +213,7 @@ HEADLINE = [
     "streaming_jdbc_upsert_agg",
     "streaming_ohlc_window_agg",
     "streaming_update_mode_agg",
+    "streaming_stream_left_join",
 ]
 
 

@@ -8802,6 +8802,117 @@ QUERIES["hll_intersection_users"] = hll_intersection_users
 ORACLES["hll_intersection_users"] = HLL_INTERSECTION_SQL
 
 
+def streaming_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the join-mode milestone past the
+    inner join (r4): unmatched clicks NULL-extend only when the watermark
+    proves no view can still arrive. Outer rows are produced by STATE
+    EVICTION, so the replay needs >= 2 micro-batches (time-ordered halves,
+    shared with streaming_update_mode_agg's staging) plus the trailing
+    no-data batch to flush the final horizon; clicks still inside the
+    horizon at end of stream emit NOTHING.
+
+    The oracle reproduces the eviction boundary exactly: matched pairs are
+    the batch join; a NULL row appears iff the click is batch-unmatched
+    AND click_ts + within < final watermark. The final watermark is the
+    MIN across the two watermarked sides (each side sees only its own
+    filtered rows — the global max event may belong to neither type;
+    discovered at sf0.001, where the naive global-max formula over-emits
+    by one row), each side's max MILLISECOND-TRUNCATED (Spark tracks
+    watermarks in epoch millis), minus the delay. The strict '<' at the
+    tie is pinned empirically by
+    tests/test_streaming.py::test_left_outer_eviction_boundary."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import (
+        stream_stream_left_join as _lo,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_update_stage", None)
+    if cache is None:
+        cache = {}
+        spark._mda_update_stage = cache
+    if tag not in cache:
+        stage = tempfile.mkdtemp(prefix="mda_updstage_")
+        ev = _t(spark, sf_dir, "events")
+        lohi = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        cut = lohi.lo + (lohi.hi - lohi.lo) / 2
+        halves = [
+            ev.where(F.col("ts") < F.lit(cut)),
+            ev.where(~(F.col("ts") < F.lit(cut)) | F.col("ts").isNull()),
+        ]
+        for i, h in enumerate(halves):
+            tmp = tempfile.mkdtemp(prefix="mda_updtmp_")
+            h.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            os.rename(os.path.join(tmp, part), os.path.join(stage, f"half_{i}.parquet"))
+        cache[tag] = stage
+    stage = cache[tag]
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        joined = _lo(stream, "click", "view", within="10 minutes", watermark="30 minutes")
+        name = f"stream_louter_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+STREAMING_LEFT_JOIN_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts FROM events
+  WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts FROM events
+  WHERE event_type = 'view'
+),
+matched AS (
+  SELECT c.user_id, c.click_id, v.view_id, c.click_ts, v.view_ts
+  FROM clicks c JOIN views v
+    ON c.user_id = v.user_id
+   AND v.view_ts >= c.click_ts
+   AND v.view_ts <= c.click_ts + INTERVAL '10 minutes'
+),
+wm AS (
+  -- the JOINT watermark is the MIN across the two watermarked sides
+  -- (each side only sees its own filtered rows; the global max event may
+  -- belong to neither type), each side's max ms-TRUNCATED (Spark tracks
+  -- watermarks in epoch millis). An empty side pins the joint watermark
+  -- at 1970 -> no outer row ever emits (the CASE keeps NULL poisoning,
+  -- since DuckDB's LEAST would skip a NULL side).
+  SELECT CASE WHEN c.mx IS NULL OR v.mx IS NULL THEN NULL
+              ELSE make_timestamp(LEAST(epoch_ms(c.mx), epoch_ms(v.mx)) * 1000)
+                   - INTERVAL '30 minutes' END AS final_wm
+  FROM (SELECT MAX(click_ts) AS mx FROM clicks) c,
+       (SELECT MAX(view_ts) AS mx FROM views) v
+)
+SELECT * FROM matched
+UNION ALL
+SELECT c.user_id, c.click_id, NULL AS view_id, c.click_ts,
+       CAST(NULL AS TIMESTAMP) AS view_ts
+FROM clicks c CROSS JOIN wm
+WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+  AND c.click_ts + INTERVAL '10 minutes' < wm.final_wm
+"""
+
+
+QUERIES["streaming_stream_left_join"] = streaming_stream_left_join
+ORACLES["streaming_stream_left_join"] = STREAMING_LEFT_JOIN_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8856,6 +8967,7 @@ _CHECK_FIRST = [
     "embedding_norms_arrow",
     "entity_clusters_parts",
     "hll_intersection_users",
+    "streaming_stream_left_join",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -195,6 +195,53 @@ def stream_stream_join(
     )
 
 
+def stream_stream_left_join(
+    stream: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantics milestone
+    beyond the inner join: a left event with no match emits its
+    NULL-extended row only when the watermark proves no future match can
+    arrive (click_ts + within has passed the watermark), never earlier.
+    Matches still emit as found. State stays bounded exactly like the
+    inner join; the outer rows are produced by state EVICTION, which means
+    a bounded replay needs (a) >= 2 micro-batches so the watermark
+    actually advances, and (b) the trailing no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches, on by default) to flush the
+    final horizon. Left rows still inside the horizon at end of stream
+    remain in state and emit NOTHING — the oracle must reproduce that
+    boundary (see streaming_stream_left_join's query docstring)."""
+    a = (
+        stream.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col(ts_col).alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    b = (
+        stream.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("__ruser"),
+            F.col(ts_col).alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    cond = F.expr(
+        f"user_id = __ruser AND view_ts >= click_ts"
+        f" AND view_ts <= click_ts + interval {within}"
+    )
+    return a.join(b, cond, "leftOuter").select(
+        "user_id", "click_id", "view_id", "click_ts", "view_ts"
+    )
+
+
 def stateful_user_totals(
     stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:

@@ -600,3 +600,71 @@ def test_tws_processor_contract_with_mocked_handle():
         ("click",): (3,), ("view",): (1,), ("purchase",): (1,),
     }
     proc.close()
+
+
+def test_left_outer_eviction_boundary(spark, tmp_path):
+    """Pin the LEFT OUTER state-eviction boundary STREAMING_LEFT_JOIN_SQL
+    depends on: an unmatched click NULL-extends iff
+    click_ts + within < final watermark — STRICT at the tie, where the
+    final watermark is the MIN across BOTH watermarked sides. Layout
+    (within=10m, delay=30m): batch 2 carries a 12:00 click AND a 12:00
+    view so BOTH sides' watermarks land on 11:30 (one-sided constructions
+    pin nothing: the joint watermark would be the other side's).
+      - click 10:40 (+10m = 10:50 < 11:30)  -> emitted NULL row
+      - click 11:20 (+10m = 11:30 == wm)    -> the TIE: withheld
+      - click 11:25 (+10m = 11:35 > wm)     -> withheld
+    Two micro-batch files so the watermark actually advances; the trailing
+    no-data batch performs the flush. If a Spark upgrade flips the tie to
+    inclusive, this goes red before the driver's correctness gate does."""
+    import uuid
+    from datetime import datetime
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import (
+        stream_stream_left_join,
+    )
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, t(10, 40), 7, "click"),
+            (2, t(11, 20), 7, "click"),
+            (3, t(11, 25), 7, "click"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [(8, t(12, 0), 99, "click"), (9, t(12, 0), 98, "view")], schema
+    )
+    stage = tmp_path / "louter_stage"
+    stage.mkdir()
+    import os
+
+    for i, b in enumerate([batch1, batch2]):
+        tmp = tmp_path / f"w{i}"
+        b.coalesce(1).write.parquet(str(tmp))
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(str(tmp / part), str(stage / f"half_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    j = stream_stream_left_join(stream, "click", "view", within="10 minutes",
+                                watermark="30 minutes")
+    name = f"lo_tie_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {r.click_id for r in spark.table(name).collect()}
+    assert 1 in emitted, f"pre-boundary unmatched click missing: {emitted}"
+    assert 2 not in emitted, (
+        "tie click (click_ts + within == watermark) was emitted — eviction "
+        f"became inclusive; flip STREAMING_LEFT_JOIN_SQL to <=: {emitted}"
+    )
+    assert emitted == {1}, f"in-horizon click leaked: {emitted}"

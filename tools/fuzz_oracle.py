@@ -128,6 +128,7 @@ DEFAULT_QUERIES = [
     "streaming_jdbc_upsert_agg",
     "streaming_ohlc_window_agg",
     "streaming_update_mode_agg",
+    "streaming_stream_left_join",
     # event-joined relational ops (v2): as-of/point-in-time/range joins and
     # event history — late/duplicate/boundary timestamps stress the
     # inequality-join and ordering logic
