@@ -131,6 +131,7 @@ HEADLINE = [
     "bucketed_join_revenue",
     "partition_pruned_orders_agg",
     "compact_small_files_events",
+    "schema_evolution_merge_read",
     "variant_events_agg",
     "jdbc_roundtrip_agg",
     # text / dedup / similarity

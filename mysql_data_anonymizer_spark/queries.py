@@ -8913,6 +8913,70 @@ QUERIES["streaming_stream_left_join"] = streaming_stream_left_join
 ORACLES["streaming_stream_left_join"] = STREAMING_LEFT_JOIN_SQL
 
 
+def schema_evolution_merge_read(spark, sf_dir):
+    """Schema evolution on read — the long-lived-table reality every lake
+    faces: files written before a column existed coexist with files after.
+    The memoized layout writes orders as two GENERATIONS (v1: key +
+    totalprice only, even orderkeys; v2: + o_orderpriority, odd orderkeys);
+    one ``mergeSchema`` read reconciles them (parquet footer union —
+    by-NAME resolution, so column order/physical layout may differ per
+    file), old-generation rows surface the new column as NULL, and the
+    aggregate groups on exactly that NULL-vs-value distinction. The oracle
+    replays the generation split with an explicit UNION. At 100 TB this is
+    a FOOTER-level merge — no data rewrite, the schema union is computed
+    from file metadata; the documented cost knob is mergeSchema reading
+    every footer (default off; flip on per-read or fix the table schema
+    forward)."""
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_evo_dirs", None)
+    if cache is None:
+        cache = {}
+        spark._mda_evo_dirs = cache
+    if tag not in cache:
+        d = tempfile.mkdtemp(prefix="mda_evo_")
+        o = _t(spark, sf_dir, "orders")
+        v1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+        v2 = o.where(F.col("o_orderkey") % 2 != 0).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        v1.write.mode("append").parquet(d)
+        v2.write.mode("append").parquet(d)
+        cache[tag] = d
+    merged = spark.read.option("mergeSchema", "true").parquet(cache[tag])
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<PRE-SCHEMA>")).alias(
+                "priority_gen"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dbl(F.sum(_dec("o_totalprice", 30, 2))).alias("total_price"),
+        )
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 <> 0
+)
+SELECT COALESCE(o_orderpriority, '<PRE-SCHEMA>') AS priority_gen,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+         AS total_price
+FROM merged
+GROUP BY 1
+"""
+
+
+QUERIES["schema_evolution_merge_read"] = schema_evolution_merge_read
+ORACLES["schema_evolution_merge_read"] = SCHEMA_EVOLUTION_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -8968,6 +9032,7 @@ _CHECK_FIRST = [
     "entity_clusters_parts",
     "hll_intersection_users",
     "streaming_stream_left_join",
+    "schema_evolution_merge_read",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -185,6 +185,7 @@ DEFAULT_QUERIES = [
     "bucketed_join_revenue",
     "partition_pruned_orders_agg",
     "compact_small_files_events",
+    "schema_evolution_merge_read",
     # embeddings family: zero vector (norm 0 -> cosine divide hazard),
     # huge/tiny magnitudes, exact duplicate of an existing vector
     "knn_brute_force",
