@@ -17,6 +17,19 @@ partition — a non-starter at 100 TB. Instead:
 Total cost: one range shuffle + one broadcast join; no single-partition
 stage. Result is exact regardless of sampled range boundaries because
 offsets come from actual partition counts.
+
+CRITICAL: the range-partitioned frame is consumed TWICE (counts + the
+final join), and RangePartitioner's reservoir sampling is seeded per RDD
+— two evaluations of the same subtree can sample DIFFERENT boundaries, so
+counts from evaluation A applied to evaluation B's partitions shift every
+index after the first divergent boundary. Invisible at small inputs
+(below ~sampleSizePerPartition the "sample" is the whole partition and
+boundaries are data-deterministic); at sf0.1 (15k rows / 32 partitions)
+the subsample diverged and indexes drifted by up to a few hundred. The
+eager ``localCheckpoint`` pins ONE partitioning for both consumers; with
+pinned boundaries the result is exact and run-invariant for ANY sampled
+boundary placement (earlier ranges hold strictly smaller keys, so
+index = earlier-range row count + local rank is boundary-independent).
 """
 
 from __future__ import annotations
@@ -44,7 +57,11 @@ def with_row_index(
         _PID, F.spark_partition_id()
     )
     local_w = Window.partitionBy(_PID).orderBy(*order)
-    part = part.withColumn(_LOCAL, F.row_number().over(local_w))
+    # eager localCheckpoint: BOTH consumers (counts, final join) must read
+    # the SAME materialized partitioning — see module docstring
+    part = part.withColumn(_LOCAL, F.row_number().over(local_w)).localCheckpoint(
+        eager=True
+    )
 
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
     # cumulative offset over the (tiny: one row per partition) counts DF

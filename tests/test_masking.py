@@ -291,3 +291,26 @@ def test_masking_report_synchro_cascade_and_masked_pk(spark, customer):
         masking_report(pre, post, anon.blueprints, ref_keys={"orders": ["o_orderkey"]})
     with pytest.raises(ValueError, match="ref_keys"):
         masking_report(pre, post, anon.blueprints, key_mappings=anon.key_mappings)
+
+
+def test_row_index_exact_in_subsampled_boundary_regime(spark):
+    """Regression (found by the sf0.1 full-registry sweep): when partitions
+    exceed RangePartitioner's reservoir sampleSizePerPartition, the sampled
+    boundaries become run-varying — and with the row-index frame consumed
+    twice (counts + final join), two evaluations used to sample DIFFERENT
+    boundaries, shifting every index after the first divergence. 60k rows
+    over 32 partitions forces the subsampling regime; the index must equal
+    the exact rank of the (shuffled-insertion-order) key, three runs in a
+    row."""
+    from pyspark.sql import functions as F
+
+    from mysql_data_anonymizer_spark.functions.rownum import with_row_index
+
+    # keys inserted in a scrambled order so range boundaries do real work
+    df = spark.range(60000).select(
+        F.xxhash64("id").alias("scramble"), (F.col("id") * 7 % 60000).alias("k")
+    ).orderBy("scramble").select("k")
+    for _ in range(3):
+        out = with_row_index(df, ["k"], "rn", num_partitions=32)
+        bad = out.where(F.col("rn") != F.col("k")).count()
+        assert bad == 0, f"{bad} drifted indexes"
