@@ -32,6 +32,7 @@ HEADLINE = [
     "mask_faker_profile",
     "mask_run_report",
     "mask_report_synchro_cascade",
+    "mask_plan_manifest",
     "k_anonymity_audit_customers",
     "dp_noised_counts_customers",
     "dp_bounded_sum_events",

@@ -8977,6 +8977,82 @@ QUERIES["schema_evolution_merge_read"] = schema_evolution_merge_read
 ORACLES["schema_evolution_merge_read"] = SCHEMA_EVOLUTION_SQL
 
 
+def mask_plan_manifest(spark, sf_dir):
+    """Masking-plan MANIFEST — the auditable face of the config surface
+    (reference src/Blueprint.php:87-202 builds the same structure
+    imperatively and never exposes it): a Blueprint declaring every mask
+    kind is normalized through the DSL into its MaskingPlan IR, and the
+    manifest reports one row per column spec (kind, guard, uniqueness,
+    synchro fan-out, pk, globalWhere count). This is what a compliance
+    review signs off on BEFORE a 100 TB masking run — and certifying it
+    against a pinned oracle means any silent DSL/IR normalization
+    regression (a guard dropped, a synchro target lost, a kind
+    misclassified) flips the driver gate, not just a unit test."""
+    from mysql_data_anonymizer_spark.blueprint import Blueprint
+
+    def spec(t):
+        t.primary("c_custkey")
+        t.globalWhere("c_acctbal > -900")
+        t.column("c_name").replaceWith("XXXX")
+        t.column("c_acctbal").where("c_acctbal < 0").replaceWith(0.0)
+        t.column("c_mktsegment").replaceWithGenerator("email", unique=True)
+        t.column("c_custkey").replaceWith(F.col("c_custkey") + 10**9)
+        t.synchronizeColumn(["o_custkey", "orders"])
+        t.column("c_nationkey").replaceByFields(lambda row, g: row["c_custkey"])
+
+    plan = Blueprint("customer", spec).plan
+
+    def kind(m):
+        if m.generator_formatter is not None:
+            return "generator"
+        if m.replace_by_fields is not None:
+            return "by_fields"
+        if callable(m.replace):
+            return "closure"
+        from pyspark.sql import Column
+
+        return "expression" if isinstance(m.replace, Column) else "static"
+
+    rows = [
+        (
+            plan.table,
+            m.name,
+            kind(m),
+            m.where is not None,
+            bool(m.unique),
+            len(m.synchro),
+            ",".join(plan.primary),
+            len(plan.global_where),
+        )
+        for m in plan.columns
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, mask_kind string, "
+        "guarded boolean, is_unique boolean, n_synchro int, "
+        "pk string, n_global_where int",
+    ).select(
+        "table_name", "column_name", "mask_kind", "guarded",
+        "is_unique", F.col("n_synchro").cast("long").alias("n_synchro"),
+        "pk", F.col("n_global_where").cast("long").alias("n_global_where"),
+    )
+
+
+MASK_PLAN_MANIFEST_SQL = """
+SELECT * FROM (VALUES
+  ('customer', 'c_name',       'static',     FALSE, FALSE, CAST(0 AS BIGINT), 'c_custkey', CAST(1 AS BIGINT)),
+  ('customer', 'c_acctbal',    'static',     TRUE,  FALSE, CAST(0 AS BIGINT), 'c_custkey', CAST(1 AS BIGINT)),
+  ('customer', 'c_mktsegment', 'generator',  FALSE, TRUE,  CAST(0 AS BIGINT), 'c_custkey', CAST(1 AS BIGINT)),
+  ('customer', 'c_custkey',    'expression', FALSE, FALSE, CAST(1 AS BIGINT), 'c_custkey', CAST(1 AS BIGINT)),
+  ('customer', 'c_nationkey',  'by_fields',  FALSE, FALSE, CAST(0 AS BIGINT), 'c_custkey', CAST(1 AS BIGINT))
+) AS t(table_name, column_name, mask_kind, guarded, is_unique, n_synchro, pk, n_global_where)
+"""
+
+
+QUERIES["mask_plan_manifest"] = mask_plan_manifest
+ORACLES["mask_plan_manifest"] = MASK_PLAN_MANIFEST_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -9033,6 +9109,7 @@ _CHECK_FIRST = [
     "hll_intersection_users",
     "streaming_stream_left_join",
     "schema_evolution_merge_read",
+    "mask_plan_manifest",
     "streaming_mask_pseudonymize",
     "streaming_static_enrich_agg",
     "streaming_parquet_sink_agg",

@@ -10,6 +10,7 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",
     "hll_intersection_users",

@@ -234,6 +234,7 @@ DEFAULT_QUERIES = [
     "q19_disjunctive_revenue",
     "mask_run_report",
     "mask_report_synchro_cascade",
+    "mask_plan_manifest",
 ]
 
 EDGE_TEXTS = [
