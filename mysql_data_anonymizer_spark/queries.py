@@ -9059,61 +9059,11 @@ ORACLES["mask_plan_manifest"] = MASK_PLAN_MANIFEST_SQL
 # re-checking queries that are already green.
 # ===========================================================================
 _CHECK_FIRST = [
-    # Ordering for the driver's bounded (~50-query) sample, round 6
-    # (VERDICT r5 #1: rotate the r3-stale cohort to the front so every
-    # registry query's latest driver cert becomes r4+).
-    # (1) new this round — never driver-certified
-    "mask_report_synchro_cascade",
-    "dedup_ngram_containment",
-    "dedup_boilerplate_chunks",
-    "decontaminate_bloom_ngrams",
-    "split_leakage_safe",
-    "hll_union_rollup_users",
-    "bloom_join_pruned_revenue",
-    "knn_sq8",
-    "dp_noised_counts_customers",
-    "xml_source_agg",
-    "text_source_agg",
-    "crypto_shred_rtbf",
-    "dq_checks_orders",
-    "gapfill_recursive_days",
-    "lateral_top2_orders_per_customer",
-    "t_closeness_audit_customers",
-    "max_concurrent_events_sweepline",
-    "frequent_part_pairs",
-    "interpolate_hourly_values",
-    "udtf_trigram_stats",
-    "mask_fpe_card_customers",
-    "mask_date_shift_orders",
-    "mask_swap_acctbal_nation",
-    "mask_microaggregate_acctbal",
-    "user_daily_streaks",
-    "ohlc_hourly_events",
-    "mask_pram_mktsegment",
-    "benford_first_digit_audit",
-    "not_in_null_aware_customers",
-    "bucketed_join_revenue",
-    "partition_pruned_orders_agg",
-    "cms_frequency_parts",
-    "streaming_ohlc_window_agg",
-    "bm25_term_scores",
-    "trigram_name_matches",
-    "knn_ivfpq",
-    "dp_bounded_sum_events",
-    "compact_small_files_events",
-    "pydatasource_write_roundtrip",
-    "readability_scores_docs",
-    "streaming_update_mode_agg",
-    "embedding_norms_arrow",
-    "entity_clusters_parts",
-    "hll_intersection_users",
-    "streaming_stream_left_join",
-    "schema_evolution_merge_read",
-    "mask_plan_manifest",
-    "streaming_mask_pseudonymize",
-    "streaming_static_enrich_agg",
-    "streaming_parquet_sink_agg",
-    # (2) stalest certs: last driver-certified r3 (44 queries)
+    # Ordering for the driver's bounded (~50-query) sample, round 7
+    # (VERDICT r6 #1: stalest-first. Every registry query's latest cert is
+    # green, so the round's job is refreshing the OLDEST certs — the r6-new
+    # cohort was certified last round and now sorts dead last).
+    # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",
     "bigram_collocations",
@@ -9158,7 +9108,7 @@ _CHECK_FIRST = [
     "variant_events_agg",
     "vocab_top_terms",
     "winsorize_events_value",
-    # (3) next-stalest: last certified r4
+    # (2) next-stalest: last certified r4 (50 queries)
     "anti_join_customers_no_orders",
     "approx_distinct_users_daily",
     "asof_last_order_per_event",
@@ -9209,6 +9159,58 @@ _CHECK_FIRST = [
     "text_winnowing",
     "top_supplier_per_nation",
     "topk_customers_per_segment",
+    # (3) last certified r5 (50 queries); the r6-new cohort (freshest certs)
+    # deliberately sorts after everything listed here.
+    "mask_static",
+    "mask_generator_email",
+    "mask_guarded",
+    "mask_global_where",
+    "mask_unique_uuid",
+    "grouping_sets_orders",
+    "cube_orders",
+    "events_hourly_window",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_nations",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "unpivot_lineitem_charges",
+    "stats_corr_qty_price",
+    "histogram_totalprice",
+    "ntile_deciles_acctbal",
+    "timeseries_gapfill_hourly",
+    "zscore_acctbal_per_segment",
+    "streaming_tumbling_agg",
+    "streaming_sliding_agg",
+    "streaming_session_agg",
+    "dedup_canonical_docs",
+    "mask_generator_profile",
+    "streaming_stateful_user_totals",
+    "corpus_quality_filter",
+    "stratified_sample_docs",
+    "scrub_documents_pii",
+    "pack_docs_token_bins",
+    "q2_min_cost_supplier",
+    "q20_volume_share_suppliers",
+    "dedup_incremental_new_docs",
+    "rolling_30d_order_stats",
+    "order_window_features",
+    "segment_nation_list",
+    "fuzzy_pairs_symdelete",
+    "compact_latest_events",
+    "knn_pq",
+    "decontaminate_semantic_embeddings",
+    "dedup_chunks_reconstruct",
+    "streaming_jdbc_upsert_agg",
+    "zorder_orders_key",
+    "pydatasource_stream_agg",
+    "zorder_lineitem_key3",
+    "mask_run_report",
+    "text_nfc_dedup_prep",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},
