@@ -126,7 +126,7 @@ def matmul_topk(
 
     def part_topk(batches):
         q_ids_l, q_mat_l, q_norm_l = b_q.value
-        best: dict[int, list] = {}
+        best: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             c = np.stack(pdf[vec_col].to_numpy())
@@ -135,18 +135,17 @@ def matmul_topk(
             scores = (c @ q_mat_l.T) / np.outer(c_norm, q_norm_l)  # |C| x |Q|
             scores = np.round(scores, 4)
             for qi, qid in enumerate(q_ids_l):
-                col = scores[:, qi]
                 mask = ids != qid
-                cand = list(zip(col[mask], ids[mask]))
-                pool = best.setdefault(int(qid), [])
-                pool.extend(cand)
-                # keep only local top-k (desc cosine, asc id)
-                pool.sort(key=lambda t: (-t[0], t[1]))
-                del pool[k:]
+                # local top-k via the shared vectorized pool (desc rounded
+                # cosine, asc id) — one code path for every ANN candidate
+                # pool (PQ/SQ8/IVFPQ use the same _merge_pool)
+                best[int(qid)] = _merge_pool(
+                    best.get(int(qid)), scores[:, qi][mask], ids[mask], k
+                )
         rows = [
             (qid, int(nid), float(cos), 0)
-            for qid, pool in best.items()
-            for cos, nid in pool
+            for qid, (pool_s, pool_i) in best.items()
+            for cos, nid in zip(pool_s, pool_i)
         ]
         yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
 
@@ -521,21 +520,31 @@ def _exact_rerank(
     """Shared exact re-rank tail of the quantized-candidate ANN family
     (PQ/ADC and SQ8): true cosine over the tiny candidate set only, with
     the oracle-stable rounding + (score, id) tie-break of
-    ``brute_force_topk``."""
+    ``brute_force_topk``.
+
+    Two deliberate divergences from the brute-force scorer, both because
+    the candidate set is O(|Q| * refine * k) — tiny by construction:
+    (a) ``cand`` is broadcast, so the corpus side is never shuffled for the
+    join; (b) the dot/norm use the HIGHER-ORDER ``aggregate`` form
+    (dim=None), not the unrolled element_at chain — the ~200-node unrolled
+    tree costs ~1.4 s of Catalyst analysis/codegen per fresh plan (measured
+    r7), which dwarfs any per-row win when only hundreds of rows are
+    scored. Both forms accumulate strictly left-to-right, so values are
+    bit-identical; ``dim`` is ignored for scoring."""
     c = (
         df.select(
-            F.col(id_col), F.col(vec_col).alias("__cv"), norm_expr(vec_col, dim).alias("__cn")
+            F.col(id_col), F.col(vec_col).alias("__cv"), norm_expr(vec_col, None).alias("__cn")
         )
-        .join(cand, id_col)
+        .join(F.broadcast(cand), id_col)
         .withColumnRenamed(id_col, "neighbor_id")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        norm_expr(vec_col, dim).alias("__qn"),
+        norm_expr(vec_col, None).alias("__qn"),
     )
     scored = c.join(F.broadcast(q), "query_id").withColumn(
-        "cosine", F.round(dot_expr("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")), 4)
+        "cosine", F.round(dot_expr("__qv", "__cv", None) / (F.col("__qn") * F.col("__cn")), 4)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     out = scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
