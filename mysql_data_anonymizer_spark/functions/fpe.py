@@ -37,8 +37,14 @@ from mysql_data_anonymizer_spark.functions.generator import _hex_val
 
 
 def _digit(card: Column, pos: int) -> Column:
-    """Integer value of the decimal digit at 1-based ``pos``."""
-    return F.substring(card, pos, 1).cast("int")
+    """Integer value of the decimal digit at 1-based ``pos``.
+
+    try_cast, not cast: under ANSI mode a plain cast of a non-digit (or of
+    the EMPTY string a short PAN yields beyond its length) would crash the
+    whole job — a malformed card must instead propagate NULL, so
+    ``luhn_valid`` returns NULL and ``fpe_mask_card`` masks to NULL
+    (fuzz/ADVICE r7 hardening; same discipline as the money casts)."""
+    return F.substring(card, pos, 1).try_cast("int")
 
 
 def _contrib(dig: Column, pos: int) -> Column:

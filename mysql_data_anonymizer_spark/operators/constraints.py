@@ -35,6 +35,15 @@ def dq_report(
     for k in checks:
         if k not in metrics:
             raise ValueError(f"check '{k}' has no matching metric")
+    missing = [k for k in metrics if k not in checks]
+    if missing:
+        # both directions validated (ADVICE r6): a metric without a check
+        # would otherwise crash below with a bare KeyError
+        raise ValueError(
+            f"metrics {missing} have no matching check; every metric needs "
+            "a boolean check expression (use lit(True) for report-only "
+            "metrics)"
+        )
     wide = wide.select(
         *[F.col(k) for k in metrics],
         *[checks[k].alias(f"__ok_{k}") for k in metrics],

@@ -118,27 +118,49 @@ def dp_bounded_sum(
     clamp_cents: int = 10000,
     epsilon: float = 0.5,
     seed: str = "dpsum",
+    max_groups: int = 1,
 ) -> DataFrame:
     """eps-DP SUM with per-user contribution bounding — the step the count
     mechanism (``dp_noised_counts``) doesn't need but every DP *sum/mean*
     release does: an unbounded user could shift the sum arbitrarily, so
-    sensitivity is undefined until each user's per-group total is CLAMPED
-    to [0, clamp_cents]. After clamping, sensitivity = clamp_cents and the
-    textbook Laplace mechanism applies with scale clamp_cents/eps
-    (Dwork et al. 2006; the contribution-bounding discipline of
-    Wilson et al., "Differentially Private SQL", VLDB 2020).
+    sensitivity is undefined until contributions are bounded. TWO bounds
+    are required (Wilson et al., "Differentially Private SQL", VLDB 2020):
+
+      1. VALUE bound: each user's per-group total is clamped to
+         [0, clamp_cents].
+      2. GROUP bound: each user contributes to at most ``max_groups``
+         groups — without it a user present in k groups shifts the full
+         release by k * clamp, so USER-level sensitivity is unbounded no
+         matter the clamp. Each user's top-``max_groups`` groups are kept
+         DETERMINISTICALLY (largest clamped total first, group-key string
+         as the tie-break), so the release stays run-reproducible and
+         SQL-replayable.
+
+    User-level L1 sensitivity is then max_groups * clamp_cents, and the
+    Laplace mechanism applies with scale max_groups * clamp_cents / eps
+    (Dwork et al. 2006) under add/remove-one-user adjacency.
 
     Money flows as EXACT CENTS (DECIMAL->BIGINT) end to end; the seeded
     inverse-CDF Laplace noise (md5(seed, group key), same auditable
     construction as dp_noised_counts) rounds to integer cents, so the
     release is bit-reproducible in plain SQL. Returns group_cols +
     (exact_sum_cents, noisy_sum_cents); callers release ONLY the noisy
-    column — exact is the certification twin.
+    column — exact is the certification twin. NOTE on the seeded noise:
+    the eps-DP guarantee holds only if ``seed`` is treated as a SECRET,
+    SINGLE-USE key (a public or reused seed makes the noise predictable);
+    the determinism buys auditability — same seed -> same release, a fresh
+    seed is a fresh epsilon spend. Group keys themselves should be PUBLIC
+    partitions (Wilson et al. §4.2): a group whose every contribution is
+    truncated away drops out of the release, which is only DP-safe when
+    the key list is data-independent.
 
     100 TB: two keyed shuffles — (user, group) partial sums then the group
-    rollup — both map-side combinable; clamp and noise are codegen
-    projections. No extra pass, no driver work."""
-    b = float(clamp_cents) / epsilon
+    rollup — plus one window partitioned by user for the group bound
+    (per-user row counts are the user's group fanout: tiny); clamp and
+    noise are codegen projections. No extra pass, no driver work."""
+    from pyspark.sql import Window
+
+    b = float(max_groups) * float(clamp_cents) / epsilon
     cents = F.col(value_col).cast("decimal(30,2)") * 100
     per_user = (
         df.where(F.col(value_col).isNotNull())
@@ -148,6 +170,15 @@ def dp_bounded_sum(
             "__clamped",
             F.greatest(F.lit(0), F.least(F.col("__user_cents"), F.lit(clamp_cents))),
         )
+    )
+    # group-contribution bound: keep each user's top-max_groups groups,
+    # deterministically (clamped DESC, sentinel group key ASC)
+    gkey = F.concat_ws(
+        ":", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in group_cols]
+    )
+    w_user = Window.partitionBy(user_col).orderBy(F.desc("__clamped"), gkey.asc())
+    per_user = per_user.withColumn("__gr", F.row_number().over(w_user)).where(
+        F.col("__gr") <= max_groups
     )
     out = per_user.groupBy(*group_cols).agg(
         F.sum("__clamped").cast("long").alias("exact_sum_cents")
@@ -320,8 +351,17 @@ def rank_swap_cyclic(
     plus ``swap_moved`` (did the value actually change — false only in
     degenerate all-equal or singleton groups).
 
-    100 TB: one keyed shuffle on the group key; lead/first_value ride a
-    single window over it. No self-join, no second pass.
+    End-of-partition is detected EXPLICITLY (rank == group size), not via
+    ``coalesce(lead(..), first(..))`` — coalesce cannot distinguish "no
+    successor" from "successor's value IS NULL", which would vanish NULLs
+    and duplicate the first value, breaking exact multiset preservation
+    for NULL-bearing groups (ADVICE r6). With NULLS LAST ordering the
+    NULLs sort to the tail and the cyclic shift permutes them like any
+    other value.
+
+    100 TB: one keyed shuffle on the group key; lead/first_value/count
+    ride windows over that same partitioning. No self-join, no second
+    pass.
     """
     from pyspark.sql import Window
 
@@ -331,9 +371,11 @@ def rank_swap_cyclic(
         F.col(value_col).asc_nulls_last(),
         *[F.col(c).asc_nulls_last() for c in order_cols],
     )
-    swapped = F.coalesce(
-        F.lead(value_col).over(w), F.first(value_col).over(w)
-    )
+    wg = Window.partitionBy(*group_cols)
+    swapped = F.when(
+        F.row_number().over(w) == F.count(F.lit(1)).over(wg),
+        F.first(value_col).over(w),
+    ).otherwise(F.lead(value_col).over(w))
     return df.withColumn(f"{value_col}_swapped", swapped).withColumn(
         "swap_moved", ~F.col(f"{value_col}_swapped").eqNullSafe(F.col(value_col))
     )

@@ -87,10 +87,13 @@ def max_concurrency(
     )
     # one pass: max_by over the lexicographic (run, -t) struct picks the max
     # run and, among its peak rows, the EARLIEST t — no second scan of the
-    # boundary table to locate the argmax
+    # boundary table to locate the argmax. The tie-break negates
+    # unix_micros(t), NOT a cast-to-long (which truncates to whole seconds
+    # and leaves sub-second boundary ties nondeterministic — ADVICE r6;
+    # the oracle computes an exact MIN(t) among peaks).
     return runs.groupBy("k").agg(
         F.max("run").alias("max_concurrent"),
         F.max_by(
-            "t", F.struct(F.col("run"), (-F.col("t").cast("long")).alias("nt"))
+            "t", F.struct(F.col("run"), (-F.unix_micros(F.col("t"))).alias("nt"))
         ).alias("peak_ts"),
     ).select(F.col("k").alias(key_col), "max_concurrent", "peak_ts")

@@ -186,7 +186,17 @@ class HexLinesWriter(DataSourceWriter):
 
     def commit(self, messages):
         import os
+        import shutil
 
+        # honor mode("overwrite"): clear previously PUBLISHED part files
+        # before renaming the new ones in — otherwise old and new data mix
+        # while _SUCCESS lists only the new files (ADVICE r6)
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and os.path.isfile(
+                    os.path.join(self.path, name)
+                ):
+                    os.remove(os.path.join(self.path, name))
         published = []
         for m in messages:
             base = os.path.basename(m.path)
@@ -195,6 +205,9 @@ class HexLinesWriter(DataSourceWriter):
             published.append(base)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write("\n".join(sorted(published)))
+        # drop the staging dir: losing speculative attempts' orphans would
+        # otherwise accumulate forever (abort only runs on failure)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
 
     def abort(self, messages):
         import os

@@ -1079,3 +1079,160 @@ def test_ivfpq_rejects_bad_inputs(spark, embeddings):
         similarity.ivfpq_topk(empty, q, k=5)
     with pytest.raises(ValueError, match="subspaces"):
         similarity.ivfpq_topk(embeddings, q, k=5, m=7)
+
+
+# --------------------------------------------------- ADVICE r6 regressions
+def test_rank_swap_preserves_null_bearing_multiset(spark):
+    """End-of-partition must be detected explicitly: with a NULL-valued
+    successor, coalesce(lead, first) released the group's FIRST value
+    instead of NULL — NULLs vanished and the first value duplicated
+    (ADVICE r6). The swapped column must be an exact permutation of the
+    group's multiset, NULLs included."""
+    from mysql_data_anonymizer_spark.operators import privacy
+
+    rows = [
+        ("g1", 1, 10.0), ("g1", 2, 20.0), ("g1", 3, None),
+        ("g2", 4, None), ("g2", 5, None), ("g2", 6, 7.0),
+        ("g3", 7, 1.0),  # singleton wraps to itself
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    out = privacy.rank_swap_cyclic(df, ["grp"], "v", ["id"]).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, ([], []))
+        by_grp[r.grp][0].append(r.v)
+        by_grp[r.grp][1].append(r.v_swapped)
+    for g, (orig, swapped) in by_grp.items():
+        assert sorted(orig, key=lambda x: (x is None, x)) == sorted(
+            swapped, key=lambda x: (x is None, x)
+        ), f"group {g}: swap must permute the multiset exactly"
+    # the row BEFORE the NULL tail must release NULL, not the first value
+    g1 = {r.id: r.v_swapped for r in out if r.grp == "g1"}
+    assert g1[2] is None
+    assert g1[3] == 10.0  # last wraps to first
+    g3 = [r for r in out if r.grp == "g3"][0]
+    assert g3.v_swapped == 1.0 and g3.swap_moved is False
+
+
+def test_sweepline_peak_ts_subsecond_tie_deterministic(spark):
+    """peak_ts tie-break uses unix_micros, not a seconds-truncating cast:
+    two sub-second boundary instants in the same second that both reach
+    the max run must deterministically yield the EARLIEST (ADVICE r6)."""
+    from mysql_data_anonymizer_spark.operators.sweepline import max_concurrency
+
+    rows = [
+        # peak of 2 reached at .200 and again at .700 within the same second
+        ("k", "2024-01-01 00:00:00.100", "2024-01-01 00:00:00.400"),
+        ("k", "2024-01-01 00:00:00.200", "2024-01-01 00:00:00.500"),
+        ("k", "2024-01-01 00:00:00.600", "2024-01-01 00:00:00.900"),
+        ("k", "2024-01-01 00:00:00.700", "2024-01-01 00:00:00.950"),
+    ]
+    df = spark.createDataFrame(rows, "key string, s string, e string").select(
+        "key",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    for _ in range(3):
+        out = max_concurrency(df, "key", "s", "e").collect()
+        assert len(out) == 1
+        assert out[0].max_concurrent == 2
+        assert out[0].peak_ts.microsecond == 200000, (
+            "earliest sub-second peak instant must win the tie"
+        )
+
+
+def test_dq_report_metric_without_check_raises(spark):
+    """A metric supplied without a matching check must raise a descriptive
+    ValueError, not crash with a bare KeyError (ADVICE r6)."""
+    from mysql_data_anonymizer_spark.operators.constraints import dq_report
+
+    df = spark.createDataFrame([(1,), (2,)], "a long")
+    with pytest.raises(ValueError, match="no matching check"):
+        dq_report(
+            df,
+            metrics={"n": F.count(F.lit(1)), "m": F.max("a")},
+            checks={"n": F.col("n") > 0},
+        )
+    # and the reverse direction still raises too
+    with pytest.raises(ValueError, match="no matching metric"):
+        dq_report(df, metrics={"n": F.count(F.lit(1))},
+                  checks={"n": F.col("n") > 0, "ghost": F.lit(True)})
+
+
+def test_dp_bounded_sum_group_contribution_bound(spark):
+    """User-level sensitivity: a user active in k groups must contribute to
+    at most max_groups of them (top-by-clamped, deterministic), so one
+    user's removal shifts the release by <= max_groups * clamp
+    (ADVICE r6; Wilson et al. VLDB 2020)."""
+    from mysql_data_anonymizer_spark.operators import privacy
+
+    rows = [("u1", g, 500.0) for g in ["a", "b", "c", "d", "e"]] + [
+        ("u2", "a", 10.0), ("u2", "b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user string, grp string, v double")
+    out = privacy.dp_bounded_sum(
+        df, ["grp"], "user", "v", clamp_cents=10000, epsilon=0.5,
+        max_groups=2, seed="t",
+    ).collect()
+    sums = {r.grp: r.exact_sum_cents for r in out}
+    # u1 clamps to 10000 in every group but may only keep 2 (ties broken by
+    # group name: a, b); u2 contributes 1000/500 cents to a/b
+    assert sums == {"a": 10000 + 1000, "b": 10000 + 500}
+    total_u1 = sum(v for g, v in sums.items()) - 1000 - 500
+    assert total_u1 <= 2 * 10000  # the sensitivity bound itself
+
+
+def test_hexlines_overwrite_clears_published_and_staging(tmp_path):
+    """mode('overwrite') must not mix old and new published files, and a
+    successful commit must remove the staging dir (ADVICE r6)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from mysql_data_anonymizer_spark.sources.pydatasource import HexLinesWriter
+
+    target = str(tmp_path / "out")
+    os.makedirs(target)
+    w1 = HexLinesWriter({"path": target}, overwrite=False)
+    m1 = w1.write(iter([Row(a=1)]))
+    w1.commit([m1])
+    old = [f for f in os.listdir(target) if f.endswith(".txt")]
+    assert len(old) == 1
+    assert not os.path.exists(os.path.join(target, "_staging"))
+
+    # overwrite: the old published file must be gone afterwards
+    w2 = HexLinesWriter({"path": target}, overwrite=True)
+    m2 = w2.write(iter([Row(a=2)]))
+    w2.commit([m2])
+    now = [f for f in os.listdir(target) if f.endswith(".txt")]
+    assert len(now) == 1 and now[0] != old[0]
+    assert open(os.path.join(target, "_SUCCESS")).read().strip() == now[0]
+    assert not os.path.exists(os.path.join(target, "_staging"))
+
+    # append mode keeps prior files
+    w3 = HexLinesWriter({"path": target}, overwrite=False)
+    m3 = w3.write(iter([Row(a=3)]))
+    w3.commit([m3])
+    assert len([f for f in os.listdir(target) if f.endswith(".txt")]) == 2
+
+
+def test_fpe_malformed_pans_mask_to_null_not_crash(spark):
+    """Short, non-digit, empty, and NULL PANs must propagate NULL through
+    fpe_mask_card/luhn_valid instead of crashing the job — under ANSI mode
+    a plain cast of the empty substring beyond a short PAN's length raises
+    (ADVICE/VERDICT r6 fuzz hardening; fpe.py uses try_cast)."""
+    from mysql_data_anonymizer_spark.functions import fpe
+
+    df = spark.createDataFrame(
+        [("4532015112830366",), ("123",), ("abcd5678abcd5678",), ("",), (None,)],
+        "cc string",
+    )
+    out = {r.cc: (r.m, r.ok) for r in df.select(
+        "cc",
+        fpe.fpe_mask_card(F.col("cc")).alias("m"),
+        fpe.luhn_valid(F.col("cc")).alias("ok"),
+    ).collect()}
+    m, ok = out["4532015112830366"]
+    assert ok is True and len(m) == 16 and m[:6] == "453201" and m[-4:] == "0366"
+    for bad in ["123", "abcd5678abcd5678", "", None]:
+        assert out[bad] == (None, None), f"malformed PAN {bad!r} must yield NULLs"

@@ -668,3 +668,50 @@ def test_left_outer_eviction_boundary(spark, tmp_path):
         f"became inclusive; flip STREAMING_LEFT_JOIN_SQL to <=: {emitted}"
     )
     assert emitted == {1}, f"in-horizon click leaked: {emitted}"
+
+
+def test_left_outer_join_one_empty_side_withholds_everything(spark, tmp_path):
+    """Stream-stream LEFT OUTER with a completely EMPTY right side: the
+    right watermark never advances, so the JOINT watermark stays at the
+    floor and append mode withholds every left row — zero output, zero
+    crash (VERDICT r6 #7 edge). This is the semantics an oracle naively
+    NULL-extending unmatched rows would get wrong: Spark holds them until
+    the right side's clock moves, which with no right data is never."""
+    import os
+    import uuid
+    from datetime import datetime
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import (
+        stream_stream_left_join,
+    )
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    clicks_only = spark.createDataFrame(
+        [(1, t(10, 0), 7, "click"), (2, t(11, 0), 8, "click"),
+         (3, t(12, 0), 9, "click")],
+        schema,
+    )
+    stage = tmp_path / "empty_side_stage"
+    stage.mkdir()
+    tmp = tmp_path / "w0"
+    clicks_only.coalesce(1).write.parquet(str(tmp))
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.rename(str(tmp / part), str(stage / "all.parquet"))
+    stream = (
+        spark.readStream.schema(clicks_only.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    j = stream_stream_left_join(stream, "click", "view", within="10 minutes",
+                                watermark="30 minutes")
+    name = f"lo_empty_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table(name).count() == 0

@@ -235,6 +235,22 @@ DEFAULT_QUERIES = [
     "mask_run_report",
     "mask_report_synchro_cascade",
     "mask_plan_manifest",
+    # r7: the last uncovered registry queries. The source round-trips
+    # (csv/json/orc/binaryfile/jdbc) SERIALIZE the fuzzed tables and read
+    # them back, so unicode, empty strings, 1e12 values, NULL keys, and
+    # boundary timestamps now flow through every parser/writer; the
+    # pydatasource pair generates its own deterministic rows (fixture-
+    # independent, included for completeness); the media pair exercises the
+    # binary manifest path over the fuzzed documents.
+    "csv_source_agg",
+    "json_source_agg",
+    "orc_source_agg",
+    "binaryfile_media_manifest",
+    "jdbc_roundtrip_agg",
+    "media_frame_sample",
+    "multimodal_featurize",
+    "pydatasource_stream_agg",
+    "pydatasource_synth_agg",
 ]
 
 EDGE_TEXTS = [

@@ -72,6 +72,18 @@ FAMILIES = [
     # round-6 additions
     "knn_ivfpq",
     "bm25_term_scores",
+    # round-7 additions (VERDICT r6 #5): the streaming family. The Kx
+    # events slice multiplies USER cardinality at unchanged time range, so
+    # what is being measured is exactly the 100 TB streaming question —
+    # does watermarked state (keys x windows) grow linearly in keys while
+    # wall-clock stays scan-bound? Micro-batch machinery is a fixed cost,
+    # so healthy rows show slope << K.
+    "streaming_tumbling_agg",
+    "streaming_session_agg",
+    "streaming_stateful_user_totals",
+    "streaming_ohlc_window_agg",
+    "streaming_update_mode_agg",
+    "streaming_stream_left_join",
 ]
 
 
@@ -91,6 +103,9 @@ def build_slice(spark, k: int) -> str:
     out = os.path.join(OUT_ROOT, f"x{k}")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
+        # events were added in r7: upgrade pre-existing slices in place
+        if not os.path.exists(os.path.join(out, "_COMPLETE_EVENTS")):
+            _build_events_slice(k, out)
         return out
     from pyspark.sql import functions as F
 
@@ -134,8 +149,42 @@ def build_slice(spark, k: int) -> str:
     for e in emb_parts[1:]:
         big_emb = big_emb.unionByName(e)
     big_emb.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    _build_events_slice(k, out)
     open(marker, "w").close()
     return out
+
+
+def _build_events_slice(k: int, out: str) -> None:
+    """events: K copies with user_id/event_id offset by the copy index and
+    the TIME RANGE UNCHANGED — streaming state (keys x open windows) and
+    shuffle width scale by K while the watermark frontier and window
+    structure stay identical per copy. Written as ONE parquet FILE
+    (pyarrow, not a Spark dir) because the streaming queries symlink
+    {sf_dir}/events.parquet as a single file into their staging dir."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{BASE}/events.parquet")
+    n_users = 1 + pc.max(tbl.column("user_id")).as_py()
+    n_events = 1 + pc.max(tbl.column("event_id")).as_py()
+    copies = []
+    for c in range(k):
+        t = tbl
+        if c > 0:
+            t = t.set_column(
+                t.schema.get_field_index("event_id"),
+                "event_id",
+                pc.add(t.column("event_id"), c * n_events),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("user_id"),
+                "user_id",
+                pc.add(t.column("user_id"), c * n_users),
+            )
+        copies.append(t)
+    pq.write_table(pa.concat_tables(copies), f"{out}/events.parquet")
+    open(os.path.join(out, "_COMPLETE_EVENTS"), "w").close()
 
 
 def time_family(spark, name: str, sf_dir: str, k: int = 1) -> tuple[float, int]:
