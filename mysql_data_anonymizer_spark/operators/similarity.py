@@ -206,6 +206,7 @@ def lsh_topk(
     seed: int = 42,
     multiprobe: bool = True,
     dim: int = 64,
+    score_dim: int | None = DEFAULT_DIM,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH.
 
@@ -216,19 +217,26 @@ def lsh_topk(
     fixture). Multiprobe additionally probes the b Hamming-1 buckets per
     table on the (small) query side. Corpus is exploded x L — the standard
     LSH memory/recall trade — then candidates dedup, exact re-rank.
-    Recall < 1 by construction; tested against brute_force_topk recall."""
+    Recall < 1 by construction; tested against brute_force_topk recall.
+
+    ``score_dim`` picks the dot-product FORM for the candidate scoring
+    (same knob as semantic_dedup_ivf's ``dim``): default = unrolled
+    element_at chain, execution-optimal at production candidate volumes;
+    explicit ``None`` = higher-order aggregate, bit-identical values with
+    ~1.4 s less Catalyst compile per fresh plan — for bounded
+    certification corpora where analysis, not execution, dominates."""
     planes = hyperplanes(dim, n_planes, seed)
     b = n_planes // n_tables
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        norm_expr(vec_col).alias("__cn"),
+        norm_expr(vec_col, score_dim).alias("__cn"),
         F.explode(bucket_expr(vec_col, planes, n_tables)).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        norm_expr(vec_col).alias("__qn"),
+        norm_expr(vec_col, score_dim).alias("__qn"),
         F.explode(bucket_expr(vec_col, planes, n_tables)).alias("bucket"),
     )
     if multiprobe:
@@ -238,7 +246,7 @@ def lsh_topk(
         q = q.withColumn("bucket", F.explode(probes))
     pairs = c.join(F.broadcast(q), "bucket").where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.withColumn(
-        "cosine", F.round(dot_expr("__qv", "__cv") / (F.col("__qn") * F.col("__cn")), 4)
+        "cosine", F.round(dot_expr("__qv", "__cv", score_dim) / (F.col("__qn") * F.col("__cn")), 4)
     ).select("query_id", "neighbor_id", "cosine").distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     out = scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)

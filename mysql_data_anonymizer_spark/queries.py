@@ -4667,7 +4667,11 @@ def knn_lsh(spark, sf_dir):
     # brute_force_topk (asserted in tests and by the shared oracle) but
     # ~3x cheaper, so certification cost stays bounded
     exact = similarity.matmul_topk(emb, queries, k=5)
-    approx = similarity.lsh_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    # score_dim=None -> HOF dot for candidate scoring (bit-identical; saves
+    # ~1.4 s Catalyst compile on this bounded certification corpus)
+    approx = similarity.lsh_topk(emb, queries, k=5, score_dim=None).select(
+        "query_id", "neighbor_id"
+    )
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").groupBy(
         "query_id"
     ).agg(F.count(F.lit(1)).alias("__hits"))
@@ -4692,8 +4696,11 @@ def knn_ivf(spark, sf_dir):
     # brute_force_topk (asserted in tests and by the shared oracle) but
     # ~3x cheaper, so certification cost stays bounded
     exact = similarity.matmul_topk(emb, queries, k=5)
+    # dim=None -> HOF dot for probed-cell scoring (bit-identical; saves
+    # ~1.4 s Catalyst compile on this bounded certification corpus)
     approx = similarity.ivf_topk(
-        emb, queries, k=5, nprobe=8, centroids=_ann_models(spark, sf_dir, emb)[0]
+        emb, queries, k=5, nprobe=8, dim=None,
+        centroids=_ann_models(spark, sf_dir, emb)[0],
     ).select("query_id", "neighbor_id")
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
         F.count(F.lit(1)).alias("__hits")
