@@ -351,7 +351,12 @@ INVARIANCE_SAMPLE = [
     # IDENTICAL release under any layout (same class as the DP release)
     "mask_pram_mktsegment",
     # DP bounded sum: clamped cents + seeded noise, same invariance class
+    # (r7: plus the deterministic per-user top-G group-bound window)
     "dp_bounded_sum_events",
+    # r7: cyclic rank swap — row_number/count/lead over the same ordered
+    # group window; the end-of-partition rank detection must be identical
+    # under any partitioning
+    "mask_swap_acctbal_nation",
 ]
 
 
