@@ -140,6 +140,7 @@ HEADLINE = [
     "text_fingerprint_groups",
     "text_lang_source_stats",
     "corpus_quality_filter",
+    "quality_classifier_scores",
     "stratified_sample_docs",
     "scrub_documents_pii",
     "pack_docs_token_bins",
@@ -147,6 +148,7 @@ HEADLINE = [
     "cap_docs_per_source",
     "shard_training_corpus",
     "rebalance_corpus_mix",
+    "mix_temperature_sample",
     "importance_sample_docs",
     "pretraining_pipeline_e2e",
     "vocab_top_terms",

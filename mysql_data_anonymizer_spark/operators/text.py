@@ -86,6 +86,63 @@ def quality_score(text: Column) -> Column:
     return F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0))
 
 
+HASHED_QUALITY_DIM = 1 << 18  # feature-hashing buckets (the fasttext default ballpark)
+
+
+def _md5_u32(col: Column) -> Column:
+    """First 8 hex digits of md5(col) as a long in [0, 2^32) — the
+    engine-side twin of queries._sql_md5_u32."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hashed_quality_features(
+    text: Column, dim: int = HASHED_QUALITY_DIM, seed: str = "qw9"
+) -> Column:
+    """Hashed-linear quality scoring — the MODEL-BASED corpus filter shape
+    (fastText / DCLM / fineweb-edu classifiers) that complements the
+    heuristic ``quality_score``: tokens hash into ``dim`` buckets (the
+    hashing trick — colliding tokens SHARE a weight, which is what makes
+    the feature space bounded at any vocabulary size) and the document
+    score is the mean bucket weight.
+
+    Weights here are a DETERMINISTIC keyed stand-in, w(f) =
+    (u32(md5(seed:f)) mod 2001) - 1000 in [-1000, 1000] (no labeled data
+    ships with this repo, and a real model's .bin is an artifact, not
+    code); production swaps the w() lambda for a broadcast weight array
+    loaded from a trained model — every other part of the plan (tokenize,
+    hash, aggregate, threshold) is exactly what the real filter runs.
+
+    Returns a struct (n_tokens long, w_sum long): the weight sum is EXACT
+    integer arithmetic (the repo's cross-engine discipline — the score is
+    one IEEE division of exact ints done by the caller), and the keep
+    decision can be taken on integers alone (w_sum >= 0). Map-only: one
+    whole-stage-codegen projection per row, zero shuffle, zero Python —
+    at 100 TB this is a pure scan stage riding whatever else reads the
+    corpus."""
+    def _features(tk: Column) -> Column:
+        def w(t: Column) -> Column:
+            f = _md5_u32(t) % F.lit(dim)
+            return (
+                _md5_u32(F.concat(F.lit(f"{seed}:"), f.cast("string"))) % F.lit(2001)
+            ) - F.lit(1000)
+
+        return F.struct(
+            F.size(tk).cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.transform(tk, w), F.lit(0).cast("long"), lambda a, v: a + v
+            ).alias("w_sum"),
+        )
+
+    # trim+lower+split+drop-empties: the corpus-wide tokenization contract
+    # every oracle in this repo replays (vocab_top_terms etc.)
+    toks = F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    # _let: bind the token array once — predicate pushdown would otherwise
+    # inline the split() into every lambda reference (see _let docstring)
+    return _let(toks, _features)
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Stopword-vote score per candidate language."""
     out = {}

@@ -9135,6 +9135,127 @@ ORACLES["mask_plan_manifest"] = MASK_PLAN_MANIFEST_SQL
 
 
 # ===========================================================================
+# round 7: model-shaped quality filter + temperature mix sampling
+# ===========================================================================
+def quality_classifier_scores(spark, sf_dir):
+    """Model-based corpus quality filter (operators/text.py::
+    hashed_quality_features) — the fastText/DCLM/fineweb-edu classifier
+    SHAPE: tokens hash into 2^18 buckets (the hashing trick — collisions
+    share weights, bounding the feature space at any vocabulary), the doc
+    score is the mean bucket weight, and the keep decision is taken on
+    EXACT integers (w_sum >= 0; n_tokens > 0) so it is bit-reproducible.
+    Weights are a deterministic keyed stand-in (a trained model's weights
+    are an artifact, not code); production swaps in a broadcast weight
+    array — tokenize/hash/aggregate/threshold, i.e. the whole PLAN, is
+    unchanged. Map-only: one codegen projection per row, zero shuffle,
+    zero Python — at 100 TB this rides the same scan as any other
+    curation predicate. ``quality`` is one IEEE division of exact ints
+    (cross-engine stable); empty docs score NULL and are dropped."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", text.hashed_quality_features(F.col("text")).alias("__f")
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.col("__f.n_tokens").alias("n_tokens"),
+        F.col("__f.w_sum").alias("w_sum"),
+        F.try_divide(
+            F.col("__f.w_sum").cast("double"), F.col("__f.n_tokens").cast("double")
+        ).alias("quality"),
+        ((F.col("__f.n_tokens") > 0) & (F.col("__f.w_sum") >= 0)).alias("keep"),
+    )
+
+
+def _gen_quality_classifier_sql(dim: int = 1 << 18, seed: str = "qw9") -> str:
+    tok_u32 = _sql_md5_u32("md5(t)", 1)
+    f = f"({tok_u32} % {dim})"
+    w_u32 = _sql_md5_u32(f"md5('{seed}:' || CAST({f} AS VARCHAR))", 1)
+    w = f"(({w_u32} % 2001) - 1000)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+), agg AS (
+  SELECT doc_id, lang,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(tk, t -> {w})), 0) AS BIGINT)
+           AS w_sum
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, w_sum,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST(w_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS quality,
+       (n_tokens > 0 AND w_sum >= 0) AS keep
+FROM agg
+"""
+
+
+QUERIES["quality_classifier_scores"] = quality_classifier_scores
+ORACLES["quality_classifier_scores"] = _gen_quality_classifier_sql()
+
+
+def mix_temperature_sample(spark, sf_dir):
+    """Temperature-based mixture sampling (tau = 0.5) — the multilingual /
+    multi-domain pretraining rebalance (mBERT, XLM-R, PaLM style): target
+    share of domain i is proportional to n_i^tau, so tau < 1 flattens the
+    mix toward uniform and upweights tail domains WITHOUT fixed target
+    shares (rebalance_corpus_mix is the fixed-share complement). With
+    tau = 1/2 the per-domain keep rate collapses to
+    sqrt(n_min / n_i) — the scarcest domain keeps 100% and every other
+    downsamples toward it. sqrt and the one division are both
+    correctly-rounded IEEE ops on exact integer counts, so the floor'd
+    millionths threshold agrees bit-exactly with the SQL twin (the
+    repo-wide rule: transcendentals are unstable cross-engine, sqrt is
+    NOT — it is exactly rounded per IEEE-754).
+
+    Scale shape: per-domain counts are one tiny aggregate; the rate table
+    broadcasts back; the keep gate is one codegen'd md5 predicate — the
+    corpus NEVER shuffles and the kept set is partitioning-invariant and
+    replayable."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.col("n_l").cast("long").alias("n_l"),
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_l").cast("double")).alias(
+            "keep_rate"
+        ),
+    )
+    d = F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string")))
+    gate = F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % 1000000
+    return (
+        docs.join(F.broadcast(rates), ["lang"])
+        .where(gate < F.floor(F.col("keep_rate") * 1000000).cast("long"))
+        .select("doc_id", "lang", "source", "n_l")
+    )
+
+
+_TMIX_GATE = _sql_md5_u32("md5('tmix:' || CAST(doc_id AS VARCHAR))", 1)
+
+MIX_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n_l,
+         sqrt(CAST((SELECT MIN(n_l) FROM counts) AS DOUBLE)
+              / CAST(n_l AS DOUBLE)) AS keep_rate
+  FROM counts
+)
+SELECT d.doc_id, d.lang, d.source, r.n_l
+FROM documents d JOIN rates r USING (lang)
+WHERE ({_TMIX_GATE} % 1000000) < CAST(FLOOR(r.keep_rate * 1000000) AS BIGINT)
+"""
+
+
+QUERIES["mix_temperature_sample"] = mix_temperature_sample
+ORACLES["mix_temperature_sample"] = MIX_TEMPERATURE_SQL
+
+
+# ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
 # re-checking queries that are already green.
@@ -9144,6 +9265,9 @@ _CHECK_FIRST = [
     # (VERDICT r6 #1: stalest-first. Every registry query's latest cert is
     # green, so the round's job is refreshing the OLDEST certs — the r6-new
     # cohort was certified last round and now sorts dead last).
+    # (0) new this round — never driver-certified
+    "quality_classifier_scores",
+    "mix_temperature_sample",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -76,6 +76,9 @@ BNL_OK: set[str] = {
     # recursive-CTE gap-fill: day-spine x type-dim crossJoin, both tiny by
     # construction (#days x #types)
     "gapfill_recursive_days",
+    # temperature mix: the 1-row n_min aggregate is BROADCAST cross-joined
+    # onto the per-lang counts (bounded by #langs) — same class as q11
+    "mix_temperature_sample",
     # collocations: the corpus-total (t_uni, t_bi) scalars are a BROADCAST
     # 1-row aggregate cross-joined onto the bigram table — bounded by
     # construction, same class as q11's threshold
