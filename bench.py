@@ -202,6 +202,7 @@ HEADLINE = [
     "knn_pq",
     "knn_sq8",
     "knn_ivfpq",
+    "hybrid_search_rrf",
     "embedding_norms_arrow",
     "multimodal_featurize",
     "streaming_tumbling_agg",

@@ -803,3 +803,101 @@ def sq8_topk(
 
     cand = df.select(id_col, vec_col).mapInPandas(part_candidates, out_schema).distinct()
     return _exact_rerank(df, queries, cand, k, id_col, vec_col, dim)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical ranker + reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+def lexical_jaccard_topk(
+    docs: DataFrame,
+    query_docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set-Jaccard top-k per query document — the LEXICAL rung
+    of hybrid retrieval (the BM25-family complement to dense cosine).
+
+    Scoring is EXACT INTEGER arithmetic end-to-end: ``jacc_sc =
+    FLOOR(1e6 * |A∩B| / |A∪B|)`` — the one IEEE division is over exactly
+    representable ints and is correctly rounded, so Spark and any ANSI
+    engine floor the SAME value (the repo's cross-engine discipline).
+
+    Scale shape mirrors ``brute_force_topk``: the query token sets are
+    broadcast, the corpus streams map-side (tokenize + two array ops per
+    pair, whole-stage codegen), and the only shuffle is the per-query
+    top-k window over |Q|·|corpus| scored rows. When that product is too
+    large, block by token prefix / posting lists first
+    (``dedup.ngram_jaccard_candidates`` is the bucketed template)."""
+    def tok(c: Column) -> Column:
+        return F.array_distinct(
+            F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: F.length(t) > 0)
+        )
+
+    q = query_docs.select(
+        F.col(id_col).alias("query_id"), tok(F.col(text_col)).alias("__qt")
+    )
+    c = docs.select(
+        F.col(id_col).alias("neighbor_id"), tok(F.col(text_col)).alias("__ct")
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    inter = F.size(F.array_intersect("__qt", "__ct")).cast("long")
+    uni = F.size(F.array_union("__qt", "__ct")).cast("long")
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.when(uni > 0, F.floor(inter * F.lit(1000000).cast("long") / uni))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("jacc_sc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jacc_sc"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR 2009) of named rankers.
+
+    Each input is ``(name, df)`` with columns (query_id, neighbor_id, rank);
+    a candidate absent from a ranker contributes 0 and reports rank -1. The
+    fused score is ``sum(FLOOR(1e9 / (rrf_k + rank)))`` — integer-exact and
+    engine-independent (same correctly-rounded-division argument as the
+    lexical ranker), so the whole output hashes bit-stably.
+
+    Scale: every ranker's candidate list is top-k-bounded (|Q|·k rows), so
+    the fusion is a tiny multi-way outer join — negligible next to the
+    rankers themselves."""
+    contrib = F.floor(F.lit(1000000000).cast("long") / (F.lit(rrf_k) + F.col("rank")))
+    fused = None
+    for name, df in rankings:
+        part = df.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").alias(f"{name}_rank"),
+            contrib.cast("long").alias(f"__c_{name}"),
+        )
+        fused = part if fused is None else fused.join(
+            part, ["query_id", "neighbor_id"], "full_outer"
+        )
+    score = None
+    for name, _ in rankings:
+        c = F.coalesce(F.col(f"__c_{name}"), F.lit(0).cast("long"))
+        score = c if score is None else score + c
+    fused = fused.withColumn("rrf_score", score.cast("long"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    out_cols = ["query_id", "neighbor_id"] + [
+        F.coalesce(F.col(f"{name}_rank"), F.lit(-1).cast("long")).alias(f"{name}_rank")
+        for name, _ in rankings
+    ] + ["rrf_score"]
+    return (
+        fused.select(*out_cols, F.row_number().over(w).cast("long").alias("fused_rank"))
+        .where(F.col("fused_rank") <= k)
+    )

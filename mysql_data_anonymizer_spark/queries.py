@@ -9255,6 +9255,100 @@ QUERIES["mix_temperature_sample"] = mix_temperature_sample
 ORACLES["mix_temperature_sample"] = MIX_TEMPERATURE_SQL
 
 
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. SIGIR
+    2009) — the standard RAG serving shape: a DENSE ranker (exact cosine
+    top-10, similarity.brute_force_topk) and a LEXICAL ranker (token-set
+    Jaccard top-10, similarity.lexical_jaccard_topk) fused by
+    rrf_score = Σ FLOOR(1e9 / (60 + rank)), absent-from-ranker → 0.
+
+    Every output column is BIGINT (ranks, fused rank, score) — rank-of-
+    rounded-cosine and integer-floored divisions are the only places
+    doubles appear, and both are correctly-rounded IEEE ops over exact
+    operands, so the result hashes bit-stably cross-engine.
+
+    Scale shape: both rankers broadcast the bounded query set and reduce
+    the corpus to |Q|·10 candidates before fusion, so the fusion join is
+    tiny by construction; the rankers themselves are the audited ANN /
+    map-only-scoring paths (swap brute_force_topk for ivf/pq at corpus
+    scale — the fused contract is ranker-agnostic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    # dim=None -> HOF dot (certification corpus: saves ~1.4 s Catalyst
+    # compile, bit-identical values — see knn_brute_force)
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=None
+    ).select("query_id", "neighbor_id", "rank")
+    lex = similarity.lexical_jaccard_topk(
+        docs, docs.filter(F.col("doc_id") < 5), k=10
+    ).select("query_id", "neighbor_id", "rank")
+    return similarity.rrf_fuse([("dense", dense), ("lex", lex)], k=5, rrf_k=60)
+
+
+def _gen_hybrid_rrf_sql(k: int = 5, rrf_k: int = 60) -> str:
+    cos = f"ROUND({_sql_dot('q.qe', 'c.ce')} / (q.qn * c.cn), 4)"
+    return f"""
+WITH dq AS (SELECT vec_id AS query_id, embedding AS qe,
+                   GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS qn
+            FROM embeddings WHERE vec_id < 5),
+dc AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+              GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS cn
+       FROM embeddings),
+dense AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {cos.replace('q.', 'dq.').replace('c.', 'dc.')} DESC,
+                                       neighbor_id ASC) AS rank
+    FROM dc CROSS JOIN dq WHERE query_id <> neighbor_id
+  ) WHERE rank <= 10
+),
+lt AS (SELECT doc_id,
+              list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        t -> len(t) > 0)) AS tk
+       FROM documents),
+lex AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.doc_id
+             ORDER BY CASE WHEN len(list_distinct(q.tk || c.tk)) > 0
+                           THEN CAST(FLOOR(CAST(len(list_intersect(q.tk, c.tk)) AS BIGINT) * 1000000
+                                           / CAST(len(list_distinct(q.tk || c.tk)) AS BIGINT)) AS BIGINT)
+                           ELSE 0 END DESC,
+                      c.doc_id ASC) AS rank
+    FROM lt c CROSS JOIN (SELECT * FROM lt WHERE doc_id < 5) q
+    WHERE q.doc_id <> c.doc_id
+  ) WHERE rank <= 10
+),
+fused AS (
+  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+         COALESCE(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+         COALESCE(d.rank, -1) AS dense_rank,
+         COALESCE(l.rank, -1) AS lex_rank,
+         COALESCE(CAST(FLOOR(1000000000 / ({rrf_k} + d.rank)) AS BIGINT), 0)
+           + COALESCE(CAST(FLOOR(1000000000 / ({rrf_k} + l.rank)) AS BIGINT), 0) AS rrf_score
+  FROM dense d FULL OUTER JOIN lex l
+    ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(dense_rank AS BIGINT) AS dense_rank,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       rrf_score,
+       fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, neighbor_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {k}
+"""
+
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+ORACLES["hybrid_search_rrf"] = _gen_hybrid_rrf_sql()
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -9268,6 +9362,7 @@ _CHECK_FIRST = [
     # (0) new this round — never driver-certified
     "quality_classifier_scores",
     "mix_temperature_sample",
+    "hybrid_search_rrf",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -12,6 +12,7 @@ from mysql_data_anonymizer_spark import queries as Q
 NEW = [
     "quality_classifier_scores",
     "mix_temperature_sample",
+    "hybrid_search_rrf",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",

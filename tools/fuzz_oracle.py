@@ -235,6 +235,9 @@ DEFAULT_QUERIES = [
     "mask_run_report",
     "mask_report_synchro_cascade",
     "mask_plan_manifest",
+    "quality_classifier_scores",
+    "mix_temperature_sample",
+    "hybrid_search_rrf",
     # r7: the last uncovered registry queries. The source round-trips
     # (csv/json/orc/binaryfile/jdbc) SERIALIZE the fuzzed tables and read
     # them back, so unicode, empty strings, 1e12 values, NULL keys, and

@@ -51,6 +51,9 @@ GLOBAL_WINDOW_OK = {
 # embedding-cosine expr variant (not the default) has the same shape.
 BNL_OK: set[str] = {
     "knn_brute_force",
+    # hybrid RRF's dense ranker IS brute_force_topk (broadcast query
+    # vectors, != theta join) — same bounded-broadcast class
+    "hybrid_search_rrf",
     # knn_lsh / knn_ivf embed the brute-force exact twin (same bounded
     # broadcast theta join as knn_brute_force) for their recall gate; knn_ivf
     # and dedup_simhash additionally crossJoin 1-row broadcast gate
