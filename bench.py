@@ -182,6 +182,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_md5",
     "dedup_clusters",
+    "dedup_keep_best_quality",
     "dedup_canonical_docs",
     "split_leakage_safe",
     "dedup_incremental_new_docs",

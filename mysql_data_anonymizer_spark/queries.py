@@ -9349,6 +9349,87 @@ QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
 ORACLES["hybrid_search_rrf"] = _gen_hybrid_rrf_sql()
 
 
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-aware near-dup canonicalization — the curation refinement of
+    first-occurrence dedup: within each near-dup cluster (connected
+    component of Jaccard >= 0.6 pairs, the pipeline's existing artifact)
+    keep the HIGHEST-QUALITY member, not the lowest id. The selection key
+    is exact-integer model quality (hashed_quality_features:
+    ``q_sc = FLOOR(1e6 * w_sum / n_tokens)``; empty docs sink to a -1e15
+    sentinel), ties by doc_id asc — fully deterministic and cross-engine
+    bit-stable, unlike ranking on a floating heuristic score.
+
+    Scale shape: pairs + components are the dedup pipeline's artifacts
+    (posting-list candidates, O(log^2 n) fixpoint); quality is a map-only
+    codegen projection; the winner is one row_number window keyed by
+    cluster_id (cluster-size-bounded partitions, one keyed shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
+    )
+    cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+    staged = docs.join(
+        F.broadcast(cc.withColumnRenamed("node", "doc_id")), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        text.hashed_quality_features(F.col("text")).alias("__f"),
+    )
+    q_sc = F.when(
+        F.col("__f.n_tokens") > 0,
+        F.floor(F.col("__f.w_sum") * F.lit(1000000).cast("long") / F.col("__f.n_tokens")),
+    ).otherwise(F.lit(-(10**15))).cast("long")
+    scored = staged.select("doc_id", "cluster_id", q_sc.alias("q_sc"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q_sc"), F.asc("doc_id"))
+    return scored.withColumn(
+        "kept", F.row_number().over(w) == 1
+    ).select("doc_id", "cluster_id", "q_sc", "kept")
+
+
+def _gen_dedup_keep_best_sql(
+    threshold: float = 0.6, dim: int = 1 << 18, seed: str = "qw9"
+) -> str:
+    clusters_sql = _gen_dedup_clusters_sql(threshold)
+    tok_u32 = _sql_md5_u32("md5(t)", 1)
+    f = f"({tok_u32} % {dim})"
+    w_u32 = _sql_md5_u32(f"md5('{seed}:' || CAST({f} AS VARCHAR))", 1)
+    w = f"(({w_u32} % 2001) - 1000)"
+    return f"""
+WITH clusters AS ({clusters_sql}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(tk, t -> {w})), 0) AS BIGINT) AS w_sum
+  FROM toks
+),
+scored AS (
+  -- quality rides the source rows (no documents-side re-join: duplicate
+  -- doc_ids would cross-pair); clusters is grouped-unique per node
+  SELECT q.doc_id,
+         COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+         CASE WHEN q.n_tokens > 0
+              THEN CAST(FLOOR(q.w_sum * CAST(1000000 AS BIGINT) / q.n_tokens) AS BIGINT)
+              ELSE CAST(-1000000000000000 AS BIGINT) END AS q_sc
+  FROM quality q
+  LEFT JOIN clusters c ON q.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, q_sc,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY q_sc DESC, doc_id ASC) = 1 AS kept
+FROM scored
+"""
+
+
+QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
+ORACLES["dedup_keep_best_quality"] = _gen_dedup_keep_best_sql()
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -9363,6 +9444,7 @@ _CHECK_FIRST = [
     "quality_classifier_scores",
     "mix_temperature_sample",
     "hybrid_search_rrf",
+    "dedup_keep_best_quality",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

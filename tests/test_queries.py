@@ -13,6 +13,7 @@ NEW = [
     "quality_classifier_scores",
     "mix_temperature_sample",
     "hybrid_search_rrf",
+    "dedup_keep_best_quality",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",
