@@ -141,6 +141,7 @@ HEADLINE = [
     "text_lang_source_stats",
     "corpus_quality_filter",
     "quality_classifier_scores",
+    "ccnet_perplexity_buckets",
     "stratified_sample_docs",
     "scrub_documents_pii",
     "pack_docs_token_bins",

@@ -9430,6 +9430,166 @@ QUERIES["dedup_keep_best_quality"] = dedup_keep_best_quality
 ORACLES["dedup_keep_best_quality"] = _gen_dedup_keep_best_sql()
 
 
+_CCNET_REF_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020) — the
+    reference-LM corpus filter: train a Laplace-smoothed bigram LM on a
+    fixed reference domain slice (CCNet uses Wikipedia; here the public
+    `source` partitions {src0..src3}), score every document by its mean
+    bigram probability, and split the corpus into head/middle/tail
+    terciles (head ~ closest to the reference distribution).
+
+    Cross-engine discipline: probabilities are integer millionths —
+    ``contrib = FLOOR(1e6*(c(w1,w2)+1)/(c(w1)+V))`` over exact BIGINT
+    counts, per-doc score = FLOOR(mean contrib) — so no transcendental
+    ever runs (a real perplexity exponentiates the same ordering;
+    monotone, so the BUCKETS are identical). Tercile cutoffs come from
+    ``percentile`` over the exact scores (interpolation is the same
+    IEEE arithmetic both engines, hash-matched by the quantile queries).
+
+    Scale shape: LM counts are two keyed aggs on the reference slice;
+    scoring explodes corpus bigrams once and joins the count tables
+    (broadcast at this scale; keyed joins at web scale — the count
+    tables are the only shuffled state); V and the cutoffs are 1-row
+    broadcast crossJoins (plan_audit BNL_OK). Docs with no bigrams
+    (empty/one-token) score NULL and land in 'tail'."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("toks"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    ref = base.where(F.col("source").isin(*_CCNET_REF_SOURCES))
+    uc = (
+        ref.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    bc = (
+        ref.where(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    vocab = uc.agg(F.count(F.lit(1)).cast("long").alias("v_sz"))
+    db = base.where(F.size("toks") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    contrib = F.floor(
+        (F.coalesce(F.col("n_xy"), F.lit(0).cast("long")) + F.lit(1).cast("long"))
+        * F.lit(1000000).cast("long")
+        / (F.coalesce(F.col("n_w"), F.lit(0).cast("long")) + F.col("v_sz"))
+    ).cast("long")
+    per_doc = (
+        db.join(F.broadcast(bc), "bg", "left")
+        .withColumn("__w1", F.split(F.col("bg"), " ")[0])
+        .join(F.broadcast(uc.withColumnRenamed("w", "__w1")), "__w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(contrib).cast("long").alias("lm_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.floor(F.col("lm_sum") / F.col("n_bigrams")).cast("long").alias("lm_score"),
+        )
+    )
+    all_ids = base.select("doc_id").distinct()
+    scored = all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        "lm_score",
+    )
+    cuts = scored.agg(
+        F.percentile(F.col("lm_score"), F.lit(1 / 3)).alias("c1"),
+        F.percentile(F.col("lm_score"), F.lit(2 / 3)).alias("c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_bigrams",
+        "lm_score",
+        F.when(F.col("lm_score").isNull(), F.lit("tail"))
+        .when(F.col("lm_score") >= F.col("c2"), F.lit("head"))
+        .when(F.col("lm_score") >= F.col("c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def _gen_ccnet_buckets_sql() -> str:
+    refs = ", ".join(f"'{s}'" for s in _CCNET_REF_SOURCES)
+    p1, p2 = repr(1 / 3), repr(2 / 3)
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> len(t) > 0) AS toks
+  FROM documents
+),
+ref AS (SELECT * FROM base WHERE source IN ({refs})),
+uc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w
+),
+bc AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM ref WHERE len(toks) >= 2) GROUP BY bg
+),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_sz FROM uc),
+db AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM base WHERE len(toks) >= 2
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(FLOOR((COALESCE(bc.n_xy, 0) + 1) * CAST(1000000 AS BIGINT)
+                             / (COALESCE(uc.n_w, 0) + vocab.v_sz)) AS BIGINT)) AS BIGINT)
+           AS lm_sum
+  FROM db
+  LEFT JOIN bc USING (bg)
+  LEFT JOIN uc ON uc.w = split_part(db.bg, ' ', 1)
+  CROSS JOIN vocab
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT b.doc_id,
+         COALESCE(p.n_bigrams, 0) AS n_bigrams,
+         CAST(FLOOR(p.lm_sum / p.n_bigrams) AS BIGINT) AS lm_score
+  FROM (SELECT DISTINCT doc_id FROM base) b
+  LEFT JOIN per_doc p USING (doc_id)
+),
+cuts AS (
+  SELECT quantile_cont(lm_score, {p1}) AS c1,
+         quantile_cont(lm_score, {p2}) AS c2
+  FROM scored
+)
+SELECT doc_id, n_bigrams, lm_score,
+       CASE WHEN lm_score IS NULL THEN 'tail'
+            WHEN lm_score >= c2 THEN 'head'
+            WHEN lm_score >= c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN cuts
+"""
+
+
+QUERIES["ccnet_perplexity_buckets"] = ccnet_perplexity_buckets
+ORACLES["ccnet_perplexity_buckets"] = _gen_ccnet_buckets_sql()
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -9445,6 +9605,7 @@ _CHECK_FIRST = [
     "mix_temperature_sample",
     "hybrid_search_rrf",
     "dedup_keep_best_quality",
+    "ccnet_perplexity_buckets",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -14,6 +14,7 @@ NEW = [
     "mix_temperature_sample",
     "hybrid_search_rrf",
     "dedup_keep_best_quality",
+    "ccnet_perplexity_buckets",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",

@@ -239,6 +239,7 @@ DEFAULT_QUERIES = [
     "mix_temperature_sample",
     "hybrid_search_rrf",
     "dedup_keep_best_quality",
+    "ccnet_perplexity_buckets",
     # r7: the last uncovered registry queries. The source round-trips
     # (csv/json/orc/binaryfile/jdbc) SERIALIZE the fuzzed tables and read
     # them back, so unicode, empty strings, 1e12 values, NULL keys, and

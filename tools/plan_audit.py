@@ -79,6 +79,9 @@ BNL_OK: set[str] = {
     # recursive-CTE gap-fill: day-spine x type-dim crossJoin, both tiny by
     # construction (#days x #types)
     "gapfill_recursive_days",
+    # ccnet buckets: vocab size and tercile cutoffs are 1-row BROADCAST
+    # aggregates cross-joined — bounded by construction, q11 class
+    "ccnet_perplexity_buckets",
     # temperature mix: the 1-row n_min aggregate is BROADCAST cross-joined
     # onto the per-lang counts (bounded by #langs) — same class as q11
     "mix_temperature_sample",
