@@ -9479,7 +9479,11 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         .groupBy("bg")
         .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
     )
-    vocab = uc.agg(F.count(F.lit(1)).cast("long").alias("v_sz"))
+    # GREATEST(.., 1): an empty reference slice must degrade to uniform
+    # scores, not an ANSI divide-by-zero (n_w and v_sz both 0)
+    vocab = uc.agg(
+        F.greatest(F.count(F.lit(1)).cast("long"), F.lit(1).cast("long")).alias("v_sz")
+    )
     db = base.where(F.size("toks") >= 2).select(
         "doc_id", F.explode(bigrams).alias("bg")
     )
@@ -9547,7 +9551,7 @@ bc AS (
                                      i -> toks[i] || ' ' || toks[i+1])) AS bg
         FROM ref WHERE len(toks) >= 2) GROUP BY bg
 ),
-vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_sz FROM uc),
+vocab AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS v_sz FROM uc),
 db AS (
   SELECT doc_id, unnest(list_transform(range(1, len(toks)),
                                        i -> toks[i] || ' ' || toks[i+1])) AS bg

@@ -84,6 +84,17 @@ FAMILIES = [
     "streaming_ohlc_window_agg",
     "streaming_update_mode_agg",
     "streaming_stream_left_join",
+    # round-7 additions (documents/embeddings-only, slice-compatible):
+    # model-shaped quality scoring (map-only — slope should be ~K of scan),
+    # temperature mix (tiny agg + broadcast gate), hybrid RRF (two
+    # broadcast-query rankers + bounded fusion), quality-aware dedup
+    # (pairs + CC + one keyed window), CCNet LM bucketing (two ref aggs +
+    # count-table joins over the exploded bigram stream)
+    "quality_classifier_scores",
+    "mix_temperature_sample",
+    "hybrid_search_rrf",
+    "dedup_keep_best_quality",
+    "ccnet_perplexity_buckets",
 ]
 
 
