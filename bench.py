@@ -169,6 +169,7 @@ HEADLINE = [
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",
     "entity_clusters_parts",
+    "pagerank_copurchase_parts",
     "kmeans_assign_step",
     "media_frame_sample",
     "cdc_apply_changelog_orders",

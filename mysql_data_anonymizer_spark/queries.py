@@ -9594,6 +9594,113 @@ QUERIES["ccnet_perplexity_buckets"] = ccnet_perplexity_buckets
 ORACLES["ccnet_perplexity_buckets"] = _gen_ccnet_buckets_sql()
 
 
+_PAGERANK_ITERS = 5
+
+
+def pagerank_copurchase_parts(spark, sf_dir):
+    """PageRank over the parts co-purchase graph — the iterative GRAPH
+    CENTRALITY representative (connected components covers reachability;
+    this covers fixed-point value propagation, the Pregel/GraphX shape,
+    expressed as an UNROLLED declarative plan Catalyst can see through).
+
+    Graph: undirected co-purchase (two parts in the same order), built by
+    one keyed self-join on l_orderkey + distinct. Five power iterations
+    with damping 0.85, EXACT INTEGER millionths end-to-end:
+    ``r' = 150000 + Σ_in FLOOR((r_src * 85) / (deg_src * 100))`` — the one
+    IEEE division per message is over exactly representable ints, so every
+    engine floors the same value and the fixpoint trajectory is
+    bit-reproducible (no double accumulation ever happens).
+
+    Scale shape: each iteration is ONE keyed join (edges ⋈ ranks on src —
+    ranks is the small side, broadcastable) + one keyed agg on dst; the
+    edge table is built once and pinned (eager localCheckpoint — consumed
+    by every iteration; at cluster scale persist/checkpoint per N
+    iterations to cap lineage). Symmetry guarantees no dangling nodes.
+    NULL part/order keys drop out of the graph in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(_PAGERANK_ITERS):
+        # ranks is |nodes| rows — AQE broadcasts it at runtime, so the
+        # pinned edge table never re-shuffles across iterations (the dst
+        # agg is the only per-iteration shuffle); an EXPLICIT broadcast
+        # hint here measured SLOWER (it serializes the iteration chain on
+        # driver-side broadcast materialization)
+        msgs = ed.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            "dst",
+            F.floor(
+                (F.col("r") * F.lit(85).cast("long"))
+                / (F.col("d") * F.lit(100).cast("long"))
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        agg = msgs.groupBy("dst").agg(F.sum("c").cast("long").alias("cs"))
+        ranks = nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left").select(
+            "node",
+            (
+                F.lit(150000).cast("long")
+                + F.coalesce(F.col("cs"), F.lit(0).cast("long"))
+            ).alias("r"),
+        )
+    return ranks.join(deg.withColumnRenamed("src", "node"), "node").select(
+        F.col("node").alias("p_partkey"),
+        F.col("d").alias("degree"),
+        F.col("r").alias("pagerank_millionths"),
+    )
+
+
+def _gen_pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000 + COALESCE(s.cs, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS node,
+           CAST(SUM(CAST(FLOOR((p.r * 85) / (ed.d * 100)) AS BIGINT)) AS BIGINT) AS cs
+    FROM ed JOIN {prev} p ON ed.src = p.node GROUP BY ed.dst
+  ) s USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+{chain}
+SELECT n.node AS p_partkey, deg.d AS degree, {prev}.r AS pagerank_millionths
+FROM nodes n
+JOIN deg ON deg.src = n.node
+JOIN {prev} ON {prev}.node = n.node
+"""
+
+
+QUERIES["pagerank_copurchase_parts"] = pagerank_copurchase_parts
+ORACLES["pagerank_copurchase_parts"] = _gen_pagerank_sql()
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -9610,6 +9717,7 @@ _CHECK_FIRST = [
     "hybrid_search_rrf",
     "dedup_keep_best_quality",
     "ccnet_perplexity_buckets",
+    "pagerank_copurchase_parts",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

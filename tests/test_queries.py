@@ -15,6 +15,7 @@ NEW = [
     "hybrid_search_rrf",
     "dedup_keep_best_quality",
     "ccnet_perplexity_buckets",
+    "pagerank_copurchase_parts",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",
@@ -315,6 +316,12 @@ INVARIANCE_SAMPLE = [
     # hash gates, windows, double arithmetic — the shapes where hidden
     # partition-order dependence would bite first
     "shard_training_corpus",
+    # r7: md5 gate over a broadcast rate table; percentile cutoffs +
+    # LM count joins; cluster-keyed argmax window; rank fusion windows
+    "mix_temperature_sample",
+    "ccnet_perplexity_buckets",
+    "dedup_keep_best_quality",
+    "hybrid_search_rrf",
     # sketch build + gates must be identical under any layout (map-side
     # partial aggregation cannot change any cell count)
     "cms_frequency_parts",

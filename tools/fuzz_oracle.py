@@ -240,6 +240,7 @@ DEFAULT_QUERIES = [
     "hybrid_search_rrf",
     "dedup_keep_best_quality",
     "ccnet_perplexity_buckets",
+    "pagerank_copurchase_parts",
     # r7: the last uncovered registry queries. The source round-trips
     # (csv/json/orc/binaryfile/jdbc) SERIALIZE the fuzzed tables and read
     # them back, so unicode, empty strings, 1e12 values, NULL keys, and
