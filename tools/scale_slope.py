@@ -95,6 +95,9 @@ FAMILIES = [
     "hybrid_search_rrf",
     "dedup_keep_best_quality",
     "ccnet_perplexity_buckets",
+    # lineitem slice (K disconnected co-purchase graphs): iterative graph
+    # centrality — K x nodes and edges, per-copy structure unchanged
+    "pagerank_copurchase_parts",
 ]
 
 
@@ -117,6 +120,8 @@ def build_slice(spark, k: int) -> str:
         # events were added in r7: upgrade pre-existing slices in place
         if not os.path.exists(os.path.join(out, "_COMPLETE_EVENTS")):
             _build_events_slice(k, out)
+        if not os.path.exists(os.path.join(out, "_COMPLETE_LINEITEM")):
+            _build_lineitem_slice(k, out)
         return out
     from pyspark.sql import functions as F
 
@@ -161,8 +166,41 @@ def build_slice(spark, k: int) -> str:
         big_emb = big_emb.unionByName(e)
     big_emb.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     _build_events_slice(k, out)
+    _build_lineitem_slice(k, out)
     open(marker, "w").close()
     return out
+
+
+def _build_lineitem_slice(k: int, out: str) -> None:
+    """lineitem: K copies with l_orderkey AND l_partkey offset by the copy
+    index — the co-purchase graph becomes K disconnected copies (K x the
+    nodes and edges, per-order pair structure unchanged), so the PageRank
+    slope measures linear graph growth, not quadratic cross-copy
+    collisions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{BASE}/lineitem.parquet")
+    n_ord = 1 + pc.max(tbl.column("l_orderkey")).as_py()
+    n_part = 1 + pc.max(tbl.column("l_partkey")).as_py()
+    copies = []
+    for c in range(k):
+        t = tbl
+        if c > 0:
+            t = t.set_column(
+                t.schema.get_field_index("l_orderkey"),
+                "l_orderkey",
+                pc.add(t.column("l_orderkey"), c * n_ord),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("l_partkey"),
+                "l_partkey",
+                pc.add(t.column("l_partkey"), c * n_part),
+            )
+        copies.append(t)
+    pq.write_table(pa.concat_tables(copies), f"{out}/lineitem.parquet")
+    open(os.path.join(out, "_COMPLETE_LINEITEM"), "w").close()
 
 
 def _build_events_slice(k: int, out: str) -> None:
