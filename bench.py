@@ -34,6 +34,7 @@ HEADLINE = [
     "mask_report_synchro_cascade",
     "mask_plan_manifest",
     "k_anonymity_audit_customers",
+    "enforce_k_anonymity_customers",
     "dp_noised_counts_customers",
     "dp_bounded_sum_events",
     "l_diversity_audit_customers",

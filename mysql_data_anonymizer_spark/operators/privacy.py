@@ -506,3 +506,52 @@ def pram_randomize(
         F.col(cat_col).alias(f"{cat_col}_orig"),
         F.coalesce(F.col("__cat"), F.col(cat_col)).alias(f"{cat_col}_pram"),
     )
+
+
+def enforce_k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    sentinel: str = "*",
+) -> DataFrame:
+    """The ENFORCEMENT half of the k-anonymity pair (``k_anonymity_audit``
+    measures; this repairs): quasi-identifier values of every row whose QI
+    group has fewer than ``k`` members are suppressed to ``sentinel``, so
+    the released table is k-anonymous by construction (all suppressed rows
+    merge into one '*..*' group; if their total is still < k the caller
+    widens generalization first — the standard suppress-after-generalize
+    ladder, cf. Sweeney 2002).
+
+    Output: every original column except the QI columns, plus one
+    ``<col>_out`` string per QI column, the group size, and a
+    ``suppressed`` flag.
+
+    Scale shape: ONE map-side-combinable hash agg on the QI key (the same
+    shuffle the audit pays) + a broadcast join back onto the fact table —
+    the group table is QI-combination-cardinality, orders of magnitude
+    smaller than the data. Joins are NULL-SAFE on every QI column (NULL
+    is a QI value an attacker can see — it must count toward its own
+    group, not silently escape suppression)."""
+    # prefix the group-side key columns: groups derives from df, so bare
+    # references would be ambiguous in the self-join
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__grp_n")
+    )
+    for c in quasi_cols:
+        groups = groups.withColumnRenamed(c, f"__g_{c}")
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = df.join(F.broadcast(groups), cond, "left")
+    suppressed = F.col("__grp_n") < k
+    out_cols = [F.col(c) for c in df.columns if c not in quasi_cols]
+    for c in quasi_cols:
+        out_cols.append(
+            F.when(suppressed, F.lit(sentinel))
+            .otherwise(F.col(c).cast("string"))
+            .alias(f"{c}_out")
+        )
+    out_cols.append(F.col("__grp_n").alias("group_n"))
+    out_cols.append(suppressed.alias("suppressed"))
+    return joined.select(*out_cols)

@@ -9701,6 +9701,53 @@ QUERIES["pagerank_copurchase_parts"] = pagerank_copurchase_parts
 ORACLES["pagerank_copurchase_parts"] = _gen_pagerank_sql()
 
 
+def enforce_k_anonymity_customers(spark, sf_dir):
+    """k-anonymity ENFORCEMENT (operators/privacy.py::enforce_k_anonymity)
+    — the repair step the audit (k_anonymity_audit_customers, same QI key
+    and threshold) only measures: rows in (nation x segment) groups below
+    k=10 get their QI values suppressed to '*', making the release
+    k-anonymous by construction. Money stringifies through DECIMAL(30,2)
+    (the repo's double-notation rule). One QI-keyed agg + broadcast join
+    back; NULL-safe on the QI so NULL groups can't dodge suppression."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(30,2)").cast("string").alias("c_acctbal_str"),
+    )
+    return privacy.enforce_k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], k=10
+    )
+
+
+ENFORCE_K_ANON_SQL = """
+WITH src AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(30,2)) AS VARCHAR) AS c_acctbal_str
+  FROM customer
+),
+groups AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS grp_n
+  FROM src GROUP BY 1, 2
+)
+SELECT s.c_custkey, s.c_acctbal_str,
+       CASE WHEN g.grp_n < 10 THEN '*' ELSE CAST(s.c_nationkey AS VARCHAR) END
+         AS c_nationkey_out,
+       CASE WHEN g.grp_n < 10 THEN '*' ELSE s.c_mktsegment END
+         AS c_mktsegment_out,
+       g.grp_n AS group_n,
+       g.grp_n < 10 AS suppressed
+FROM src s
+JOIN groups g
+  ON s.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+ AND s.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+"""
+
+
+QUERIES["enforce_k_anonymity_customers"] = enforce_k_anonymity_customers
+ORACLES["enforce_k_anonymity_customers"] = ENFORCE_K_ANON_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -9718,6 +9765,7 @@ _CHECK_FIRST = [
     "dedup_keep_best_quality",
     "ccnet_perplexity_buckets",
     "pagerank_copurchase_parts",
+    "enforce_k_anonymity_customers",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -16,6 +16,7 @@ NEW = [
     "dedup_keep_best_quality",
     "ccnet_perplexity_buckets",
     "pagerank_copurchase_parts",
+    "enforce_k_anonymity_customers",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",

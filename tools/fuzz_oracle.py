@@ -241,6 +241,7 @@ DEFAULT_QUERIES = [
     "dedup_keep_best_quality",
     "ccnet_perplexity_buckets",
     "pagerank_copurchase_parts",
+    "enforce_k_anonymity_customers",
     # r7: the last uncovered registry queries. The source round-trips
     # (csv/json/orc/binaryfile/jdbc) SERIALIZE the fuzzed tables and read
     # them back, so unicode, empty strings, 1e12 values, NULL keys, and
