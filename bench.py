@@ -35,6 +35,7 @@ HEADLINE = [
     "mask_plan_manifest",
     "k_anonymity_audit_customers",
     "enforce_k_anonymity_customers",
+    "synthesize_marginals_customers",
     "dp_noised_counts_customers",
     "dp_bounded_sum_events",
     "l_diversity_audit_customers",

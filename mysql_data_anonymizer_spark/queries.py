@@ -9748,6 +9748,125 @@ QUERIES["enforce_k_anonymity_customers"] = enforce_k_anonymity_customers
 ORACLES["enforce_k_anonymity_customers"] = ENFORCE_K_ANON_SQL
 
 
+def synthesize_marginals_customers(spark, sf_dir):
+    """Synthetic test-data generation preserving per-column MARGINALS —
+    the anonymization deliverable beyond masking (release a table that is
+    statistically usable but row-wise fictional): each synthetic row draws
+    its segment and nation INDEPENDENTLY by deterministic inverse-CDF
+    sampling (md5-keyed uniform in [0, N) against cumulative frequency
+    bounds built from the source counts), so every marginal matches the
+    source to multinomial noise while joint structure — the re-identifying
+    part — is destroyed by construction. Independent-marginals is the
+    honest baseline (cf. synthpop/DataSynthesizer's independent mode);
+    copula/Bayes-net joints are a modeling choice on the same plumbing.
+
+    Determinism: the md5 gate makes the draw a pure function of the
+    synthetic row id — replayable, partitioning-invariant, and exactly
+    replicated by the SQL twin. NULL source values form their own CDF
+    bucket (sentinel-ordered identically in both engines).
+
+    Scale shape: per-column frequency tables are one tiny agg each; the
+    cumulative bounds are a window over the POST-AGG value domain
+    (|distinct values| rows — the PRAM class, plan-audit allowlisted);
+    sampling is a broadcast theta join of the fact stream against those
+    bounds (lo <= u < hi) — corpus never shuffles."""
+    cust = _t(spark, sf_dir, "customer")
+    n_tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+
+    def cdf(col: str, prefix: str):
+        freq = cust.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        w = Window.orderBy(
+            F.coalesce(F.col(col).cast("string"), F.lit("<NULL>")).asc()
+        )
+        return freq.select(
+            F.col(col).alias(f"{prefix}_val"),
+            (F.sum("__n").over(w) - F.col("__n")).alias(f"{prefix}_lo"),
+            F.sum("__n").over(w).alias(f"{prefix}_hi"),
+        )
+
+    seg = cdf("c_mktsegment", "seg")
+    nat = cdf("c_nationkey", "nat")
+    u = lambda tag: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"syn:{tag}:"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    base = cust.select("c_custkey").crossJoin(F.broadcast(n_tot)).select(
+        "c_custkey",
+        (u("seg") % F.col("n_tot")).alias("__useg"),
+        (u("nat") % F.col("n_tot")).alias("__unat"),
+    )
+    return (
+        base.join(
+            F.broadcast(seg),
+            (F.col("__useg") >= F.col("seg_lo")) & (F.col("__useg") < F.col("seg_hi")),
+        )
+        .join(
+            F.broadcast(nat),
+            (F.col("__unat") >= F.col("nat_lo")) & (F.col("__unat") < F.col("nat_hi")),
+        )
+        .select(
+            F.col("c_custkey").alias("syn_id"),
+            F.col("seg_val").alias("mktsegment_syn"),
+            F.col("nat_val").cast("long").alias("nationkey_syn"),
+        )
+    )
+
+
+_SYN_USEG = _sql_md5_u32("md5('syn:seg:' || CAST(c_custkey AS VARCHAR))", 1)
+_SYN_UNAT = _sql_md5_u32("md5('syn:nat:' || CAST(c_custkey AS VARCHAR))", 1)
+
+SYNTH_MARGINALS_SQL = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM customer),
+segf AS (
+  SELECT c_mktsegment AS seg_val, CAST(COUNT(*) AS BIGINT) AS f
+  FROM customer GROUP BY 1
+),
+seg AS (
+  SELECT seg_val,
+         CAST(SUM(f) OVER (ORDER BY COALESCE(CAST(seg_val AS VARCHAR), '<NULL>') ASC
+                           ROWS UNBOUNDED PRECEDING) - f AS BIGINT) AS seg_lo,
+         CAST(SUM(f) OVER (ORDER BY COALESCE(CAST(seg_val AS VARCHAR), '<NULL>') ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_hi
+  FROM segf
+),
+natf AS (
+  SELECT c_nationkey AS nat_val, CAST(COUNT(*) AS BIGINT) AS f
+  FROM customer GROUP BY 1
+),
+nat AS (
+  SELECT nat_val,
+         CAST(SUM(f) OVER (ORDER BY COALESCE(CAST(nat_val AS VARCHAR), '<NULL>') ASC
+                           ROWS UNBOUNDED PRECEDING) - f AS BIGINT) AS nat_lo,
+         CAST(SUM(f) OVER (ORDER BY COALESCE(CAST(nat_val AS VARCHAR), '<NULL>') ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nat_hi
+  FROM natf
+),
+base AS (
+  SELECT c_custkey,
+         ({_SYN_USEG} % n.n_tot) AS useg,
+         ({_SYN_UNAT} % n.n_tot) AS unat
+  FROM customer CROSS JOIN n
+)
+SELECT b.c_custkey AS syn_id,
+       s.seg_val AS mktsegment_syn,
+       CAST(t.nat_val AS BIGINT) AS nationkey_syn
+FROM base b
+JOIN seg s ON b.useg >= s.seg_lo AND b.useg < s.seg_hi
+JOIN nat t ON b.unat >= t.nat_lo AND b.unat < t.nat_hi
+"""
+
+
+QUERIES["synthesize_marginals_customers"] = synthesize_marginals_customers
+ORACLES["synthesize_marginals_customers"] = SYNTH_MARGINALS_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -9766,6 +9885,7 @@ _CHECK_FIRST = [
     "ccnet_perplexity_buckets",
     "pagerank_copurchase_parts",
     "enforce_k_anonymity_customers",
+    "synthesize_marginals_customers",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

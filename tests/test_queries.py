@@ -17,6 +17,7 @@ NEW = [
     "ccnet_perplexity_buckets",
     "pagerank_copurchase_parts",
     "enforce_k_anonymity_customers",
+    "synthesize_marginals_customers",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",
@@ -323,6 +324,7 @@ INVARIANCE_SAMPLE = [
     "ccnet_perplexity_buckets",
     "dedup_keep_best_quality",
     "hybrid_search_rrf",
+    "synthesize_marginals_customers",
     # sketch build + gates must be identical under any layout (map-side
     # partial aggregation cannot change any cell count)
     "cms_frequency_parts",

@@ -42,6 +42,9 @@ GLOBAL_WINDOW_OK = {
     # domain (|distinct categories| rows — 5 market segments), not the fact
     # table; bounded by domain cardinality regardless of input size
     "mask_pram_mktsegment",
+    # synthetic marginals: the cumulative-frequency windows run over the
+    # POST-AGG value domains (5 segments / 25 nations) — PRAM class
+    "synthesize_marginals_customers",
 }
 
 # queries whose broadcast-nested-loop join is over an intentionally bounded
@@ -79,6 +82,9 @@ BNL_OK: set[str] = {
     # recursive-CTE gap-fill: day-spine x type-dim crossJoin, both tiny by
     # construction (#days x #types)
     "gapfill_recursive_days",
+    # synthetic marginals: fact stream theta-joined against BROADCAST
+    # post-agg CDF bound tables (5/25 rows) + a 1-row N crossJoin
+    "synthesize_marginals_customers",
     # ccnet buckets: vocab size and tercile cutoffs are 1-row BROADCAST
     # aggregates cross-joined — bounded by construction, q11 class
     "ccnet_perplexity_buckets",
