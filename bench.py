@@ -170,6 +170,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",
+    "fuzzy_match_blocked_suppliers",
     "entity_clusters_parts",
     "pagerank_copurchase_parts",
     "kmeans_assign_step",

@@ -18,6 +18,7 @@ NEW = [
     "pagerank_copurchase_parts",
     "enforce_k_anonymity_customers",
     "synthesize_marginals_customers",
+    "fuzzy_match_blocked_suppliers",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",

@@ -243,6 +243,7 @@ DEFAULT_QUERIES = [
     "pagerank_copurchase_parts",
     "enforce_k_anonymity_customers",
     "synthesize_marginals_customers",
+    "fuzzy_match_blocked_suppliers",
     # r7: the last uncovered registry queries. The source round-trips
     # (csv/json/orc/binaryfile/jdbc) SERIALIZE the fuzzed tables and read
     # them back, so unicode, empty strings, 1e12 values, NULL keys, and
