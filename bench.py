@@ -158,6 +158,7 @@ HEADLINE = [
     "bm25_term_scores",
     "readability_scores_docs",
     "chunk_docs_for_rag",
+    "rag_pipeline_e2e",
     "approx_top_terms",
     "explode_doc_sentences",
     "doc_top_terms",

@@ -9929,6 +9929,119 @@ QUERIES["fuzzy_match_blocked_suppliers"] = fuzzy_match_blocked_suppliers
 ORACLES["fuzzy_match_blocked_suppliers"] = FUZZY_MATCH_SQL
 
 
+_RAG_DIM = 8
+
+
+def rag_pipeline_e2e(spark, sf_dir):
+    """End-to-end RAG retrieval pipeline — the retrieval analog of
+    pretraining_pipeline_e2e: (1) fixed-size overlapping token chunking
+    (the chunk_docs_for_rag stage, codegen'd array algebra, chunks at scan
+    speed), (2) chunk embedding, (3) dense top-3 retrieval of corpus
+    chunks (doc_id >= 2) for every query chunk (doc_id < 2).
+
+    The embedder is a content-addressed DETERMINISTIC stand-in (dim 8,
+    e_i = ((u32(md5('emb:'||i||':'||chunk_text)) % 2001) - 1000)/1000 —
+    a real encoder is a model artifact, not code; the pipeline SHAPE —
+    chunk fan-out, per-chunk vectorization, broadcast-query scoring,
+    per-query top-k — is exactly what production runs, with the encoder
+    swapped behind the same column contract (the multimodal fake-decode
+    pattern). Scoring/rank follows the ANN family discipline: cosine
+    rounded to 4 dp, ties by (neighbor doc, chunk).
+
+    Scale shape: chunking is map-only fan-out; embedding is per-row
+    codegen; query chunks broadcast; the only shuffle is the per-query
+    top-k window (swap in ivf/pq for corpus scale — same contract)."""
+    chunks = chunk_docs_for_rag(spark, sf_dir)
+
+    def emb(text_col):
+        def e_i(i):
+            m = text._md5_u32(
+                F.concat(F.lit("emb:"), i.cast("string"), F.lit(":"), text_col)
+            )
+            return ((m % F.lit(2001)) - F.lit(1000)).cast("double") / F.lit(1000.0)
+
+        return F.transform(F.sequence(F.lit(0), F.lit(_RAG_DIM - 1)), e_i)
+
+    embedded = chunks.select(
+        "doc_id", "chunk_no", emb(F.col("chunk_text")).alias("__e")
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nrm = lambda a: F.greatest(F.sqrt(dot(a, a)), F.lit(1e-12))
+    q = embedded.where(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_no").alias("q_chunk"),
+        F.col("__e").alias("__qe"),
+        nrm(F.col("__e")).alias("__qn"),
+    )
+    c = embedded.where(F.col("doc_id") >= 2).select(
+        F.col("doc_id").alias("n_doc"),
+        F.col("chunk_no").alias("n_chunk"),
+        F.col("__e").alias("__ce"),
+        nrm(F.col("__e")).alias("__cn"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "q_doc",
+        "q_chunk",
+        "n_doc",
+        "n_chunk",
+        F.round(
+            dot(F.col("__qe"), F.col("__ce")) / (F.col("__qn") * F.col("__cn")), 4
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.desc("cosine"), F.asc("n_doc"), F.asc("n_chunk")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= 3
+    )
+
+
+def _gen_rag_e2e_sql(dim: int = _RAG_DIM) -> str:
+    u32 = _sql_md5_u32(
+        "md5('emb:' || CAST(i AS VARCHAR) || ':' || chunk_text)", 1
+    )
+    dot = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "j -> {a}[j] * {b}[j]))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+ch AS (
+  SELECT doc_id, CAST(s // {CHUNK_STEP} AS BIGINT) AS chunk_no,
+         array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' ') AS chunk_text
+  FROM (SELECT doc_id, unnest(range(0, len(toks), {CHUNK_STEP})) AS s, toks FROM d)
+),
+emb AS (
+  SELECT doc_id, chunk_no,
+         list_transform(range(0, {dim}),
+           i -> CAST(({u32} % 2001) - 1000 AS DOUBLE) / 1000.0) AS e
+  FROM ch WHERE chunk_text <> ''
+),
+q AS (SELECT doc_id AS q_doc, chunk_no AS q_chunk, e AS qe,
+             GREATEST(sqrt({dot.format(d=dim, a='e', b='e')}), 1e-12) AS qn
+      FROM emb WHERE doc_id < 2),
+c AS (SELECT doc_id AS n_doc, chunk_no AS n_chunk, e AS ce,
+             GREATEST(sqrt({dot.format(d=dim, a='e', b='e')}), 1e-12) AS cn
+      FROM emb WHERE doc_id >= 2),
+scored AS (
+  SELECT q_doc, q_chunk, n_doc, n_chunk,
+         ROUND({dot.format(d=dim, a='qe', b='ce')} / (qn * cn), 4) AS cosine
+  FROM c CROSS JOIN q
+)
+SELECT q_doc, q_chunk, n_doc, n_chunk, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_doc, q_chunk
+                               ORDER BY cosine DESC, n_doc ASC, n_chunk ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+QUERIES["rag_pipeline_e2e"] = rag_pipeline_e2e
+ORACLES["rag_pipeline_e2e"] = _gen_rag_e2e_sql()
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -9949,6 +10062,7 @@ _CHECK_FIRST = [
     "enforce_k_anonymity_customers",
     "synthesize_marginals_customers",
     "fuzzy_match_blocked_suppliers",
+    "rag_pipeline_e2e",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -19,6 +19,7 @@ NEW = [
     "enforce_k_anonymity_customers",
     "synthesize_marginals_customers",
     "fuzzy_match_blocked_suppliers",
+    "rag_pipeline_e2e",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",

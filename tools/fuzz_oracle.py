@@ -244,6 +244,7 @@ DEFAULT_QUERIES = [
     "enforce_k_anonymity_customers",
     "synthesize_marginals_customers",
     "fuzzy_match_blocked_suppliers",
+    "rag_pipeline_e2e",
     # r7: the last uncovered registry queries. The source round-trips
     # (csv/json/orc/binaryfile/jdbc) SERIALIZE the fuzzed tables and read
     # them back, so unicode, empty strings, 1e12 values, NULL keys, and

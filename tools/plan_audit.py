@@ -57,6 +57,9 @@ BNL_OK: set[str] = {
     # hybrid RRF's dense ranker IS brute_force_topk (broadcast query
     # vectors, != theta join) — same bounded-broadcast class
     "hybrid_search_rrf",
+    # RAG e2e: corpus chunks stream against the BROADCAST query-chunk set
+    # (chunks of 2 docs) — same bounded-broadcast class
+    "rag_pipeline_e2e",
     # knn_lsh / knn_ivf embed the brute-force exact twin (same bounded
     # broadcast theta join as knn_brute_force) for their recall gate; knn_ivf
     # and dedup_simhash additionally crossJoin 1-row broadcast gate
