@@ -327,6 +327,9 @@ INVARIANCE_SAMPLE = [
     "dedup_keep_best_quality",
     "hybrid_search_rrf",
     "synthesize_marginals_customers",
+    "pagerank_copurchase_parts",
+    "rag_pipeline_e2e",
+    "enforce_k_anonymity_customers",
     # sketch build + gates must be identical under any layout (map-side
     # partial aggregation cannot change any cell count)
     "cms_frequency_parts",
