@@ -159,6 +159,7 @@ HEADLINE = [
     "readability_scores_docs",
     "chunk_docs_for_rag",
     "rag_pipeline_e2e",
+    "phrase_search_docs",
     "approx_top_terms",
     "explode_doc_sentences",
     "doc_top_terms",

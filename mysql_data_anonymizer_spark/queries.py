@@ -10042,6 +10042,59 @@ QUERIES["rag_pipeline_e2e"] = rag_pipeline_e2e
 ORACLES["rag_pipeline_e2e"] = _gen_rag_e2e_sql()
 
 
+_PHRASE = ("table", "scan")
+
+
+def phrase_search_docs(spark, sf_dir):
+    """Exact-PHRASE search by positional posting-list intersection — the
+    retrieval primitive bag-of-words scoring (BM25) cannot express: a doc
+    matches only where the terms are ADJACENT (pos_b = pos_a + 1). This is
+    the inverted-index access path every search engine runs: materialize
+    (doc, position) postings for the phrase terms ONLY (the term filter
+    pushes down before anything joins), intersect on (doc, adjacency),
+    aggregate per doc.
+
+    Scale shape: the posting explode is map-only fan-out; the term
+    predicates prune it to two term-frequency-sized lists; the adjacency
+    intersection is ONE doc-keyed equi-join (AQE-broadcast when one term
+    is rare — exactly the selectivity a real phrase query has); output is
+    a per-doc count + first position, both exact ints."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    posting = docs.select("doc_id", F.posexplode(toks).alias("pos", "term"))
+    a = posting.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").cast("long").alias("pa")
+    )
+    b = posting.where(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").cast("long").alias("pb")
+    )
+    hits = a.join(b, "doc_id").where(F.col("pb") == F.col("pa") + 1)
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("pa").cast("long").alias("first_pos"),
+    )
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
+p AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, tk[u.i + 1] AS term
+  FROM d, unnest(range(0, len(tk))) AS u(i)
+),
+a AS (SELECT doc_id, pos AS pa FROM p WHERE term = '{_PHRASE[0]}'),
+b AS (SELECT doc_id, pos AS pb FROM p WHERE term = '{_PHRASE[1]}')
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(MIN(a.pa) AS BIGINT) AS first_pos
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pb = a.pa + 1
+GROUP BY a.doc_id
+"""
+
+
+QUERIES["phrase_search_docs"] = phrase_search_docs
+ORACLES["phrase_search_docs"] = PHRASE_SEARCH_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10063,6 +10116,7 @@ _CHECK_FIRST = [
     "synthesize_marginals_customers",
     "fuzzy_match_blocked_suppliers",
     "rag_pipeline_e2e",
+    "phrase_search_docs",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -20,6 +20,7 @@ NEW = [
     "synthesize_marginals_customers",
     "fuzzy_match_blocked_suppliers",
     "rag_pipeline_e2e",
+    "phrase_search_docs",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",
