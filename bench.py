@@ -160,6 +160,7 @@ HEADLINE = [
     "chunk_docs_for_rag",
     "rag_pipeline_e2e",
     "phrase_search_docs",
+    "skew_report_lineitem",
     "approx_top_terms",
     "explode_doc_sentences",
     "doc_top_terms",

@@ -10095,6 +10095,82 @@ QUERIES["phrase_search_docs"] = phrase_search_docs
 ORACLES["phrase_search_docs"] = PHRASE_SEARCH_SQL
 
 
+def skew_report_lineitem(spark, sf_dir):
+    """Join-key skew diagnostic — the pre-flight a shuffle join at 100 TB
+    actually needs (a hot key serializes one reducer; AQE skew-split and
+    salting are the remedies, and THIS report is how you know to reach
+    for them): per-key counts for lineitem.l_partkey reduced to one row
+    of exact-integer distribution stats — key cardinality, total rows,
+    max/min per-key count, mean and skew ratio in millionths (FLOOR over
+    exact ints), and how many keys run above 2x the mean (the AQE
+    skewedPartitionFactor shape).
+
+    Scale shape: ONE map-side-combinable count agg on the key, a 1-row
+    stats reduction, and a second pass over the per-key table against the
+    broadcast 1-row stats (BNL_OK class) for the above-2x-mean count —
+    scan-bound at any size, no fact join, no window."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.min("cnt").cast("long").alias("min_cnt"),
+    )
+    hot = (
+        per_key.crossJoin(F.broadcast(stats))
+        # cnt > 2*mean  <=>  cnt * n_keys * 2... keep exact: cnt*n_keys > 2*total
+        .where(F.col("cnt") * F.col("n_keys") > F.lit(2).cast("long") * F.col("total_rows"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hot_keys_2x"))
+    )
+    return stats.crossJoin(F.broadcast(hot)).select(
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        "min_cnt",
+        F.floor(F.col("total_rows") * F.lit(1000000).cast("long") / F.col("n_keys"))
+        .cast("long")
+        .alias("mean_millionths"),
+        F.floor(
+            F.col("max_cnt") * F.lit(1000000).cast("long") * F.col("n_keys")
+            / F.col("total_rows")
+        )
+        .cast("long")
+        .alias("skew_ratio_millionths"),
+        "n_hot_keys_2x",
+    )
+
+
+SKEW_REPORT_SQL = """
+WITH per_key AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(MIN(cnt) AS BIGINT) AS min_cnt
+  FROM per_key
+),
+hot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_keys_2x
+  FROM per_key CROSS JOIN stats
+  WHERE cnt * n_keys > 2 * total_rows
+)
+SELECT n_keys, total_rows, max_cnt, min_cnt,
+       CAST(FLOOR(total_rows * CAST(1000000 AS BIGINT) / n_keys) AS BIGINT)
+         AS mean_millionths,
+       CAST(FLOOR(max_cnt * CAST(1000000 AS BIGINT) * n_keys / total_rows) AS BIGINT)
+         AS skew_ratio_millionths,
+       n_hot_keys_2x
+FROM stats CROSS JOIN hot
+"""
+
+
+QUERIES["skew_report_lineitem"] = skew_report_lineitem
+ORACLES["skew_report_lineitem"] = SKEW_REPORT_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10117,6 +10193,7 @@ _CHECK_FIRST = [
     "fuzzy_match_blocked_suppliers",
     "rag_pipeline_e2e",
     "phrase_search_docs",
+    "skew_report_lineitem",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

@@ -21,6 +21,7 @@ NEW = [
     "fuzzy_match_blocked_suppliers",
     "rag_pipeline_e2e",
     "phrase_search_docs",
+    "skew_report_lineitem",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",

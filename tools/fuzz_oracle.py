@@ -246,6 +246,7 @@ DEFAULT_QUERIES = [
     "fuzzy_match_blocked_suppliers",
     "rag_pipeline_e2e",
     "phrase_search_docs",
+    "skew_report_lineitem",
     # r7: the last uncovered registry queries. The source round-trips
     # (csv/json/orc/binaryfile/jdbc) SERIALIZE the fuzzed tables and read
     # them back, so unicode, empty strings, 1e12 values, NULL keys, and

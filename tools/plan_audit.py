@@ -60,6 +60,9 @@ BNL_OK: set[str] = {
     # RAG e2e: corpus chunks stream against the BROADCAST query-chunk set
     # (chunks of 2 docs) — same bounded-broadcast class
     "rag_pipeline_e2e",
+    # skew report: the per-key table crossJoins BROADCAST 1-row stats —
+    # q11 threshold class
+    "skew_report_lineitem",
     # knn_lsh / knn_ivf embed the brute-force exact twin (same bounded
     # broadcast theta join as knn_brute_force) for their recall gate; knn_ivf
     # and dedup_simhash additionally crossJoin 1-row broadcast gate
