@@ -178,6 +178,7 @@ HEADLINE = [
     "pagerank_copurchase_parts",
     "kmeans_assign_step",
     "media_frame_sample",
+    "media_audio_segments",
     "cdc_apply_changelog_orders",
     "incremental_agg_users",
     "compact_latest_events",

@@ -123,3 +123,32 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             "payload",
         )
     )
+
+
+def segment_audio(df: DataFrame, window_ms: int = 2000, hop_ms: int = 1000) -> DataFrame:
+    """Audio segmentation plan (the Whisper-style window/hop pattern): one
+    output row per hop-aligned segment [start, min(start+window, duration)),
+    computed from metadata only — a 3-hour recording becomes ~10k segment
+    rows with flat per-task memory, and each segment's decode goes through
+    the same declared codec seam as every other media op. Overlap
+    (window > hop) is the transcription-context pattern; window == hop is
+    plain chunking. Segment count = ceil(duration / hop), exact integer
+    arithmetic."""
+    dur = F.col("meta.duration_ms").cast("long")
+    n_segs = F.floor((dur + F.lit(hop_ms - 1).cast("long")) / F.lit(hop_ms)).cast("long")
+    return (
+        df.where(F.col("kind") == "audio")
+        .withColumn(
+            "seg_no",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.greatest(n_segs - 1, F.lit(0).cast("long")))),
+        )
+        .select(
+            "media_id",
+            "seg_no",
+            (F.col("seg_no") * hop_ms).cast("long").alias("start_ms"),
+            F.least(F.col("seg_no") * hop_ms + F.lit(window_ms).cast("long"), dur)
+            .cast("long")
+            .alias("end_ms"),
+            "payload",
+        )
+    )

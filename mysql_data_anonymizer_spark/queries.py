@@ -10171,6 +10171,56 @@ QUERIES["skew_report_lineitem"] = skew_report_lineitem
 ORACLES["skew_report_lineitem"] = SKEW_REPORT_SQL
 
 
+def media_audio_segments(spark, sf_dir):
+    """Audio window/hop segmentation plumbing (multimodal.segment_audio —
+    the Whisper transcription pattern: 2 s windows, 1 s hop, so adjacent
+    segments overlap for context): documents become opaque audio payloads
+    with deterministic metadata (the media_frame_sample convention), and
+    the timeline explodes to ceil(duration/hop) segment rows with exact
+    integer [start, end) bounds — flat per-task memory however long the
+    recording; each segment's decode goes through the same declared codec
+    seam. The oracle checks the segmentation grid and payload metadata
+    exactly."""
+    from mysql_data_anonymizer_spark.multimodal.media import segment_audio
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(((F.col("n_chars") % 10 + 1) * 1000).alias("duration_ms")).alias("meta"),
+    )
+    out = segment_audio(media, window_ms=2000, hop_ms=1000)
+    return out.select(
+        "media_id",
+        F.col("seg_no").cast("long").alias("seg_no"),
+        "start_ms",
+        "end_ms",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+AUDIO_SEGMENTS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(s AS BIGINT) AS seg_no,
+       CAST(s * 1000 AS BIGINT) AS start_ms,
+       CAST(LEAST(s * 1000 + 2000, dur) AS BIGINT) AS end_ms,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM (
+  SELECT doc_id, text, (n_chars % 10 + 1) * 1000 AS dur,
+         unnest(range(0, GREATEST((((n_chars % 10 + 1) * 1000) + 999) // 1000, 1))) AS s
+  FROM documents WHERE doc_id % 3 = 1
+)
+"""
+
+
+QUERIES["media_audio_segments"] = media_audio_segments
+ORACLES["media_audio_segments"] = AUDIO_SEGMENTS_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10194,6 +10244,7 @@ _CHECK_FIRST = [
     "rag_pipeline_e2e",
     "phrase_search_docs",
     "skew_report_lineitem",
+    "media_audio_segments",
     # (1) stalest certs: last driver-certified r3 (44 queries)
     "approx_quantiles_events_value",
     "approx_top_terms",

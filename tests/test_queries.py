@@ -22,6 +22,7 @@ NEW = [
     "rag_pipeline_e2e",
     "phrase_search_docs",
     "skew_report_lineitem",
+    "media_audio_segments",
     "mask_plan_manifest",
     "schema_evolution_merge_read",
     "streaming_stream_left_join",

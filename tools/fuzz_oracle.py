@@ -247,6 +247,7 @@ DEFAULT_QUERIES = [
     "rag_pipeline_e2e",
     "phrase_search_docs",
     "skew_report_lineitem",
+    "media_audio_segments",
     # r7: the last uncovered registry queries. The source round-trips
     # (csv/json/orc/binaryfile/jdbc) SERIALIZE the fuzzed tables and read
     # them back, so unicode, empty strings, 1e12 values, NULL keys, and
