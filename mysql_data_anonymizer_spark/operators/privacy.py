@@ -524,7 +524,11 @@ def enforce_k_anonymity(
 
     Output: every original column except the QI columns, plus one
     ``<col>_out`` string per QI column, the group size, and a
-    ``suppressed`` flag.
+    ``suppressed`` flag. ``group_n`` is the size of the group AS RELEASED:
+    suppressed rows report the merged '*'-group total, NOT their original
+    sub-k group size — releasing the exact size would partition the merged
+    group back into its sub-k equivalence classes (a unique group_n plus
+    public QI frequencies re-identifies the suppressed QI values).
 
     Scale shape: ONE map-side-combinable hash agg on the QI key (the same
     shuffle the audit pays) + a broadcast join back onto the fact table —
@@ -539,6 +543,16 @@ def enforce_k_anonymity(
     )
     for c in quasi_cols:
         groups = groups.withColumnRenamed(c, f"__g_{c}")
+    # merged-'*'-group total: what suppressed rows may release as their
+    # group size (1-row scalar gate over the already-small group dim)
+    totals = groups.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__grp_n") < k, F.col("__grp_n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("__supp_total")
+    )
+    groups = groups.crossJoin(F.broadcast(totals))
     cond = None
     for c in quasi_cols:
         eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
@@ -552,6 +566,10 @@ def enforce_k_anonymity(
             .otherwise(F.col(c).cast("string"))
             .alias(f"{c}_out")
         )
-    out_cols.append(F.col("__grp_n").alias("group_n"))
+    out_cols.append(
+        F.when(suppressed, F.col("__supp_total"))
+        .otherwise(F.col("__grp_n"))
+        .alias("group_n")
+    )
     out_cols.append(suppressed.alias("suppressed"))
     return joined.select(*out_cols)

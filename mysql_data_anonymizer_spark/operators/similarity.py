@@ -514,7 +514,7 @@ def pq_topk(
         yield pd.DataFrame(rows, columns=["query_id", id_col])
 
     cand = df.select(id_col, vec_col).mapInPandas(part_candidates, out_schema).distinct()
-    return _exact_rerank(df, queries, cand, k, id_col, vec_col, dim)
+    return _exact_rerank(df, queries, cand, k, id_col, vec_col)
 
 def _exact_rerank(
     df: DataFrame,
@@ -523,7 +523,6 @@ def _exact_rerank(
     k: int,
     id_col: str,
     vec_col: str,
-    dim: int | None,
 ) -> DataFrame:
     """Shared exact re-rank tail of the quantized-candidate ANN family
     (PQ/ADC and SQ8): true cosine over the tiny candidate set only, with
@@ -538,7 +537,10 @@ def _exact_rerank(
     tree costs ~1.4 s of Catalyst analysis/codegen per fresh plan (measured
     r7), which dwarfs any per-row win when only hundreds of rows are
     scored. Both forms accumulate strictly left-to-right, so values are
-    bit-identical; ``dim`` is ignored for scoring."""
+    bit-identical. The re-rank is ALWAYS full-vector exact cosine — the
+    signature takes no ``dim`` on purpose (r7 ADVICE: a dim parameter that
+    scoring ignores lets callers believe a truncated-prefix contract the
+    code no longer honors)."""
     c = (
         df.select(
             F.col(id_col), F.col(vec_col).alias("__cv"), norm_expr(vec_col, None).alias("__cn")
@@ -735,7 +737,7 @@ def ivfpq_topk(
         yield pd.DataFrame(rows, columns=["query_id", id_col])
 
     cand = corp.mapInPandas(part_candidates, out_schema).distinct()
-    return _exact_rerank(df, queries, cand, k, id_col, vec_col, dim)
+    return _exact_rerank(df, queries, cand, k, id_col, vec_col)
 
 
 def sq8_topk(
@@ -802,7 +804,7 @@ def sq8_topk(
         yield pd.DataFrame(rows, columns=["query_id", id_col])
 
     cand = df.select(id_col, vec_col).mapInPandas(part_candidates, out_schema).distinct()
-    return _exact_rerank(df, queries, cand, k, id_col, vec_col, dim)
+    return _exact_rerank(df, queries, cand, k, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------

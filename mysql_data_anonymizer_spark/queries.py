@@ -8354,16 +8354,22 @@ def dp_bounded_sum_events(spark, sf_dir):
     or degenerate-noise bug trips it. The 1-row calibration scalar is a
     bounded broadcast crossJoin (BNL_OK)."""
     ev = _t(spark, sf_dir, "events")
+    clamp_cents, epsilon, max_groups = 10000, 0.5, 3
     out = privacy.dp_bounded_sum(
         ev, ["event_type"], "user_id", "value",
-        clamp_cents=10000, epsilon=0.5, seed="dpsum", max_groups=3,
+        clamp_cents=clamp_cents, epsilon=epsilon, seed="dpsum",
+        max_groups=max_groups,
     )
+    # calibration bounds derive from the SAME b the noise uses (r7 ADVICE:
+    # literals here silently broke hash parity whenever a DP parameter
+    # changed — only the oracle's 0.1*b/4.0*b side would move)
+    b = float(max_groups) * float(clamp_cents) / epsilon
     cal = out.agg(
         F.avg(F.abs(F.col("noisy_sum_cents") - F.col("exact_sum_cents"))).alias("__mad")
     )
     return (
         out.crossJoin(F.broadcast(cal))
-        .withColumn("dp_cal_ok", F.col("__mad").between(6000.0, 240000.0))
+        .withColumn("dp_cal_ok", F.col("__mad").between(0.1 * b, 4.0 * b))
         .select("event_type", "exact_sum_cents", "noisy_sum_cents", "dp_cal_ok")
     )
 
@@ -9708,7 +9714,9 @@ def enforce_k_anonymity_customers(spark, sf_dir):
     k=10 get their QI values suppressed to '*', making the release
     k-anonymous by construction. Money stringifies through DECIMAL(30,2)
     (the repo's double-notation rule). One QI-keyed agg + broadcast join
-    back; NULL-safe on the QI so NULL groups can't dodge suppression."""
+    back; NULL-safe on the QI so NULL groups can't dodge suppression.
+    Suppressed rows release the merged '*'-group total as group_n (r7
+    ADVICE: exact sub-k sizes would re-partition the merged group)."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -9729,18 +9737,24 @@ WITH src AS (
 groups AS (
   SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS grp_n
   FROM src GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN grp_n < 10 THEN grp_n END), 0) AS BIGINT)
+           AS supp_total
+  FROM groups
 )
 SELECT s.c_custkey, s.c_acctbal_str,
        CASE WHEN g.grp_n < 10 THEN '*' ELSE CAST(s.c_nationkey AS VARCHAR) END
          AS c_nationkey_out,
        CASE WHEN g.grp_n < 10 THEN '*' ELSE s.c_mktsegment END
          AS c_mktsegment_out,
-       g.grp_n AS group_n,
+       CASE WHEN g.grp_n < 10 THEN t.supp_total ELSE g.grp_n END AS group_n,
        g.grp_n < 10 AS suppressed
 FROM src s
 JOIN groups g
   ON s.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
  AND s.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+CROSS JOIN tot t
 """
 
 
@@ -9871,9 +9885,20 @@ def fuzzy_match_blocked_suppliers(spark, sf_dir):
     """Edit-distance fuzzy matching with blocking — the third rung of the
     record-linkage ladder (exact join < set-similarity `trigram_name_
     matches` < EDIT distance, which catches transpositions/typos that
-    shatter trigram sets): supplier names are blocked on a 12-char prefix
-    key (the classic blocking-key pattern — candidate pairs only within a
-    block) and verified with levenshtein <= 2.
+    shatter trigram sets): supplier names are blocked on a drop-last-char
+    key (candidate pairs only within a block) and verified with
+    levenshtein <= 2.
+
+    Blocking key choice (r7 ADVICE): a fixed-width PREFIX key degenerates
+    on exactly this repo's fixtures — TPC-H names are 'Supplier#' + nine
+    zero-padded digits, so 'Supplier#000' puts virtually the whole table
+    in ONE block and the join is O(n^2) levenshtein pairs as the COMMON
+    case, not an edge. The drop-last-char key keeps the distinctive
+    suffix, bounding occupancy at |alphabet| (10 here) regardless of
+    table size. A hot block is still possible on adversarial data (mass-
+    duplicated names), so blocks over ``cap=64`` members are dropped —
+    the shingle df-cap remedy, pair work bounded by cap^2/2 per block;
+    recall loss is exactly "typos inside a 64+-duplicate cluster".
 
     Cross-engine note (measured): Spark levenshtein counts CODEPOINTS,
     DuckDB counts BYTES — they disagree on any non-ASCII name, so both
@@ -9881,17 +9906,20 @@ def fuzzy_match_blocked_suppliers(spark, sf_dir):
     [space..tilde] becomes '?', one-for-one per codepoint in both regex
     engines). Distances are then identical small ints.
 
-    Scale shape: one equi-join on the block key (keyed shuffle), per-pair
-    verify inside codegen — pair count bounded by block occupancy (the
-    blocking-key cardinality is the knob; a hot block is the same cliff
-    as a hot shingle, and the same df-cap remedy applies)."""
+    Scale shape: one count agg + one equi-join on the block key (same key
+    -> the pair join reuses the exchange), per-pair verify inside codegen
+    — pair count <= n * min(occupancy, cap) by construction."""
     sup = _t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         F.regexp_replace(F.col("s_name"), "[^ -~]", "?").alias("__nm"),
     )
     blocked = sup.select(
-        "s_suppkey", "__nm", F.substring("__nm", 1, 12).alias("__blk")
+        "s_suppkey",
+        "__nm",
+        F.expr("substring(__nm, 1, greatest(length(__nm) - 1, 1))").alias("__blk"),
     )
+    occ = blocked.groupBy("__blk").agg(F.count(F.lit(1)).alias("__occ"))
+    blocked = blocked.join(occ, "__blk").where(F.col("__occ") <= 64)
     a = blocked.alias("a")
     b = blocked.alias("b")
     dist = F.levenshtein(F.col("a.__nm"), F.col("b.__nm"))
@@ -9914,7 +9942,14 @@ WITH s AS (
   SELECT s_suppkey, regexp_replace(s_name, '[^ -~]', '?', 'g') AS nm
   FROM supplier
 ),
-blocked AS (SELECT s_suppkey, nm, substr(nm, 1, 12) AS blk FROM s)
+blocked0 AS (
+  SELECT s_suppkey, nm, substr(nm, 1, GREATEST(length(nm) - 1, 1)) AS blk
+  FROM s
+),
+occ AS (SELECT blk, COUNT(*) AS n FROM blocked0 GROUP BY 1),
+blocked AS (
+  SELECT b0.* FROM blocked0 b0 JOIN occ ON b0.blk = occ.blk WHERE occ.n <= 64
+)
 SELECT a.s_suppkey AS suppkey_a,
        b.s_suppkey AS suppkey_b,
        a.nm AS name_a,

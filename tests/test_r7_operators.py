@@ -66,7 +66,11 @@ def test_enforce_k_boundary_and_null_groups(spark):
         assert got[i]["suppressed"] and got[i]["qi_out"] == "*"
     for i in (6, 7):
         assert got[i]["suppressed"], "NULL QI rows must not dodge suppression"
-        assert got[i]["group_n"] == 2
+    # suppressed rows release the MERGED '*'-group total (2 + 2 = 4), never
+    # their exact sub-k group size — exact sizes would re-partition the
+    # merged group into its original equivalence classes (r7 ADVICE)
+    for i in (4, 5, 6, 7):
+        assert got[i]["group_n"] == 4
 
 
 def test_enforce_k_group_exactly_k_is_kept(spark):
