@@ -190,6 +190,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_md5",
+    "dedup_exact_substring",
     "dedup_clusters",
     "dedup_keep_best_quality",
     "dedup_canonical_docs",

@@ -1219,3 +1219,118 @@ def decontaminate_bloom_hits(
             F.coalesce(F.col("bloom_hits"), F.lit(0)).cast("long").alias("bloom_hits"),
         )
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 12,
+    stride: int = 1,
+    hash_key: bool = False,
+) -> DataFrame:
+    """Exact-substring dedup — the suffix-array family of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): every
+    token span of ``min_tokens`` that occurs more than once ANYWHERE in the
+    corpus is removed from every occurrence except the globally first
+    (ordered by ``(doc, position)``); documents reassemble from their
+    surviving tokens, fully-emptied documents vanish. Returns
+    ``(id_col, total_tokens, kept_tokens, dedup_text)``.
+
+    Distributed formulation (vs a monolithic suffix array): enumerate
+    every ``min_tokens``-gram at ``stride`` spacing — with ``stride=1``
+    (default) detection is EXACT for duplicated substrings of length >=
+    ``min_tokens``: a duplicate of L >= W tokens contributes all of its
+    L - W + 1 windows, so the union of its non-first duplicated windows
+    covers every token of every non-first occurrence, exactly the tokens a
+    suffix-array pass removes. Divergences from the paper, both inherent
+    to distribution: (a) "first occurrence" is decided PER WINDOW, so when
+    two long duplicates interleave, surviving tokens may be stitched from
+    different occurrences — the guarantee is every duplicated W-gram
+    survives at least once, not that one contiguous occurrence survives
+    whole; (b) substrings shorter than ``min_tokens`` are untouched (the
+    paper's 50-BPE-token threshold plays the same role).
+
+    ``stride`` > 1 is the cheap pre-pass knob: window rows drop by S x but
+    only duplicate pairs whose occurrences align mod S are caught (whole-
+    doc and common-prefix duplicates — arbitrary-offset duplicates need
+    stride 1, because two grids agree on a window start only when the
+    occurrence offsets are congruent mod S).
+
+    100 TB shape: window count ~= corpus token count (NO pair join and no
+    quadratic anywhere): one hash aggregate on the gram key (min-struct
+    first-occurrence; map-side partial combine absorbs hot boilerplate
+    grams — the skew that breaks a row_number window), one 1:1 join back,
+    then removal coverage fans out W positions per duplicated window only
+    (the W x cliff is on DUPLICATED volume, not the corpus; interval-merge
+    per doc is the documented next step if dup fraction is extreme), one
+    (doc, pos) anti-join and one per-doc rebuild aggregate. With
+    ``hash_key=True`` the shuffle key is xxhash64 of the gram (8 bytes vs
+    ~W tokens of text) — the production default at scale; collisions are
+    ~n^2/2^65 and only ever REMOVE an extra span. String key kept for the
+    bit-exact oracle. Reference parity: none (src/Anonymizer.php is
+    row-oriented); this is the LLM-curation surface.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        ).alias("__t"),
+    ).where(F.size("__t") > 0)
+    w = min_tokens
+    windows = (
+        toks.where(F.size("__t") >= w)
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"explode(transform(sequence(0, size(__t) - {w}, {stride}), "
+                f"s -> struct(CAST(s AS LONG) AS pos, "
+                f"array_join(slice(__t, s + 1, {w}), ' ') AS gram)))"
+            ).alias("c"),
+        )
+        .select(id_col, "c.pos", "c.gram")
+    )
+    if hash_key:
+        windows = windows.select(
+            id_col, "pos", F.xxhash64(F.col("gram")).alias("gram")
+        )
+    firsts = windows.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("i"))).alias(
+            "__first"
+        )
+    )
+    dup_occ = (
+        windows.join(firsts, "gram")
+        .where(
+            ~(
+                (F.col("__first.d") == F.col(id_col))
+                & (F.col("__first.i") == F.col("pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    removed = dup_occ.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias("__p")
+    ).distinct()
+    tokens = toks.select(
+        id_col, F.posexplode(F.col("__t")).alias("__p", "__tk")
+    ).withColumn("__p", F.col("__p").cast("long"))
+    marked = tokens.join(removed, [id_col, "__p"], "left_anti").withColumn(
+        "__keep", F.lit(True)
+    )
+    # total_tokens must count ALL tokens (kept + removed): rebuild from the
+    # kept side joined against per-doc totals, not from the anti-join alone
+    totals = toks.select(id_col, F.size("__t").cast("long").alias("total_tokens"))
+    kept = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__tk"))),
+                lambda x: x["__tk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return totals.join(kept, id_col).select(
+        id_col, "total_tokens", "kept_tokens", "dedup_text"
+    )

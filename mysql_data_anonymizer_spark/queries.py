@@ -10256,6 +10256,70 @@ QUERIES["media_audio_segments"] = media_audio_segments
 ORACLES["media_audio_segments"] = AUDIO_SEGMENTS_SQL
 
 
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring dedup (operators/dedup.py::exact_substring_dedup) —
+    the suffix-array family of Lee et al. 2022: every 12-token span that
+    occurs more than once in the corpus is removed from every occurrence
+    except the globally first (by doc, position); docs reassemble from
+    surviving tokens, emptied docs vanish. stride=1 makes detection EXACT
+    for >= 12-token duplicates — the distributed divergence from a true
+    suffix array is only that first-occurrence keep is per-window (see the
+    operator docstring for the recall statement).
+
+    100 TB shape: window rows ~= corpus tokens, NO pair join — one gram-key
+    min-struct aggregate (map-side combine absorbs boilerplate skew), a 1:1
+    join back, a W-position fan-out on duplicated windows only, one
+    (doc,pos) anti-join, one per-doc rebuild agg. Certified on the
+    bit-exact string gram key; hash_key=True swaps in xxhash64 8-byte
+    shuffle keys for production (unit-tested identical on fixtures)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_substring_dedup(
+        docs, "doc_id", "text", min_tokens=12, stride=1
+    )
+
+
+EXACT_SUBSTRING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+nonempty AS (SELECT * FROM toks WHERE len(t) > 0),
+w AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS pos,
+         array_to_string(t[u.s + 1 : u.s + 12], ' ') AS gram
+  FROM nonempty, UNNEST(range(0, GREATEST(len(t) - 12 + 1, 0))) AS u(s)
+),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM w
+),
+removed AS (
+  SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS p
+  FROM marked, UNNEST(range(pos, pos + 12)) AS u(p)
+  WHERE rn > 1
+),
+tokp AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS p, t[u.s + 1] AS tk
+  FROM nonempty, UNNEST(range(0, len(t))) AS u(s)
+)
+SELECT tokp.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN removed.p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       string_agg(CASE WHEN removed.p IS NULL THEN tk END, ' ' ORDER BY tokp.p)
+         AS dedup_text
+FROM tokp
+LEFT JOIN removed ON tokp.doc_id = removed.doc_id AND tokp.p = removed.p
+GROUP BY tokp.doc_id
+HAVING kept_tokens > 0
+"""
+
+
+QUERIES["dedup_exact_substring"] = dedup_exact_substring
+ORACLES["dedup_exact_substring"] = EXACT_SUBSTRING_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before

@@ -1,0 +1,95 @@
+"""Unit tests for the round-8 operators — edge semantics the registry's
+oracle parametrization can't isolate (tiny hand-built frames with
+hand-computed expectations)."""
+
+from pyspark.sql import functions as F
+
+from mysql_data_anonymizer_spark.operators import dedup
+
+
+# ---------------------------------------------------------------------------
+# exact_substring_dedup (Lee et al. 2022 family)
+# ---------------------------------------------------------------------------
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_substring_removes_nonfirst_occurrence(spark):
+    # docs 1 and 2 share the 4-token span "a b c d" at different offsets;
+    # first occurrence (doc 1, pos 0) survives, doc 2's copy is removed
+    docs = _docs(
+        spark,
+        [(1, "a b c d x"), (2, "z a b c d"), (3, "p q r s t")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(docs, min_tokens=4).collect()
+    }
+    assert out[1]["dedup_text"] == "a b c d x"
+    assert out[1]["kept_tokens"] == 5 and out[1]["total_tokens"] == 5
+    assert out[2]["dedup_text"] == "z"
+    assert out[2]["kept_tokens"] == 1 and out[2]["total_tokens"] == 5
+    assert out[3]["dedup_text"] == "p q r s t"  # unique doc untouched
+
+
+def test_exact_substring_long_duplicate_fully_covered(spark):
+    # a 6-token duplicate with min_tokens=4: its 3 overlapping windows
+    # cover ALL 6 tokens of the second occurrence (suffix-array parity)
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(docs, min_tokens=4).collect()
+    }
+    assert out[1]["dedup_text"] == "a b c d e f"
+    assert 2 not in out, "fully-duplicated doc must vanish"
+
+
+def test_exact_substring_within_one_doc(spark):
+    # repetition INSIDE one doc dedups too (second copy removed)
+    docs = _docs(spark, [(1, "a b c d a b c d")])
+    out = dedup.exact_substring_dedup(docs, min_tokens=4).collect()[0]
+    assert out["dedup_text"] == "a b c d"
+    assert out["kept_tokens"] == 4 and out["total_tokens"] == 8
+
+
+def test_exact_substring_short_and_empty_docs(spark):
+    # docs shorter than min_tokens produce no windows and pass through
+    # whole; empty/whitespace docs are dropped (no tokens to keep)
+    docs = _docs(spark, [(1, "a b"), (2, "   "), (3, "a b")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(docs, min_tokens=4).collect()
+    }
+    assert out[1]["dedup_text"] == "a b" and out[3]["dedup_text"] == "a b"
+    assert 2 not in out
+
+
+def test_exact_substring_hash_key_twin_identical(spark):
+    # the xxhash64 production key must reproduce the string-key result
+    # exactly at fixture scale (collisions ~ n^2 / 2^65)
+    docs = _docs(
+        spark,
+        [(i, f"common prefix tokens here {i % 3} tail w{i}") for i in range(30)]
+        + [(100, "common prefix tokens here 0 tail w0")],
+    )
+    a = dedup.exact_substring_dedup(docs, min_tokens=4, hash_key=False)
+    b = dedup.exact_substring_dedup(docs, min_tokens=4, hash_key=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_exact_substring_stride_catches_aligned_duplicates(spark):
+    # stride=4 grid: identical docs (offset 0 vs 0, aligned mod 4) are
+    # caught; the same span at a misaligned offset is NOT — the documented
+    # recall tradeoff of the pre-pass knob
+    docs = _docs(
+        spark,
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z a b c d e f g")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(
+            docs, min_tokens=4, stride=4
+        ).collect()
+    }
+    assert 2 not in out or out[2]["kept_tokens"] == 0  # aligned dup removed
+    assert out[3]["kept_tokens"] == 8  # misaligned copy escapes at stride 4
