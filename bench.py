@@ -196,6 +196,7 @@ HEADLINE = [
     "dedup_canonical_docs",
     "split_leakage_safe",
     "dedup_incremental_new_docs",
+    "dedup_incremental_indexed",
     "decontaminate_training_docs",
     "decontaminate_bloom_ngrams",
     "decontaminate_semantic_embeddings",

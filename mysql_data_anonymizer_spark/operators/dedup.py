@@ -1334,3 +1334,103 @@ def exact_substring_dedup(
     return totals.join(kept, id_col).select(
         id_col, "total_tokens", "kept_tokens", "dedup_text"
     )
+
+
+def build_near_dup_index(
+    corpus: DataFrame,
+    postings_table: str,
+    sizes_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int = 100,
+    num_buckets: int = 8,
+    postings_path: str | None = None,
+    sizes_path: str | None = None,
+) -> None:
+    """Build the PERSISTED corpus-side index for incremental near-dup
+    filtering — the 100 TB fix for ``incremental_near_dup_filter``, which
+    recomputes corpus posting lists on every crawl increment (r7 verdict
+    item 3): shingle the corpus ONCE, drop shingles whose corpus document
+    frequency exceeds ``max_shingle_df`` (the stop-shingle cap, applied at
+    BUILD time — the index cannot know future increments, so the cap is a
+    property of the index, and candidate fan-out per probe shingle is
+    bounded by the cap forever), and persist
+
+      * ``postings_table``: (sh, corpus_id), BUCKETED by ``sh`` — every
+        later probe join on ``sh`` plans with NO Exchange on this (the
+        big) side; only the small increment shuffles;
+      * ``sizes_table``: (corpus_id, n_sh) where n_sh counts the doc's
+        shingles THAT SURVIVED the cap — the denominators must live in the
+        same universe as the intersections the probe can observe.
+
+    Incremental maintenance is an append of the new crawl's postings into
+    the same bucket layout after each accepted batch (bucketBy append
+    keeps per-file bucket hashing); rebuild only to re-cap."""
+    from mysql_data_anonymizer_spark.sources import bucketing
+
+    sh = shingles(corpus, id_col, text_col, n)
+    keep = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= max_shingle_df)
+        .select("sh")
+    )
+    post = sh.join(keep, "sh").select("sh", F.col("__id").alias("corpus_id"))
+    bucketing.write_bucketed(
+        post, postings_table, ["sh"], num_buckets=num_buckets, path=postings_path
+    )
+    sizes = post.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    w = sizes.write.mode("overwrite")
+    if sizes_path:
+        w = w.option("path", sizes_path)
+    w.format("parquet").saveAsTable(sizes_table)
+
+
+def probe_near_dup_index(
+    spark,
+    new_docs: DataFrame,
+    postings_table: str,
+    sizes_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a persisted near-dup index with a crawl increment: shingle the
+    INCREMENT ONLY, equi-join the bucketed postings on ``sh`` (corpus side
+    scans its buckets in place — the only Exchange is the increment's),
+    count per-(new, corpus) shared shingles, and drop new docs whose
+    Jaccard against any indexed doc reaches ``threshold``. Jaccard uses
+    the increment doc's FULL distinct-shingle count and the indexed doc's
+    capped count from ``sizes_table`` (same universe as the intersections).
+
+    Returns ``(survivors, probe_join)`` — the join DataFrame is exposed so
+    callers can assert the co-location property on its executed plan (the
+    certified query gates on exactly one Exchange under the join)."""
+    post = spark.table(postings_table)
+    nsh = shingles(new_docs, id_col, text_col, n).withColumnRenamed("__id", "new_id")
+    # merge hint pins the sort-merge co-bucket plan: a broadcast of the
+    # increment would also leave the corpus unshuffled, but the gate
+    # asserts the layout property, so keep the plan deterministic
+    probe_join = post.hint("merge").join(nsh, "sh")
+    inter = probe_join.groupBy("new_id", "corpus_id").agg(
+        F.count(F.lit(1)).alias("__inter")
+    )
+    nsize = nsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("__nn"))
+    csize = spark.table(sizes_table)
+    dup_new = (
+        inter.join(nsize, "new_id")
+        .join(csize, "corpus_id")
+        .where(
+            F.col("__inter").cast("double")
+            / (F.col("__nn") + F.col("n_sh") - F.col("__inter")).cast("double")
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    survivors = new_docs.join(F.broadcast(dup_new), id_col, "left_anti")
+    return survivors, probe_join

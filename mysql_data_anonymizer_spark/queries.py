@@ -10320,6 +10320,99 @@ QUERIES["dedup_exact_substring"] = dedup_exact_substring
 ORACLES["dedup_exact_substring"] = EXACT_SUBSTRING_SQL
 
 
+def dedup_incremental_indexed(spark, sf_dir):
+    """Incremental dedup against a PERSISTED corpus index (r7 verdict item
+    3 — the 100 TB fix for dedup_incremental_new_docs, which re-shingles
+    the whole corpus every crawl): even-id docs are indexed ONCE
+    (operators/dedup.py::build_near_dup_index — stop-shingle cap applied
+    at build, postings BUCKETED by shingle, capped per-doc sizes
+    persisted), then the odd-id increment probes it
+    (probe_near_dup_index): signatures are computed on the INCREMENT ONLY
+    and the probe join plans with no Exchange on the corpus side — the
+    only shuffle is the increment's, which ``probe_colocated_ok`` certifies
+    from the ACTUAL executed plan (exactly one Exchange under the join +
+    SortMergeJoin, the bucketed_join_revenue gate pattern).
+
+    Index tables are memoized per (session, sf_dir), exactly how a
+    warehouse amortizes the one build across every later crawl."""
+    from mysql_data_anonymizer_spark.operators import dedup as _d
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_neardup_idx", None)
+    if cache is None:
+        cache = {}
+        spark._mda_neardup_idx = cache
+    pt, st = f"ndidx_post_{tag}", f"ndidx_size_{tag}"
+    if tag not in cache:
+        _d.build_near_dup_index(
+            corpus, pt, st, "doc_id", "text", n=3,
+            max_shingle_df=MAX_SHINGLE_DF, num_buckets=8,
+            postings_path=tempfile.mkdtemp(prefix="mda_ndidx_p_"),
+            sizes_path=tempfile.mkdtemp(prefix="mda_ndidx_s_"),
+        )
+        cache[tag] = (pt, st)
+    survivors, probe_join = _d.probe_near_dup_index(
+        spark, new, pt, st, "doc_id", "text", n=3, threshold=0.6
+    )
+    plan = probe_join._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE join-key shuffle (the increment's; the loader's round-
+    # robin REPARTITION_BY_NUM is not a key shuffle), corpus side read as
+    # a bucketed scan, merge-joined in place
+    colocated = (
+        plan.count("Exchange hashpartitioning") == 1
+        and "Bucketed: true" in plan
+        and "SortMergeJoin" in plan
+    )
+    return survivors.select("doc_id", "lang", "source", "n_chars").withColumn(
+        "probe_colocated_ok", F.lit(bool(colocated))
+    )
+
+
+INCREMENTAL_INDEXED_SQL = """
+WITH docs AS (
+  SELECT doc_id, (doc_id % 2) = 1 AS is_new,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, is_new,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM docs
+),
+sh1 AS (SELECT doc_id, is_new, sh FROM sh0 WHERE sh <> ''),
+cpost0 AS (SELECT sh, doc_id AS cid FROM sh1 WHERE NOT is_new),
+ckeep AS (SELECT sh FROM cpost0 GROUP BY sh HAVING count(*) <= 100),
+cpost AS (SELECT c.sh, c.cid FROM cpost0 c JOIN ckeep USING (sh)),
+csize AS (SELECT cid, count(*) AS n FROM cpost GROUP BY cid),
+nsh AS (SELECT doc_id AS nid, sh FROM sh1 WHERE is_new),
+nsize AS (SELECT nid, count(*) AS n FROM nsh GROUP BY nid),
+inter AS (
+  SELECT nid, cid, count(*) AS i
+  FROM nsh JOIN cpost USING (sh) GROUP BY 1, 2
+),
+dup AS (
+  SELECT DISTINCT nid
+  FROM inter
+  JOIN nsize USING (nid)
+  JOIN csize USING (cid)
+  WHERE CAST(i AS DOUBLE) / CAST(nsize.n + csize.n - i AS DOUBLE) >= 0.6
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, TRUE AS probe_colocated_ok
+FROM documents d
+WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT nid FROM dup)
+"""
+
+
+QUERIES["dedup_incremental_indexed"] = dedup_incremental_indexed
+ORACLES["dedup_incremental_indexed"] = INCREMENTAL_INDEXED_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before

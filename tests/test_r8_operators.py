@@ -93,3 +93,52 @@ def test_exact_substring_stride_catches_aligned_duplicates(spark):
     }
     assert 2 not in out or out[2]["kept_tokens"] == 0  # aligned dup removed
     assert out[3]["kept_tokens"] == 8  # misaligned copy escapes at stride 4
+
+
+# ---------------------------------------------------------------------------
+# build_near_dup_index / probe_near_dup_index
+# ---------------------------------------------------------------------------
+def test_near_dup_index_probe_drops_dupes_and_colocates(spark, tmp_path):
+    corpus = _docs(
+        spark,
+        [(2, "the quick brown fox jumps over the lazy dog today"),
+         (4, "completely different corpus text about spark engines here")],
+    )
+    new = _docs(
+        spark,
+        [(1, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+         (3, "unrelated new crawl document with fresh novel content")],
+    )
+    dedup.build_near_dup_index(
+        corpus, "t_ndidx_post", "t_ndidx_size", n=3, max_shingle_df=100,
+        num_buckets=4,
+        postings_path=str(tmp_path / "p"), sizes_path=str(tmp_path / "s"),
+    )
+    surv, pj = dedup.probe_near_dup_index(
+        spark, new, "t_ndidx_post", "t_ndidx_size", n=3, threshold=0.6
+    )
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    assert ids == [3], "exact dup of an indexed doc must be dropped"
+    plan = pj._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, "corpus postings must scan as buckets"
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "only the increment side may shuffle"
+    )
+
+
+def test_near_dup_index_cap_applied_at_build(spark, tmp_path):
+    # a shingle in >cap corpus docs is dropped from the index, so a new doc
+    # made ONLY of that boilerplate cannot match anything (documented
+    # recall loss of the stop-shingle cap)
+    boiler = "all rights reserved to the original site owner"
+    corpus = _docs(spark, [(i * 2, boiler) for i in range(1, 5)])
+    new = _docs(spark, [(1, boiler)])
+    dedup.build_near_dup_index(
+        corpus, "t_ndidx_post2", "t_ndidx_size2", n=3, max_shingle_df=3,
+        num_buckets=2,
+        postings_path=str(tmp_path / "p2"), sizes_path=str(tmp_path / "s2"),
+    )
+    surv, _ = dedup.probe_near_dup_index(
+        spark, new, "t_ndidx_post2", "t_ndidx_size2", n=3, threshold=0.6
+    )
+    assert [r["doc_id"] for r in surv.collect()] == [1]
