@@ -176,6 +176,7 @@ HEADLINE = [
     "fuzzy_match_blocked_suppliers",
     "entity_clusters_parts",
     "pagerank_copurchase_parts",
+    "bpe_merge_steps",
     "kmeans_assign_step",
     "media_frame_sample",
     "media_audio_segments",

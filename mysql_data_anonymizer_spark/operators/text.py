@@ -361,3 +361,119 @@ def nfc_normalize(text: Column) -> Column:
         )
 
     return _nfc(text)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge-step iteration)
+# ---------------------------------------------------------------------------
+_BPE_SENTINEL = "\x01"  # below every post-ASCII-projection symbol char
+
+
+def _bpe_apply_merge(w: Column, left: Column, right: Column) -> Column:
+    """Apply ONE BPE merge (left, right) greedily left-to-right over a
+    space-separated symbol string — the exact single-pass semantics of
+    Sennrich et al. 2016's reference implementation: scanning resumes
+    AFTER a merged pair, so in a run ``a a a`` only the first pair merges
+    (``aa a``). Implemented as a string fold (``aggregate`` with a VARCHAR
+    accumulator seeded by a sentinel symbol) because the accumulator and
+    elements share a type in both engines — DuckDB's ``list_reduce`` has
+    no initial-value form, so the DuckDB oracle replays the IDENTICAL
+    sentinel construction. The sentinel (chr 1) cannot collide: symbols
+    are ASCII-projected to [space..tilde] upstream."""
+
+    def step(acc: Column, x: Column) -> Column:
+        last = F.regexp_extract(acc, "([^ ]*)$", 1)
+        return F.when(
+            (last == left) & (x == right),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - F.length(last)), left, right
+            ),
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+
+    folded = F.aggregate(F.split(w, " "), F.lit(_BPE_SENTINEL), step)
+    return folded.substr(F.lit(3), F.length(folded))
+
+
+def bpe_merge_steps(
+    docs: DataFrame,
+    text_col: str = "text",
+    k_merges: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Distributed BPE tokenizer training, the first ``k_merges`` merge
+    steps (Sennrich et al. 2016): word counts -> symbols start as
+    characters -> repeat K times {count adjacent symbol pairs weighted by
+    word frequency; merge the most frequent pair everywhere}. Returns the
+    trained merge table ``(step, left_sym, right_sym, pair_count)`` — the
+    artifact a tokenizer ships. Deterministic tie-break: highest count,
+    then (left, right) lexicographic — encoded as one ``min(struct(-cnt,
+    left, right))`` aggregate so ties never depend on partitioning.
+
+    Same unrolled-iteration shape as PageRank: all counts are exact
+    BIGINTs; each step is one keyed shuffle (pair-count aggregate over
+    the WORD table, which is vocabulary-sized — the corpus itself is
+    touched once, by the word-count aggregate) plus a 1-row broadcast
+    crossJoin carrying the chosen pair into the merge application (a
+    codegen string fold, no Python). ``checkpoint`` eagerly pins the
+    small word table between steps — K nested HOF folds otherwise stack
+    into one deep Catalyst plan (the r7 plan-compile lesson). Words are
+    ASCII-projected so char splitting is codepoint-identical in both
+    engines. 100 TB shape: the iteration runs on the word-count dict
+    (|vocab| rows), never on the corpus."""
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("__word")
+        )
+        .select(F.regexp_replace("__word", "[^ -~]", "?").alias("__word"))
+        .groupBy("__word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__freq"))
+        .select(
+            F.array_join(F.split("__word", ""), " ").alias("__w"), "__freq"
+        )
+    )
+    merges = []
+    for k in range(1, k_merges + 1):
+        if checkpoint:
+            words = words.localCheckpoint(eager=True)
+        syms = F.split(F.col("__w"), " ")
+        pair_structs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 2),
+                lambda i: F.struct(
+                    F.element_at(syms, i + 1).alias("pl"),
+                    F.element_at(syms, i + 2).alias("pr"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pl:string,pr:string>>"))
+        pairs = (
+            words.select(F.explode(pair_structs).alias("p"), "__freq")
+            .groupBy("p.pl", "p.pr")
+            .agg(F.sum("__freq").cast("long").alias("cnt"))
+        )
+        best = pairs.agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("pl"), F.col("pr"))
+            ).alias("b")
+        ).select(
+            F.lit(k).cast("long").alias("step"),
+            F.col("b.pl").alias("left_sym"),
+            F.col("b.pr").alias("right_sym"),
+            (-F.col("b.nc")).cast("long").alias("pair_count"),
+        )
+        merges.append(best)
+        words = words.crossJoin(F.broadcast(best)).select(
+            _bpe_apply_merge(
+                F.col("__w"), F.col("left_sym"), F.col("right_sym")
+            ).alias("__w"),
+            "__freq",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -10413,6 +10413,78 @@ QUERIES["dedup_incremental_indexed"] = dedup_incremental_indexed
 ORACLES["dedup_incremental_indexed"] = INCREMENTAL_INDEXED_SQL
 
 
+def bpe_merge_steps(spark, sf_dir):
+    """Distributed BPE tokenizer training, first 6 merge steps (Sennrich
+    et al. 2016) — operators/text.py::bpe_merge_steps: corpus -> word
+    counts (the only corpus-wide pass), symbols start as characters, then
+    6 unrolled iterations of {exact-BIGINT adjacent-pair count over the
+    vocabulary-sized word table; min(struct(-cnt,left,right)) picks the
+    merge deterministically; a 1-row broadcast crossJoin (BNL_OK) carries
+    it into a codegen string-fold merge application with the reference
+    implementation's greedy left-to-right semantics}. Output is the merge
+    table a tokenizer ships. The oracle replays every iteration as
+    chained CTEs (the PageRank pattern), including the sentinel-seeded
+    list_reduce fold."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_merge_steps(docs, "text", k_merges=6)
+
+
+def _gen_bpe_sql(k_merges: int = 6) -> str:
+    fold = (
+        "substr(list_reduce(list_prepend(chr(1), string_split(t.w, ' ')),\n"
+        "    (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]*)$', 1) = b.left_sym"
+        " AND x = b.right_sym\n"
+        "      THEN left(acc, length(acc) - length(regexp_extract(acc, '([^ ]*)$', 1)))"
+        " || b.left_sym || b.right_sym\n"
+        "      ELSE acc || ' ' || x END), 3)"
+    )
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # and b{k} references p{k} three times while w{k} references w{k-1} and
+    # b{k} -> inlining re-evaluates the whole chain per reference,
+    # exponential in k (measured: the un-materialized form never finished)
+    parts = [
+        r"""WITH w0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(word, ''), ' ') AS w,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT regexp_replace(u.t, '[^ -~]', '?', 'g') AS word
+    FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             t -> t <> '') AS toks
+          FROM documents) d,
+         UNNEST(d.toks) AS u(t)
+  ) GROUP BY word
+)"""
+    ]
+    for k in range(1, k_merges + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT s[u.i + 1] AS pl, s[u.i + 2] AS pr, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(w, ' ') AS s, freq FROM w{k - 1}) t,
+       UNNEST(range(0, GREATEST(len(s) - 1, 0))) AS u(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT CAST({k} AS BIGINT) AS step,
+         split_part(min(CASE WHEN cnt = (SELECT max(cnt) FROM p{k})
+                        THEN pl || chr(2) || pr END), chr(2), 1) AS left_sym,
+         split_part(min(CASE WHEN cnt = (SELECT max(cnt) FROM p{k})
+                        THEN pl || chr(2) || pr END), chr(2), 2) AS right_sym,
+         max(cnt) AS pair_count
+  FROM p{k}
+),
+w{k} AS MATERIALIZED (
+  SELECT {fold} AS w, freq
+  FROM w{k - 1} t CROSS JOIN b{k} b
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM b{k}" for k in range(1, k_merges + 1))
+    return ",\n".join(parts) + "\n" + union
+
+
+QUERIES["bpe_merge_steps"] = bpe_merge_steps
+ORACLES["bpe_merge_steps"] = _gen_bpe_sql()
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before

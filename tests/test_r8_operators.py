@@ -142,3 +142,55 @@ def test_near_dup_index_cap_applied_at_build(spark, tmp_path):
         spark, new, "t_ndidx_post2", "t_ndidx_size2", n=3, threshold=0.6
     )
     assert [r["doc_id"] for r in surv.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_steps
+# ---------------------------------------------------------------------------
+def test_bpe_merge_hand_computed(spark):
+    # corpus: "low" x3, "lower" x1  (chars: l o w / l o w e r)
+    # step 1 pairs: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1
+    #   tie 4/4 -> lexicographic -> (l,o); words: "lo w" x3, "lo w e r"
+    # step 2 pairs: (lo,w)=4, (w,e)=1, (e,r)=1 -> (lo,w)
+    docs = spark.createDataFrame(
+        [(1, "low low low lower")], "doc_id long, text string"
+    )
+    from mysql_data_anonymizer_spark.operators import text as T
+
+    out = {r["step"]: r for r in T.bpe_merge_steps(docs, k_merges=2).collect()}
+    assert (out[1]["left_sym"], out[1]["right_sym"], out[1]["pair_count"]) == (
+        "l", "o", 4,
+    )
+    assert (out[2]["left_sym"], out[2]["right_sym"], out[2]["pair_count"]) == (
+        "lo", "w", 4,
+    )
+
+
+def test_bpe_greedy_run_semantics(spark):
+    # "aaaa" as chars: pairs (a,a) count 3; after merging (a,a) greedily
+    # left-to-right the word is "aa aa" (NOT "aa a a" or overlap), so step 2
+    # must see pair (aa,aa) with count 1
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    from mysql_data_anonymizer_spark.operators import text as T
+
+    out = {r["step"]: r for r in T.bpe_merge_steps(docs, k_merges=2).collect()}
+    assert (out[1]["left_sym"], out[1]["right_sym"]) == ("a", "a")
+    assert (out[2]["left_sym"], out[2]["right_sym"], out[2]["pair_count"]) == (
+        "aa", "aa", 1,
+    )
+
+
+def test_bpe_merged_symbol_competes_next_round(spark):
+    # after (e,r) merges, (er, s) must be countable as a pair
+    docs = spark.createDataFrame(
+        [(1, "er er er ers")], "doc_id long, text string"
+    )
+    from mysql_data_anonymizer_spark.operators import text as T
+
+    out = {r["step"]: r for r in T.bpe_merge_steps(docs, k_merges=2).collect()}
+    assert (out[1]["left_sym"], out[1]["right_sym"], out[1]["pair_count"]) == (
+        "e", "r", 4,
+    )
+    assert (out[2]["left_sym"], out[2]["right_sym"], out[2]["pair_count"]) == (
+        "er", "s", 1,
+    )
