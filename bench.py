@@ -144,6 +144,7 @@ HEADLINE = [
     "corpus_quality_filter",
     "quality_classifier_scores",
     "ccnet_perplexity_buckets",
+    "ccnet_perplexity_buckets_prod",
     "stratified_sample_docs",
     "scrub_documents_pii",
     "pack_docs_token_bins",

@@ -9461,6 +9461,17 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     tables are the only shuffled state); V and the cutoffs are 1-row
     broadcast crossJoins (plan_audit BNL_OK). Docs with no bigrams
     (empty/one-token) score NULL and land in 'tail'."""
+    return _ccnet_buckets_impl(spark, sf_dir, keyed=False)
+
+
+def _ccnet_buckets_impl(spark, sf_dir, keyed: bool):
+    """Shared CCNet pipeline. ``keyed=False`` broadcasts the LM count
+    tables (right at fixture vocab); ``keyed=True`` is the web-scale twin
+    (r7 verdict item 5): a reference LM trained on a trillion-token slice
+    has count tables far beyond broadcast, so the corpus bigram stream
+    shuffle-joins them on the bigram/unigram key (shuffle_merge hints pin
+    the plan; values are bit-identical). The 1-row vocab and cutoff
+    scalars stay broadcast crossJoins — they are O(1) by construction."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -9498,11 +9509,21 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         * F.lit(1000000).cast("long")
         / (F.coalesce(F.col("n_w"), F.lit(0).cast("long")) + F.col("v_sz"))
     ).cast("long")
+    uc1 = uc.withColumnRenamed("w", "__w1")
+    if keyed:
+        joined = (
+            db.join(bc.hint("shuffle_merge"), "bg", "left")
+            .withColumn("__w1", F.split(F.col("bg"), " ")[0])
+            .join(uc1.hint("shuffle_merge"), "__w1", "left")
+        )
+    else:
+        joined = (
+            db.join(F.broadcast(bc), "bg", "left")
+            .withColumn("__w1", F.split(F.col("bg"), " ")[0])
+            .join(F.broadcast(uc1), "__w1", "left")
+        )
     per_doc = (
-        db.join(F.broadcast(bc), "bg", "left")
-        .withColumn("__w1", F.split(F.col("bg"), " ")[0])
-        .join(F.broadcast(uc.withColumnRenamed("w", "__w1")), "__w1", "left")
-        .crossJoin(F.broadcast(vocab))
+        joined.crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -9524,7 +9545,7 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         F.percentile(F.col("lm_score"), F.lit(1 / 3)).alias("c1"),
         F.percentile(F.col("lm_score"), F.lit(2 / 3)).alias("c2"),
     )
-    return scored.crossJoin(F.broadcast(cuts)).select(
+    out = scored.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
         "n_bigrams",
         "lm_score",
@@ -9534,6 +9555,15 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    if keyed:
+        # the prod twin certifies its layout claim: both LM-count joins
+        # planned as keyed sort-merge joins, neither count table broadcast
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        keyed_ok = (
+            plan.count("SortMergeJoin") >= 2 and "BroadcastHashJoin" not in plan
+        )
+        out = out.withColumn("keyed_join_ok", F.lit(bool(keyed_ok)))
+    return out
 
 
 def _gen_ccnet_buckets_sql() -> str:
@@ -9598,6 +9628,26 @@ FROM scored CROSS JOIN cuts
 
 QUERIES["ccnet_perplexity_buckets"] = ccnet_perplexity_buckets
 ORACLES["ccnet_perplexity_buckets"] = _gen_ccnet_buckets_sql()
+
+
+def ccnet_perplexity_buckets_prod(spark, sf_dir):
+    """Web-scale twin of ccnet_perplexity_buckets (r7 verdict item 5,
+    the semdedup_ivf_prod pattern): the LM unigram/bigram count tables
+    are JOINED ON THEIR KEYS (shuffle_merge-pinned sort-merge joins)
+    instead of broadcast — a reference LM trained on a trillion-token
+    slice has count tables no executor can hold. Values are bit-identical
+    to the broadcast variant (same exact-integer math); ``keyed_join_ok``
+    certifies from the executed plan that both count joins are keyed SMJs
+    and nothing was broadcast. The 1-row vocab/cutoff scalars remain
+    broadcast crossJoins — O(1) by construction (plan_audit BNL_OK)."""
+    return _ccnet_buckets_impl(spark, sf_dir, keyed=True)
+
+
+ORACLES["ccnet_perplexity_buckets_prod"] = _gen_ccnet_buckets_sql().replace(
+    "SELECT doc_id, n_bigrams, lm_score,",
+    "SELECT doc_id, n_bigrams, lm_score, TRUE AS keyed_join_ok,",
+)
+QUERIES["ccnet_perplexity_buckets_prod"] = ccnet_perplexity_buckets_prod
 
 
 _PAGERANK_ITERS = 5
