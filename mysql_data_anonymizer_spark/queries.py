@@ -10541,62 +10541,14 @@ ORACLES["bpe_merge_steps"] = _gen_bpe_sql()
 # re-checking queries that are already green.
 # ===========================================================================
 _CHECK_FIRST = [
-    # Ordering for the driver's bounded (~50-query) sample, round 7
-    # (VERDICT r6 #1: stalest-first. Every registry query's latest cert is
-    # green, so the round's job is refreshing the OLDEST certs — the r6-new
-    # cohort was certified last round and now sorts dead last).
-    # (0) new this round — never driver-certified
-    "quality_classifier_scores",
-    "mix_temperature_sample",
-    "hybrid_search_rrf",
-    "dedup_keep_best_quality",
-    "ccnet_perplexity_buckets",
-    "pagerank_copurchase_parts",
-    "enforce_k_anonymity_customers",
-    "synthesize_marginals_customers",
-    "fuzzy_match_blocked_suppliers",
-    "rag_pipeline_e2e",
-    "phrase_search_docs",
-    "skew_report_lineitem",
-    "media_audio_segments",
-    # (1) stalest certs: last driver-certified r3 (44 queries)
-    "approx_quantiles_events_value",
-    "approx_top_terms",
-    "bigram_collocations",
-    "binaryfile_media_manifest",
-    "cap_docs_per_source",
-    "cdc_apply_changelog_orders",
-    "chunk_docs_for_rag",
-    "cohort_retention_weekly",
-    "csv_source_agg",
-    "customer_order_keys_array",
-    "doc_top_terms",
-    "explode_doc_sentences",
-    "funnel_view_click_purchase",
-    "importance_sample_docs",
-    "incremental_agg_users",
-    "json_props_struct",
-    "json_source_agg",
-    "k_anonymity_audit_customers",
-    "kmeans_assign_step",
-    "l_diversity_audit_customers",
-    "mask_generalize_customers",
-    "media_frame_sample",
-    "pretraining_pipeline_e2e",
-    "profile_orders_columns",
-    "pydatasource_synth_agg",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "rebalance_corpus_mix",
-    "rollup_orders",
-    "rtbf_forget_cascade",
-    "running_total_per_customer",
+    # Ordering for the driver's bounded (~50-query) sample, round 8
+    # (VERDICT r7 #1: stalest-first). (0) new this round — never
+    # driver-certified:
+    "dedup_exact_substring",
+    "dedup_incremental_indexed",
+    "bpe_merge_steps",
+    "ccnet_perplexity_buckets_prod",
+    # (1) stalest: latest driver cert is r3 (7 queries)
     "semdedup_embeddings",
     "shard_training_corpus",
     "snapshot_diff_orders",
@@ -10604,7 +10556,8 @@ _CHECK_FIRST = [
     "variant_events_agg",
     "vocab_top_terms",
     "winsorize_events_value",
-    # (2) next-stalest: last certified r4 (50 queries)
+    # (2) next-stalest: latest cert r4 (50 queries; the 50-sample
+    #     reaches ~39 of these this round, the rest lead round 9)
     "anti_join_customers_no_orders",
     "approx_distinct_users_daily",
     "asof_last_order_per_event",
@@ -10655,8 +10608,7 @@ _CHECK_FIRST = [
     "text_winnowing",
     "top_supplier_per_nation",
     "topk_customers_per_segment",
-    # (3) last certified r5 (50 queries); the r6-new cohort (freshest certs)
-    # deliberately sorts after everything listed here.
+    # (3) latest cert r5; everything fresher sorts after this list
     "mask_static",
     "mask_generator_email",
     "mask_guarded",

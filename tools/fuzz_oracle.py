@@ -264,6 +264,12 @@ DEFAULT_QUERIES = [
     "multimodal_featurize",
     "pydatasource_stream_agg",
     "pydatasource_synth_agg",
+    # r8: exact-substring dedup, persisted-index incremental dedup,
+    # BPE merge training, CCNet keyed-join twin
+    "dedup_exact_substring",
+    "dedup_incremental_indexed",
+    "bpe_merge_steps",
+    "ccnet_perplexity_buckets_prod",
 ]
 
 EDGE_TEXTS = [
