@@ -178,6 +178,7 @@ HEADLINE = [
     "entity_clusters_parts",
     "pagerank_copurchase_parts",
     "bpe_merge_steps",
+    "bpe_encode_docs",
     "kmeans_assign_step",
     "media_frame_sample",
     "media_audio_segments",

@@ -477,3 +477,53 @@ def bpe_merge_steps(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a TRAINED BPE merge list to a corpus — the tokenization pass
+    of a pretraining pipeline (the artifact `bpe_merge_steps` produces,
+    consumed): every word splits into characters and the merges replay in
+    rank order with the same greedy left-to-right fold as training.
+    Returns per-document ``(id_col, n_words, n_sym_chars, n_tokens)`` —
+    words, pre-merge symbol count, and post-merge token count (the number
+    a token-budget packer bills).
+
+    Scale shape: the fold runs per DISTINCT word (one distinct + one
+    keyed join-back — vocabulary-sized fold work, not corpus-sized), the
+    merge list itself is a tiny driver-side literal list (K rows by
+    construction, the ANN query-set precedent). Documents with no tokens
+    are dropped (nothing to bill). ASCII projection keeps char splitting
+    codepoint-identical across engines."""
+    wd = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("__word"),
+    ).select(id_col, F.regexp_replace("__word", "[^ -~]", "?").alias("__word"))
+    dw = wd.select("__word").distinct()
+    w: Column = F.array_join(F.split("__word", ""), " ")
+    for a, b in merges:
+        if a is None or b is None:
+            continue  # degenerate training input (no pairs) trains no merge
+        w = _bpe_apply_merge(w, F.lit(a), F.lit(b))
+    enc = dw.select(
+        "__word",
+        F.size(F.split(w, " ")).cast("long").alias("__n_tok"),
+    )
+    return (
+        wd.join(enc, "__word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("__word")).cast("long").alias("n_sym_chars"),
+            F.sum("__n_tok").cast("long").alias("n_tokens"),
+        )
+    )

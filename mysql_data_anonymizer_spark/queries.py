@@ -10535,6 +10535,82 @@ QUERIES["bpe_merge_steps"] = bpe_merge_steps
 ORACLES["bpe_merge_steps"] = _gen_bpe_sql()
 
 
+def bpe_encode_docs(spark, sf_dir):
+    """Tokenize the corpus with the TRAINED tokenizer — the application
+    half of bpe_merge_steps (train -> encode is the full tokenizer story
+    a pretraining pipeline runs): the 6 trained merges replay in rank
+    order over every word via the same greedy string fold, yielding
+    per-doc word / pre-merge symbol / post-merge token counts (what a
+    token-budget packer bills). The fold runs per DISTINCT word
+    (vocabulary-sized work + one keyed join-back, operators/text.py::
+    bpe_encode); the merge list is a 6-row driver-side artifact
+    (memoized per session+sf, the trained-model precedent). The oracle
+    replays training AND encoding as chained MATERIALIZED CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_bpe_merges", None)
+    if cache is None:
+        cache = {}
+        spark._mda_bpe_merges = cache
+    if tag not in cache:
+        cache[tag] = [
+            (r["left_sym"], r["right_sym"])
+            for r in text.bpe_merge_steps(docs, "text", k_merges=6)
+            .orderBy("step")
+            .collect()
+        ]
+    return text.bpe_encode(docs, cache[tag], "doc_id", "text")
+
+
+def _gen_bpe_encode_sql(k_merges: int = 6) -> str:
+    train = _gen_bpe_sql(k_merges)
+    # keep the training CTE chain, swap the final merge-table UNION for the
+    # encoding tail (distinct-word fold through b1..bK, join back to docs)
+    train_ctes = train[: train.index("\nSELECT * FROM b1")]
+    fold = (
+        "substr(list_reduce(list_prepend(chr(1), string_split(t.w, ' ')),\n"
+        "    (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]*)$', 1) = b.left_sym"
+        " AND x = b.right_sym\n"
+        "      THEN left(acc, length(acc) - length(regexp_extract(acc, '([^ ]*)$', 1)))"
+        " || b.left_sym || b.right_sym\n"
+        "      ELSE acc || ' ' || x END), 3)"
+    )
+    enc_ctes = [
+        r"""wd AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(u.t, '[^ -~]', '?', 'g') AS word
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   t -> t <> '') AS toks
+        FROM documents) d,
+       UNNEST(d.toks) AS u(t)
+),
+s0 AS MATERIALIZED (
+  SELECT word, array_to_string(string_split(word, ''), ' ') AS w
+  FROM (SELECT DISTINCT word FROM wd)
+)"""
+    ]
+    for k in range(1, k_merges + 1):
+        enc_ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT word, {fold} AS w
+  FROM s{k - 1} t CROSS JOIN b{k} b
+)"""
+        )
+    tail = f"""enc AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(w, ' ')) AS BIGINT) AS n_tok FROM s{k_merges}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(word)) AS BIGINT) AS n_sym_chars,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM wd JOIN enc USING (word)
+GROUP BY doc_id"""
+    return train_ctes + ",\n" + ",\n".join(enc_ctes) + ",\n" + tail
+
+
+QUERIES["bpe_encode_docs"] = bpe_encode_docs
+ORACLES["bpe_encode_docs"] = _gen_bpe_encode_sql()
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10547,6 +10623,7 @@ _CHECK_FIRST = [
     "dedup_exact_substring",
     "dedup_incremental_indexed",
     "bpe_merge_steps",
+    "bpe_encode_docs",
     "ccnet_perplexity_buckets_prod",
     # (1) stalest: latest driver cert is r3 (7 queries)
     "semdedup_embeddings",

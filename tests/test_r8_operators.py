@@ -194,3 +194,26 @@ def test_bpe_merged_symbol_competes_next_round(spark):
     assert (out[2]["left_sym"], out[2]["right_sym"], out[2]["pair_count"]) == (
         "er", "s", 1,
     )
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    # word "lower": chars l o w e r (5 symbols). merges [(l,o), (lo,w)]
+    # -> "lo w e r" -> "low e r" = 3 tokens
+    docs = spark.createDataFrame([(1, "lower lower")], "doc_id long, text string")
+    from mysql_data_anonymizer_spark.operators import text as T
+
+    out = T.bpe_encode(docs, [("l", "o"), ("lo", "w")]).collect()[0]
+    assert out["n_words"] == 2
+    assert out["n_sym_chars"] == 10
+    assert out["n_tokens"] == 6  # 3 tokens per word
+
+
+def test_bpe_encode_skips_null_merges_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "   ")], "doc_id long, text string"
+    )
+    from mysql_data_anonymizer_spark.operators import text as T
+
+    rows = {r["doc_id"]: r for r in T.bpe_encode(docs, [(None, None)]).collect()}
+    assert rows[1]["n_tokens"] == 2  # no merge applied -> chars
+    assert 2 not in rows  # whitespace-only doc has nothing to bill

@@ -269,6 +269,7 @@ DEFAULT_QUERIES = [
     "dedup_exact_substring",
     "dedup_incremental_indexed",
     "bpe_merge_steps",
+    "bpe_encode_docs",
     "ccnet_perplexity_buckets_prod",
 ]
 
