@@ -214,6 +214,7 @@ HEADLINE = [
     "knn_matmul",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_indexed",
     "knn_pq",
     "knn_sq8",
     "knn_ivfpq",

@@ -903,3 +903,87 @@ def rrf_fuse(
         fused.select(*out_cols, F.row_number().over(w).cast("long").alias("fused_rank"))
         .where(F.col("fused_rank") <= k)
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    table: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> None:
+    """Persist the IVF INVERTED FILE: corpus vectors written once, HIVE-
+    PARTITIONED by their nearest-centroid cell — the on-disk layout every
+    deployed IVF system uses (faiss inverted lists as partition
+    directories). A probe then READS ONLY its nprobe cells: partition
+    pruning eliminates (n_cells - nprobe)/n_cells of the scan before any
+    row is touched, which is the entire point of IVF at 100 TB — the
+    session-memoized in-memory variant (`ivf_topk`) prunes compute but
+    still scans every row to assign cells per run."""
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(ivf_assign_expr(vec_col, centroids, 1), 1).alias("cell"),
+    )
+    writer = assigned.write.mode("overwrite").partitionBy("cell").format("parquet")
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def ivf_indexed_topk(
+    spark,
+    queries: DataFrame,
+    table: str,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = DEFAULT_DIM,
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a persisted IVF inverted file (`build_ivf_index`): assign each
+    query its ``nprobe`` nearest cells, collect the probed cell set (tiny
+    by the ANN query-set contract — |Q| x nprobe ints), and read the index
+    with a LITERAL ``cell IN (...)`` predicate so Catalyst prunes unprobed
+    partition directories AT PLAN TIME (static partition pruning — visible
+    as PartitionFilters on the scan, deterministic, no AQE/DPP threshold
+    dependence). Exact cosine within probed cells, (score, id) tie-broken
+    top-k — value-identical to ``ivf_topk`` with the same centroids/nprobe
+    (unit-asserted). Returns ``(topk, pruned_scan)`` — the scan DataFrame
+    is exposed so callers can gate on its executed plan."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(vec_col, dim).alias("__qn"),
+        F.explode(ivf_assign_expr(vec_col, centroids, nprobe)).alias("cell"),
+    )
+    probed_cells = sorted(
+        {r["cell"] for r in q.select("cell").distinct().collect()}
+    )
+    corpus = spark.table(table).where(F.col("cell").isin(probed_cells))
+    c = corpus.select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(vec_col, dim).alias("__cn"),
+    )
+    pairs = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = (
+        pairs.withColumn(
+            "cosine",
+            F.round(dot_expr("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")), 4),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    return out, corpus

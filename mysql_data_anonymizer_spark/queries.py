@@ -10611,6 +10611,60 @@ QUERIES["bpe_encode_docs"] = bpe_encode_docs
 ORACLES["bpe_encode_docs"] = _gen_bpe_encode_sql()
 
 
+def knn_ivf_indexed(spark, sf_dir):
+    """IVF ANN over a PERSISTED inverted file (similarity.build_ivf_index
+    + ivf_indexed_topk) — the dedup_incremental_indexed story for the ANN
+    family: the corpus is written ONCE hive-partitioned by trained cell
+    (faiss inverted lists as partition directories, memoized per
+    session+sf), and each probe reads ONLY its nprobe cells via a literal
+    ``cell IN`` predicate — static partition pruning, certified from the
+    executed plan (``pruned_ok``: PartitionFilters INSET on the scan and
+    probed < n_cells). The in-memory ivf_topk prunes COMPUTE but still
+    scans every row per run to assign cells; the index prunes the SCAN,
+    which is the entire IVF point at 100 TB. Values are identical to
+    ivf_topk with the same centroids/nprobe (unit-asserted), so the
+    certification is the knn_ivf pattern: exact matmul twin + global
+    ``recall_ok`` (hits >= 13 of 25; same measured 0.76-0.92 recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = _ann_models(spark, sf_dir, emb)[0]
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_ivf_index", None)
+    if cache is None:
+        cache = {}
+        spark._mda_ivf_index = cache
+    tbl = f"ivfidx_{tag}"
+    if tag not in cache:
+        similarity.build_ivf_index(
+            emb, tbl, cents, path=tempfile.mkdtemp(prefix="mda_ivfidx_")
+        )
+        cache[tag] = tbl
+    approx, scan = similarity.ivf_indexed_topk(
+        spark, queries, tbl, cents, k=5, nprobe=8, dim=None
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pruned = "INSET" in plan.split("PartitionFilters:")[-1][:200]
+    exact = similarity.matmul_topk(emb, queries, k=5)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("__hits"))
+    return (
+        exact.crossJoin(F.broadcast(hits))
+        .withColumn("recall_ok", F.col("__hits") >= 13)
+        .withColumn("pruned_ok", F.lit(bool(pruned)))
+        .select("query_id", "neighbor_id", "cosine", "rank", "recall_ok", "pruned_ok")
+    )
+
+
+ORACLES["knn_ivf_indexed"] = (
+    "SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok, "
+    f"TRUE AS pruned_ok FROM ({_gen_knn_sql(5)}) t"
+)
+QUERIES["knn_ivf_indexed"] = knn_ivf_indexed
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10625,6 +10679,7 @@ _CHECK_FIRST = [
     "bpe_merge_steps",
     "bpe_encode_docs",
     "ccnet_perplexity_buckets_prod",
+    "knn_ivf_indexed",
     # (1) stalest: latest driver cert is r3 (7 queries)
     "semdedup_embeddings",
     "shard_training_corpus",

@@ -217,3 +217,24 @@ def test_bpe_encode_skips_null_merges_and_empty_docs(spark):
     rows = {r["doc_id"]: r for r in T.bpe_encode(docs, [(None, None)]).collect()}
     assert rows[1]["n_tokens"] == 2  # no merge applied -> chars
     assert 2 not in rows  # whitespace-only doc has nothing to bill
+
+
+# ---------------------------------------------------------------------------
+# build_ivf_index / ivf_indexed_topk
+# ---------------------------------------------------------------------------
+def test_ivf_index_probe_matches_in_memory_and_prunes(spark, tmp_path):
+    from mysql_data_anonymizer_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.train_ivf_centroids(emb, n_cells=16)
+    S.build_ivf_index(emb, "t_ivf_idx_ut", cents, path=str(tmp_path / "idx"))
+    q = emb.filter(F.col("vec_id") < 5)
+    out, scan = S.ivf_indexed_topk(
+        spark, q, "t_ivf_idx_ut", cents, k=5, nprobe=8, dim=None
+    )
+    base = S.ivf_topk(emb, q, k=5, nprobe=8, dim=None, centroids=cents)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "INSET" in plan.split("PartitionFilters:")[-1][:200], (
+        "probe must plan static partition pruning on the cell directories"
+    )

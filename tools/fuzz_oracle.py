@@ -271,6 +271,7 @@ DEFAULT_QUERIES = [
     "bpe_merge_steps",
     "bpe_encode_docs",
     "ccnet_perplexity_buckets_prod",
+    "knn_ivf_indexed",
 ]
 
 EDGE_TEXTS = [
