@@ -1228,6 +1228,7 @@ def exact_substring_dedup(
     min_tokens: int = 12,
     stride: int = 1,
     hash_key: bool = False,
+    coverage: str = "windows",
 ) -> DataFrame:
     """Exact-substring dedup — the suffix-array family of Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"): every
@@ -1262,9 +1263,13 @@ def exact_substring_dedup(
     first-occurrence; map-side partial combine absorbs hot boilerplate
     grams — the skew that breaks a row_number window), one 1:1 join back,
     then removal coverage fans out W positions per duplicated window only
-    (the W x cliff is on DUPLICATED volume, not the corpus; interval-merge
-    per doc is the documented next step if dup fraction is extreme), one
-    (doc, pos) anti-join and one per-doc rebuild aggregate. With
+    (the W x cliff is on DUPLICATED volume, not the corpus —
+    ``coverage="intervals"`` is the extreme-dup remedy: per-doc
+    gaps-and-islands merges overlapping [pos, pos+W) spans BEFORE the
+    explode, so fan-out equals the removed token count exactly; output is
+    identical, unit-asserted; the per-doc window is bounded by doc
+    length), one (doc, pos) anti-join and one per-doc rebuild
+    aggregate. With
     ``hash_key=True`` the shuffle key is xxhash64 of the gram (8 bytes vs
     ~W tokens of text) — the production default at scale; collisions are
     ~n^2/2^65 and only ever REMOVE an extra span. String key kept for the
@@ -1309,9 +1314,40 @@ def exact_substring_dedup(
         )
         .select(id_col, "pos")
     )
-    removed = dup_occ.select(
-        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias("__p")
-    ).distinct()
+    if coverage == "intervals":
+        # gaps-and-islands: merge overlapping/adjacent [pos, pos+w) spans
+        # per doc, then explode each merged interval exactly once — the
+        # fan-out equals the removed token count (no distinct needed:
+        # merged intervals are disjoint by construction)
+        from pyspark.sql import Window as _W
+
+        wnd = _W.partitionBy(id_col).orderBy("pos")
+        prev_end = F.max(F.col("pos") + F.lit(w)).over(
+            wnd.rowsBetween(_W.unboundedPreceding, -1)
+        )
+        islands = (
+            dup_occ.withColumn(
+                "__new",
+                F.when(
+                    prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn("__isl", F.sum("__new").over(wnd))
+            .groupBy(id_col, "__isl")
+            .agg(
+                F.min("pos").alias("__s"),
+                F.max(F.col("pos") + F.lit(w)).alias("__e"),
+            )
+        )
+        removed = islands.select(
+            id_col,
+            F.explode(F.sequence(F.col("__s"), F.col("__e") - 1)).alias("__p"),
+        )
+    else:
+        removed = dup_occ.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias("__p"),
+        ).distinct()
     tokens = toks.select(
         id_col, F.posexplode(F.col("__t")).alias("__p", "__tk")
     ).withColumn("__p", F.col("__p").cast("long"))

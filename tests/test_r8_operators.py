@@ -238,3 +238,13 @@ def test_ivf_index_probe_matches_in_memory_and_prunes(spark, tmp_path):
     assert "INSET" in plan.split("PartitionFilters:")[-1][:200], (
         "probe must plan static partition pruning on the cell directories"
     )
+
+
+def test_exact_substring_interval_coverage_identical(spark):
+    # the extreme-dup production path (merged intervals, no distinct) must
+    # reproduce the window-explode result exactly — including overlapping
+    # and within-doc duplicates
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = dedup.exact_substring_dedup(docs, min_tokens=12, coverage="windows")
+    b = dedup.exact_substring_dedup(docs, min_tokens=12, coverage="intervals")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
