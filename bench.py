@@ -215,6 +215,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_indexed",
+    "hard_negatives_embeddings",
     "knn_pq",
     "knn_sq8",
     "knn_ivfpq",

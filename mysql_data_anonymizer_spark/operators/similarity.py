@@ -987,3 +987,59 @@ def ivf_indexed_topk(
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
     return out, corpus
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+    dim: int | None = DEFAULT_DIM,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for each
+    query (anchor), the ``k`` corpus vectors MOST similar by cosine whose
+    label DIFFERS from the anchor's — the negatives closest to the decision
+    boundary, the ones a triplet/InfoNCE batch actually learns from
+    (random negatives are trivially separable; see e.g. SBERT/DPR hard-
+    negative practice). Exact scoring with the brute-force discipline
+    (round-4 cosine, (score, id) tie-break) so the DuckDB oracle
+    hash-matches. NULL-labeled rows never qualify as negatives (a NULL
+    label is unknown, not "different" — the <=> comparison is null-safe).
+
+    Scale shape: anchors broadcast, corpus streams map-side, one window
+    per anchor — same contract as brute_force_topk; at corpus scale swap
+    candidate generation to the ANN family and post-filter on label
+    (mining is recall-tolerant by design: a missed hard negative is
+    replaced by the next-hardest)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(vec_col, dim).alias("__qn"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(vec_col, dim).alias("__cn"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & ~F.col("query_label").eqNullSafe(F.col("neighbor_label"))
+        & F.col("neighbor_label").isNotNull(),
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(dot_expr("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")), round_digits),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
+    )
+    return out.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label", "cosine", "rank"
+    )

@@ -10665,6 +10665,48 @@ ORACLES["knn_ivf_indexed"] = (
 QUERIES["knn_ivf_indexed"] = knn_ivf_indexed
 
 
+def hard_negatives_embeddings(spark, sf_dir):
+    """Hard-negative mining for contrastive training (operators/
+    similarity.py::hard_negative_topk): for each anchor (vec_id < 8), the
+    3 most-cosine-similar corpus vectors with a DIFFERENT label — the
+    near-boundary negatives a triplet/InfoNCE batch learns from. Exact
+    scoring with the ANN family's round-4 + (score, id) tie-break
+    discipline; label comparison is null-safe so unlabeled rows never
+    pass as negatives. Anchors broadcast, corpus map-side, one window
+    per anchor; at corpus scale candidate generation swaps to ANN +
+    label post-filter (mining tolerates recall loss by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return similarity.hard_negative_topk(emb, anchors, k=3, dim=None)
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qe,
+                  GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS qn
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS ce,
+             GREATEST(sqrt({_sql_dot('embedding', 'embedding')}), 1e-12) AS cn
+      FROM embeddings),
+scored AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         ROUND({_sql_dot('q.qe', 'c.ce')} / (q.qn * c.cn), 4) AS cosine
+  FROM c CROSS JOIN q
+  WHERE query_id <> neighbor_id
+    AND neighbor_label IS NOT NULL
+    AND NOT (query_label IS NOT DISTINCT FROM neighbor_label)
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+QUERIES["hard_negatives_embeddings"] = hard_negatives_embeddings
+ORACLES["hard_negatives_embeddings"] = HARD_NEGATIVES_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10680,6 +10722,7 @@ _CHECK_FIRST = [
     "bpe_encode_docs",
     "ccnet_perplexity_buckets_prod",
     "knn_ivf_indexed",
+    "hard_negatives_embeddings",
     # (1) stalest: latest driver cert is r3 (7 queries)
     "semdedup_embeddings",
     "shard_training_corpus",

@@ -248,3 +248,34 @@ def test_exact_substring_interval_coverage_identical(spark):
     a = dedup.exact_substring_dedup(docs, min_tokens=12, coverage="windows")
     b = dedup.exact_substring_dedup(docs, min_tokens=12, coverage="intervals")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_topk
+# ---------------------------------------------------------------------------
+def test_hard_negatives_exclude_same_and_null_labels(spark):
+    from mysql_data_anonymizer_spark.operators import similarity as S
+
+    rows = [
+        (1, [1.0, 0.0], 0),      # anchor
+        (2, [1.0, 0.0], 0),      # same label — never a negative
+        (3, [0.9, 0.1], 1),      # hard negative (closest different-label)
+        (4, [0.0, 1.0], 1),      # easy negative
+        (5, [1.0, 0.0], None),   # NULL label — unknown, never a negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = S.hard_negative_topk(df, df.where("vec_id = 1"), k=2, dim=None).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert got == [(3, 1), (4, 2)]
+    assert all(r["neighbor_label"] is not None for r in out)
+
+
+def test_hard_negatives_null_anchor_label_matches_any_labeled(spark):
+    from mysql_data_anonymizer_spark.operators import similarity as S
+
+    rows = [(1, [1.0, 0.0], None), (2, [1.0, 0.0], 0), (3, [1.0, 0.0], None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = S.hard_negative_topk(df, df.where("vec_id = 1"), k=5, dim=None).collect()
+    # NULL-anchor vs labeled row: labels differ null-safely -> negative;
+    # NULL vs NULL: not distinct -> excluded
+    assert [r["neighbor_id"] for r in out] == [2]

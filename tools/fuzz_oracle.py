@@ -272,6 +272,7 @@ DEFAULT_QUERIES = [
     "bpe_encode_docs",
     "ccnet_perplexity_buckets_prod",
     "knn_ivf_indexed",
+    "hard_negatives_embeddings",
 ]
 
 EDGE_TEXTS = [
