@@ -216,6 +216,8 @@ HEADLINE = [
     "knn_ivf",
     "knn_ivf_indexed",
     "hard_negatives_embeddings",
+    "mlm_mask_docs",
+    "epoch_expand_mixture",
     "knn_pq",
     "knn_sq8",
     "knn_ivfpq",

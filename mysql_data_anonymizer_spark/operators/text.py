@@ -527,3 +527,68 @@ def bpe_encode(
             F.sum("__n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+def mlm_mask_examples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_pct: int = 15,
+    seed: str = "mlm1",
+    mask_token: str = "<mask>",
+) -> DataFrame:
+    """MLM training-example construction (BERT-style): a DETERMINISTIC
+    ``mask_pct``% of each document's token positions are replaced by
+    ``mask_token`` in the input; the masked originals (in position order)
+    become the target. The mask decision is the repo's standard hash gate
+    — ``u32(md5(seed:doc:pos)) % 100 < pct`` — so examples are
+    reproducible, partitioning-invariant, and re-derivable for any epoch
+    by changing ``seed`` (a seeded RNG would re-deal on every repartition;
+    the r5 sampling lesson). Position, not content, is hashed: repeated
+    tokens mask independently.
+
+    Scale shape: pure per-row Column algebra over the token array
+    (transform/filter/array_join) — zero Python, zero shuffle, runs at
+    scan speed; this is a map stage of the pretraining input pipeline.
+    Returns ``(id_col, n_tokens, n_masked, input_text, target_text)``;
+    docs with no tokens are dropped (nothing to train on)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+        ).alias("__t"),
+    ).where(F.size("__t") > 0)
+
+    def gate(i: Column) -> Column:
+        return (
+            _md5_u32(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            )
+            % 100
+            < F.lit(mask_pct)
+        )
+
+    idx = F.sequence(F.lit(1), F.size("__t"))
+    return toks.select(
+        id_col,
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(F.filter(idx, gate)).cast("long").alias("n_masked"),
+        F.array_join(
+            F.transform(
+                idx,
+                lambda i: F.when(gate(i), F.lit(mask_token)).otherwise(
+                    F.element_at(F.col("__t"), i)
+                ),
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.transform(F.filter(idx, gate), lambda i: F.element_at(F.col("__t"), i)),
+            " ",
+        ).alias("target_text"),
+    )

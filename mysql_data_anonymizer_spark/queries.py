@@ -10707,6 +10707,134 @@ QUERIES["hard_negatives_embeddings"] = hard_negatives_embeddings
 ORACLES["hard_negatives_embeddings"] = HARD_NEGATIVES_SQL
 
 
+def mlm_mask_docs(spark, sf_dir):
+    """MLM training-example construction (operators/text.py::
+    mlm_mask_examples): a deterministic 15% of token POSITIONS per doc
+    (hash gate u32(md5(seed:doc:pos)) % 100 < 15 — partitioning-invariant,
+    epoch-re-derivable by reseeding) become '<mask>' in the input; the
+    masked originals in position order are the target. Pure per-row array
+    algebra — zero Python, zero shuffle, scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.mlm_mask_examples(docs, "doc_id", "text")
+
+
+_MLM_GATE = _sql_md5_u32("md5('mlm1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(u.i AS VARCHAR))")
+
+MLM_MASK_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+nonempty AS (SELECT * FROM toks WHERE len(t) > 0),
+pos AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[u.i] AS tk,
+         ({_MLM_GATE}) % 100 < 15 AS masked
+  FROM nonempty, UNNEST(range(1, len(t) + 1)) AS u(i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       string_agg(CASE WHEN masked THEN '<mask>' ELSE tk END, ' ' ORDER BY i)
+         AS input_text,
+       COALESCE(string_agg(CASE WHEN masked THEN tk END, ' ' ORDER BY i), '')
+         AS target_text
+FROM pos GROUP BY doc_id
+"""
+
+
+QUERIES["mlm_mask_docs"] = mlm_mask_docs
+ORACLES["mlm_mask_docs"] = MLM_MASK_SQL
+
+
+def epoch_expand_mixture(spark, sf_dir):
+    """Epoch-repeat mixture materialization — the "dataset weights as
+    repeats" step of LLaMA/GPT-style training mixes: small domains are
+    up-sampled by REPEATING whole epochs (capped at 4; Muennighoff et al.
+    2023 shows ~4 epochs of repeats stay near-fresh-data value). Per
+    domain (= lang here; en is ~3x the tail languages, so repeats
+    actually materialize): epochs_d = LEAST(4, GREATEST(1,
+    FLOOR(budget / total_d)))
+    where budget = the LARGEST domain's exact token total (balance-to-
+    largest) — all exact BIGINT math. Every doc then materializes one row
+    per (doc, epoch), the list a sequential trainer consumes; epoch is
+    part of the output key so downstream shuffling/sharding can keep
+    epochs distinguishable (and the MLM masker can reseed per epoch).
+
+    Scale shape: one domain-level count agg (tiny), a broadcast join of
+    the per-domain epoch table, and a map-side sequence explode — the
+    corpus is scanned once, output rows = Σ epochs_d * |domain_d|."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    totals = base.groupBy("lang").agg(F.sum("n_tokens").alias("__tot"))
+    budget = totals.agg(F.max("__tot").alias("__budget"))
+    epochs = (
+        totals.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            F.least(
+                F.lit(4).cast("long"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(F.col("__budget") / F.greatest(F.col("__tot"), F.lit(1))).cast("long"),
+                ),
+            ).alias("n_epochs"),
+        )
+    )
+    # null-safe domain join: a NULL source is a domain too (the fuzz
+    # fixtures have them); a bare equi-join would silently drop its docs
+    ep = epochs.withColumnRenamed("lang", "__src")
+    return (
+        base.join(F.broadcast(ep), F.col("lang").eqNullSafe(F.col("__src")))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_epochs",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))).alias("epoch"),
+        )
+    )
+
+
+EPOCH_EXPAND_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+totals AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM base GROUP BY lang
+),
+budget AS (SELECT MAX(tot) AS b FROM totals),
+epochs AS (
+  SELECT lang,
+         LEAST(CAST(4 AS BIGINT),
+               GREATEST(CAST(1 AS BIGINT),
+                        CAST(FLOOR(b / GREATEST(tot, 1)) AS BIGINT))) AS n_epochs
+  FROM totals CROSS JOIN budget
+)
+SELECT doc_id, base.lang, n_tokens, n_epochs, CAST(u.e AS BIGINT) AS epoch
+FROM base
+JOIN epochs ON base.lang IS NOT DISTINCT FROM epochs.lang
+CROSS JOIN UNNEST(range(1, n_epochs + 1)) AS u(e)
+"""
+
+
+QUERIES["epoch_expand_mixture"] = epoch_expand_mixture
+ORACLES["epoch_expand_mixture"] = EPOCH_EXPAND_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10723,6 +10851,8 @@ _CHECK_FIRST = [
     "ccnet_perplexity_buckets_prod",
     "knn_ivf_indexed",
     "hard_negatives_embeddings",
+    "mlm_mask_docs",
+    "epoch_expand_mixture",
     # (1) stalest: latest driver cert is r3 (7 queries)
     "semdedup_embeddings",
     "shard_training_corpus",

@@ -279,3 +279,34 @@ def test_hard_negatives_null_anchor_label_matches_any_labeled(spark):
     # NULL-anchor vs labeled row: labels differ null-safely -> negative;
     # NULL vs NULL: not distinct -> excluded
     assert [r["neighbor_id"] for r in out] == [2]
+
+
+# ---------------------------------------------------------------------------
+# mlm_mask_examples
+# ---------------------------------------------------------------------------
+def test_mlm_mask_deterministic_and_consistent(spark):
+    from mysql_data_anonymizer_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j " * 5), (2, "   ")], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r for r in T.mlm_mask_examples(docs).collect()}
+    b = {r["doc_id"]: r for r in T.mlm_mask_examples(docs).collect()}
+    assert a[1] == b[1], "hash gate must be deterministic"
+    assert 2 not in a, "empty docs have nothing to train on"
+    r = a[1]
+    assert r["input_text"].split().count("<mask>") == r["n_masked"]
+    assert len(r["target_text"].split()) == r["n_masked"]
+    assert r["n_tokens"] == 50
+    # reseeding re-deals the mask (epoch re-derivation)
+    c = {x["doc_id"]: x for x in T.mlm_mask_examples(docs, seed="mlm2").collect()}
+    assert c[1]["input_text"] != r["input_text"] or c[1]["n_masked"] != r["n_masked"]
+
+
+def test_mlm_mask_positions_not_content(spark):
+    from mysql_data_anonymizer_spark.operators import text as T
+
+    # identical tokens at different positions mask independently
+    docs = spark.createDataFrame([(7, "x " * 100)], "doc_id long, text string")
+    r = T.mlm_mask_examples(docs).collect()[0]
+    assert 0 < r["n_masked"] < 100, "position-hashed gate, not content-hashed"

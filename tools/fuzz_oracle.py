@@ -273,6 +273,8 @@ DEFAULT_QUERIES = [
     "ccnet_perplexity_buckets_prod",
     "knn_ivf_indexed",
     "hard_negatives_embeddings",
+    "mlm_mask_docs",
+    "epoch_expand_mixture",
 ]
 
 EDGE_TEXTS = [
