@@ -10,6 +10,17 @@ import pytest
 from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
+    # r8
+    "dedup_exact_substring",
+    "dedup_incremental_indexed",
+    "bpe_merge_steps",
+    "bpe_encode_docs",
+    "ccnet_perplexity_buckets_prod",
+    "knn_ivf_indexed",
+    "hard_negatives_embeddings",
+    "mlm_mask_docs",
+    "epoch_expand_mixture",
+    # r7
     "quality_classifier_scores",
     "mix_temperature_sample",
     "hybrid_search_rrf",
@@ -380,6 +391,16 @@ INVARIANCE_SAMPLE = [
     # group window; the end-of-partition rank detection must be identical
     # under any partitioning
     "mask_swap_acctbal_nation",
+    # r8: min-struct first-occurrence + W-position fan-out; bucketed-index
+    # probe; recall + plan gates over a persisted inverted file; BPE
+    # min(struct(-cnt,l,r)) merge choice must not depend on layout; hash
+    # gate over positions; keyed-join LM twin
+    "dedup_exact_substring",
+    "dedup_incremental_indexed",
+    "knn_ivf_indexed",
+    "bpe_merge_steps",
+    "mlm_mask_docs",
+    "ccnet_perplexity_buckets_prod",
 ]
 
 

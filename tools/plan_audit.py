@@ -91,6 +91,22 @@ BNL_OK: set[str] = {
     # synthetic marginals: fact stream theta-joined against BROADCAST
     # post-agg CDF bound tables (5/25 rows) + a 1-row N crossJoin
     "synthesize_marginals_customers",
+    # r8 — ccnet prod twin: SAME 1-row vocab/cutoff scalars as the base
+    # query (the LM count tables themselves are keyed SMJs, gate-asserted)
+    "ccnet_perplexity_buckets_prod",
+    # knn_ivf_indexed embeds the brute-force exact twin + the 1-row hit
+    # count gate — same bounded-broadcast class as knn_ivf
+    "knn_ivf_indexed",
+    # hard negatives: corpus streams against the BROADCAST anchor set with
+    # a (!= id AND label-differs) theta condition — knn_brute_force class
+    "hard_negatives_embeddings",
+    # epoch expand: per-domain totals crossJoin a 1-row BROADCAST budget
+    # scalar (post-agg, bounded by construction — q11 threshold class)
+    "epoch_expand_mixture",
+    # k-anonymity enforcement: the merged-'*'-group total is a 1-row
+    # BROADCAST aggregate cross-joined onto the tiny group dim (r7 ADVICE
+    # fix) — q11 threshold class
+    "enforce_k_anonymity_customers",
     # ccnet buckets: vocab size and tercile cutoffs are 1-row BROADCAST
     # aggregates cross-joined — bounded by construction, q11 class
     "ccnet_perplexity_buckets",
