@@ -218,6 +218,7 @@ HEADLINE = [
     "hard_negatives_embeddings",
     "mlm_mask_docs",
     "epoch_expand_mixture",
+    "pack_sequences_gpt",
     "knn_pq",
     "knn_sq8",
     "knn_ivfpq",

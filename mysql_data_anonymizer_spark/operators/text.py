@@ -592,3 +592,82 @@ def mlm_mask_examples(
             " ",
         ).alias("target_text"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    n_shards: int = 8,
+    seed: str = "pack1",
+) -> DataFrame:
+    """GPT-style contiguous sequence packing: documents are concatenated
+    (deterministic order) and sliced into fixed ``seq_len``-token training
+    sequences, documents SPLITTING across sequence boundaries — the
+    standard causal-LM input layout (vs ``pack_docs_token_bins``' whole-doc
+    bin packing). Packing is per SHARD (hash gate on the doc id, the
+    shard_training_corpus discipline) because a single global concatenation
+    order is a serial scan by definition; within a shard docs concatenate
+    in ``id_col`` order. Returns one row per (shard, seq_no):
+    ``n_tokens_seq`` (== seq_len except each shard's tail), ``n_docs``
+    contributing, and the first/last contributing doc ids.
+
+    100 TB shape: NO token materialization — each doc computes its token
+    interval [offset, offset+n) from one per-shard cumulative-sum window
+    (ordered by id, rows-preceding frame), then fans out one row per
+    TOUCHED sequence (interval arithmetic: ceil(n/seq_len)+1 rows per doc,
+    not n rows), and one keyed aggregate per (shard, seq_no) — map-side
+    combinable. The per-shard window is the only sort; shards bound its
+    width, and n_shards is the parallelism knob."""
+    base = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+            )
+        )
+        .cast("long")
+        .alias("__n"),
+    ).where(F.col("__n") > 0)
+    shard = (
+        _md5_u32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        % n_shards
+    ).alias("shard")
+    base = base.select(id_col, "__n", shard)
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    off = F.coalesce(
+        F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    spans = base.select(
+        id_col,
+        "shard",
+        "__n",
+        off.alias("__off"),
+    ).select(
+        id_col,
+        "shard",
+        "__n",
+        "__off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__off") / seq_len).cast("long"),
+                F.floor((F.col("__off") + F.col("__n") - 1) / seq_len).cast("long"),
+            )
+        ).alias("seq_no"),
+    )
+    tokens_here = F.least(
+        F.lit(seq_len).cast("long") * (F.col("seq_no") + 1),
+        F.col("__off") + F.col("__n"),
+    ) - F.greatest(F.lit(seq_len).cast("long") * F.col("seq_no"), F.col("__off"))
+    return (
+        spans.withColumn("__tok", tokens_here)
+        .groupBy("shard", "seq_no")
+        .agg(
+            F.sum("__tok").cast("long").alias("n_tokens_seq"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("first_doc_id"),
+            F.max(id_col).alias("last_doc_id"),
+        )
+    )

@@ -10835,6 +10835,56 @@ QUERIES["epoch_expand_mixture"] = epoch_expand_mixture
 ORACLES["epoch_expand_mixture"] = EPOCH_EXPAND_SQL
 
 
+def pack_sequences_gpt(spark, sf_dir):
+    """GPT-style contiguous sequence packing (operators/text.py::
+    pack_sequences): per-shard doc concatenation sliced into fixed
+    512-token causal-LM sequences, docs splitting across boundaries —
+    the complement of pack_docs_token_bins' whole-doc bins. NO token
+    materialization: one per-shard cumsum window + interval arithmetic
+    fan-out (one row per TOUCHED sequence) + one map-side-combinable
+    keyed agg. Every count is an exact BIGINT."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, "doc_id", "text", seq_len=512, n_shards=8)
+
+
+_PACK_SHARD = _sql_md5_u32("md5('pack1:' || CAST(doc_id AS VARCHAR))")
+
+PACK_SEQUENCES_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n,
+         ({_PACK_SHARD}) % 8 AS shard
+  FROM documents
+),
+nonempty AS (SELECT * FROM base WHERE n > 0),
+offs AS (
+  SELECT doc_id, shard, n,
+         COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+  FROM nonempty
+),
+spans AS (
+  SELECT doc_id, shard, n, off, CAST(u.s AS BIGINT) AS seq_no
+  FROM offs, UNNEST(range(CAST(FLOOR(off / 512) AS BIGINT),
+                          CAST(FLOOR((off + n - 1) / 512) AS BIGINT) + 1)) AS u(s)
+)
+SELECT shard, seq_no,
+       CAST(SUM(LEAST(512 * (seq_no + 1), off + n)
+                - GREATEST(512 * seq_no, off)) AS BIGINT) AS n_tokens_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM spans
+GROUP BY shard, seq_no
+"""
+
+
+QUERIES["pack_sequences_gpt"] = pack_sequences_gpt
+ORACLES["pack_sequences_gpt"] = PACK_SEQUENCES_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10853,6 +10903,7 @@ _CHECK_FIRST = [
     "hard_negatives_embeddings",
     "mlm_mask_docs",
     "epoch_expand_mixture",
+    "pack_sequences_gpt",
     # (1) stalest: latest driver cert is r3 (7 queries)
     "semdedup_embeddings",
     "shard_training_corpus",

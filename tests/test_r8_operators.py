@@ -310,3 +310,49 @@ def test_mlm_mask_positions_not_content(spark):
     docs = spark.createDataFrame([(7, "x " * 100)], "doc_id long, text string")
     r = T.mlm_mask_examples(docs).collect()[0]
     assert 0 < r["n_masked"] < 100, "position-hashed gate, not content-hashed"
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences (GPT-style contiguous packing)
+# ---------------------------------------------------------------------------
+def test_pack_sequences_interval_arithmetic(spark):
+    from mysql_data_anonymizer_spark.operators import text as T
+
+    # one shard, seq_len 10: docs of 4 + 8 + 10 tokens concatenate to 22
+    # tokens -> sequences of 10, 10, 2; doc B (tokens 4..11) spans seqs
+    # 0 and 1; doc C (12..21) spans seqs 1 and 2
+    docs = spark.createDataFrame(
+        [(1, "a " * 4), (2, "b " * 8), (3, "c " * 10)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["shard"], r["seq_no"]): r
+        for r in T.pack_sequences(docs, seq_len=10, n_shards=1).collect()
+    }
+    assert len(out) == 3
+    s0, s1, s2 = out[(0, 0)], out[(0, 1)], out[(0, 2)]
+    assert (s0["n_tokens_seq"], s0["n_docs"]) == (10, 2)   # doc1(4) + doc2(6)
+    assert (s1["n_tokens_seq"], s1["n_docs"]) == (10, 2)   # doc2(2) + doc3(8)
+    assert (s2["n_tokens_seq"], s2["n_docs"]) == (2, 1)    # doc3 tail
+    assert (s0["first_doc_id"], s0["last_doc_id"]) == (1, 2)
+    # token conservation: sequence totals == corpus totals
+    assert sum(r["n_tokens_seq"] for r in out.values()) == 22
+
+
+def test_pack_sequences_conserves_tokens_on_fixture(spark):
+    from mysql_data_anonymizer_spark.operators import text as T
+    import pyspark.sql.functions as SF
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = T.pack_sequences(docs, seq_len=512, n_shards=8)
+    total_seq = out.agg(SF.sum("n_tokens_seq")).collect()[0][0]
+    total_docs = docs.select(
+        SF.size(
+            SF.filter(SF.split(SF.trim(SF.lower(SF.col("text"))), r"\s+"),
+                      lambda t: t != "")
+        ).alias("n")
+    ).agg(SF.sum("n")).collect()[0][0]
+    assert total_seq == total_docs, "packing must conserve every token"
+    # every non-tail sequence is exactly full
+    full = out.where("n_tokens_seq = 512").count()
+    assert full >= out.count() - 8, "at most one partial tail per shard"

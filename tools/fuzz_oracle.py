@@ -275,6 +275,7 @@ DEFAULT_QUERIES = [
     "hard_negatives_embeddings",
     "mlm_mask_docs",
     "epoch_expand_mixture",
+    "pack_sequences_gpt",
 ]
 
 EDGE_TEXTS = [
