@@ -132,6 +132,7 @@ HEADLINE = [
     "zorder_orders_key",
     "zorder_lineitem_key3",
     "bucketed_join_revenue",
+    "salted_join_revenue",
     "partition_pruned_orders_agg",
     "compact_small_files_events",
     "schema_evolution_merge_read",

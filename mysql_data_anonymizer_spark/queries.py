@@ -10885,6 +10885,57 @@ QUERIES["pack_sequences_gpt"] = pack_sequences_gpt
 ORACLES["pack_sequences_gpt"] = PACK_SEQUENCES_SQL
 
 
+def salted_join_revenue(spark, sf_dir):
+    """Skew-resistant SALTED join, driver-certified end-to-end (operators/
+    joins.py::salted_join — previously only unit-tested): lineitem (fact)
+    joins orders (dim) on the order key with the fact side salted into 16
+    buckets and the dim side replicated 16x, so a hot key's rows spread
+    over 16 reducers instead of one straggler — the deterministic remedy
+    for extreme single-key skew that AQE's partition-splitting cannot fix
+    for downstream sort groups. Salting changes DATA PLACEMENT, never
+    semantics: the oracle is the PLAIN join + aggregate, so the driver's
+    hash match certifies placement-invariance of the values. A plan gate
+    asserts the join really ran salted (join keys include __salt; no
+    broadcast — the point is the shuffle path)."""
+    from mysql_data_anonymizer_spark.operators import joins as _j
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = _j.salted_join(
+        li, o.hint("shuffle_merge"), "l_orderkey", "o_orderkey", salt_buckets=16
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    salted_ok = "__salt" in plan and "SortMergeJoin" in plan
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            _dbl(
+                F.sum(_dec("l_extendedprice", 30, 2) * (1 - _dec("l_discount", 30, 2)))
+            ).alias("revenue"),
+        )
+        .withColumn("salted_ok", F.lit(bool(salted_ok)))
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))
+                     * (1 - CAST(l_discount AS DECIMAL(30,2)))) AS VARCHAR)
+            AS DOUBLE) AS revenue,
+       TRUE AS salted_ok
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES["salted_join_revenue"] = salted_join_revenue
+ORACLES["salted_join_revenue"] = SALTED_JOIN_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10904,6 +10955,7 @@ _CHECK_FIRST = [
     "mlm_mask_docs",
     "epoch_expand_mixture",
     "pack_sequences_gpt",
+    "salted_join_revenue",
     # (1) stalest: latest driver cert is r3 (7 queries)
     "semdedup_embeddings",
     "shard_training_corpus",

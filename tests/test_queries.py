@@ -11,6 +11,8 @@ from mysql_data_anonymizer_spark import queries as Q
 
 NEW = [
     # r8
+    "salted_join_revenue",
+    "pack_sequences_gpt",
     "dedup_exact_substring",
     "dedup_incremental_indexed",
     "bpe_merge_steps",

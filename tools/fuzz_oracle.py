@@ -276,6 +276,7 @@ DEFAULT_QUERIES = [
     "mlm_mask_docs",
     "epoch_expand_mixture",
     "pack_sequences_gpt",
+    "salted_join_revenue",
 ]
 
 EDGE_TEXTS = [
