@@ -209,6 +209,7 @@ HEADLINE = [
     "doc_repetition_stats",
     "curate_corpus_pipeline",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh_pairs",
     "semdedup_embeddings",
     "semdedup_ivf",
     "knn_brute_force",

@@ -10936,6 +10936,62 @@ QUERIES["salted_join_revenue"] = salted_join_revenue
 ORACLES["salted_join_revenue"] = SALTED_JOIN_SQL
 
 
+def dedup_embedding_lsh_pairs(spark, sf_dir):
+    """Sign-LSH near-dup candidate pairs (similarity.lsh_bucketed_pairs,
+    previously the only operator with no registry query) — the bucketed
+    scale path for dedup_embedding_cosine's exact all-pairs: 24 tables of
+    6 sign bits each, candidates only within shared buckets, cosine-
+    verified. Exact-twin + theorem-gate certification: FINAL rows are the
+    exact pair set (oracle-able all-pairs SQL); ``lsh_subset_ok`` is the
+    verification THEOREM (every emitted LSH pair passes the same rounded
+    cosine >= 0.4, so the LSH set must be a subset of the exact set —
+    zero tolerance); ``lsh_recall_ok`` gates 2*|lsh| >= |exact| in exact
+    integers (recall >= 0.5). Certification runs on the deterministic
+    ``vec_id % 2 == 0`` ID slice (the semdedup_ivf precedent, VERDICT r5
+    #2): the theorem/recall gates hold on ANY corpus, while the quadratic
+    exact twin's and the low-threshold buckets' pair counts drop 4x.
+    1-row stats are bounded broadcast crossJoins."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+    # both pair sets are consumed three times (rows, counts, anti-join):
+    # eager-checkpoint the tiny pair lists so the quadratic exact twin and
+    # the bucketed LSH pass each run exactly ONCE (the semdedup_ivf lesson)
+    exact = dedup.embedding_near_dup_pairs(emb, threshold=0.4).localCheckpoint(
+        eager=True
+    )
+    lsh = (
+        similarity.lsh_bucketed_pairs(
+            emb, threshold=0.4, n_planes=144, n_tables=24
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("__ne"))
+        .crossJoin(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("__nl"))))
+        .crossJoin(
+            F.broadcast(
+                lsh.join(
+                    exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+                ).agg(F.count(F.lit(1)).alias("__bad"))
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(stats)).select(
+        "id_a",
+        "id_b",
+        "cosine",
+        (F.col("__bad") == 0).alias("lsh_subset_ok"),
+        (F.col("__nl") * 2 >= F.col("__ne")).alias("lsh_recall_ok"),
+    )
+
+
+ORACLES["dedup_embedding_lsh_pairs"] = (
+    "SELECT id_a, id_b, cosine, TRUE AS lsh_subset_ok, TRUE AS lsh_recall_ok "
+    f"FROM ({_gen_embedding_dedup_sql(0.4).replace('FROM embeddings', 'FROM embeddings WHERE vec_id % 2 = 0')}) t"
+)
+QUERIES["dedup_embedding_lsh_pairs"] = dedup_embedding_lsh_pairs
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -10956,6 +11012,7 @@ _CHECK_FIRST = [
     "epoch_expand_mixture",
     "pack_sequences_gpt",
     "salted_join_revenue",
+    "dedup_embedding_lsh_pairs",
     # (1) stalest: latest driver cert is r3 (7 queries)
     "semdedup_embeddings",
     "shard_training_corpus",

@@ -12,6 +12,7 @@ from mysql_data_anonymizer_spark import queries as Q
 NEW = [
     # r8
     "salted_join_revenue",
+    "dedup_embedding_lsh_pairs",
     "pack_sequences_gpt",
     "dedup_exact_substring",
     "dedup_incremental_indexed",
@@ -403,6 +404,7 @@ INVARIANCE_SAMPLE = [
     "bpe_merge_steps",
     "mlm_mask_docs",
     "ccnet_perplexity_buckets_prod",
+    "dedup_embedding_lsh_pairs",
 ]
 
 

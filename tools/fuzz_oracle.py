@@ -277,6 +277,7 @@ DEFAULT_QUERIES = [
     "epoch_expand_mixture",
     "pack_sequences_gpt",
     "salted_join_revenue",
+    "dedup_embedding_lsh_pairs",
 ]
 
 EDGE_TEXTS = [
