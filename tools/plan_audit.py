@@ -91,6 +91,10 @@ BNL_OK: set[str] = {
     # synthetic marginals: fact stream theta-joined against BROADCAST
     # post-agg CDF bound tables (5/25 rows) + a 1-row N crossJoin
     "synthesize_marginals_customers",
+    # lsh pair certification: three 1-row BROADCAST stat scalars (counts +
+    # subset-violation count) cross-joined onto the exact pair rows — q11
+    # threshold class, bounded by construction
+    "dedup_embedding_lsh_pairs",
     # r8 — ccnet prod twin: SAME 1-row vocab/cutoff scalars as the base
     # query (the LM count tables themselves are keyed SMJs, gate-asserted)
     "ccnet_perplexity_buckets_prod",
