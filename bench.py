@@ -241,6 +241,7 @@ HEADLINE = [
     "streaming_ohlc_window_agg",
     "streaming_update_mode_agg",
     "streaming_stream_left_join",
+    "streaming_dedup_index_probe",
 ]
 
 

@@ -10370,6 +10370,30 @@ QUERIES["dedup_exact_substring"] = dedup_exact_substring
 ORACLES["dedup_exact_substring"] = EXACT_SUBSTRING_SQL
 
 
+def _neardup_index(spark, sf_dir):
+    """Memoized persisted near-dup index over the even-id corpus half
+    (postings bucketed by shingle + capped sizes) — built once per
+    (session, sf_dir), shared by the batch probe and the streaming probe."""
+    from mysql_data_anonymizer_spark.operators import dedup as _d
+
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_neardup_idx", None)
+    if cache is None:
+        cache = {}
+        spark._mda_neardup_idx = cache
+    pt, st = f"ndidx_post_{tag}", f"ndidx_size_{tag}"
+    if tag not in cache:
+        corpus = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+        _d.build_near_dup_index(
+            corpus, pt, st, "doc_id", "text", n=3,
+            max_shingle_df=MAX_SHINGLE_DF, num_buckets=8,
+            postings_path=tempfile.mkdtemp(prefix="mda_ndidx_p_"),
+            sizes_path=tempfile.mkdtemp(prefix="mda_ndidx_s_"),
+        )
+        cache[tag] = (pt, st)
+    return cache[tag]
+
+
 def dedup_incremental_indexed(spark, sf_dir):
     """Incremental dedup against a PERSISTED corpus index (r7 verdict item
     3 — the 100 TB fix for dedup_incremental_new_docs, which re-shingles
@@ -10388,22 +10412,8 @@ def dedup_incremental_indexed(spark, sf_dir):
     from mysql_data_anonymizer_spark.operators import dedup as _d
 
     docs = _t(spark, sf_dir, "documents")
-    corpus = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
-    tag = _session_tag(sf_dir)
-    cache = getattr(spark, "_mda_neardup_idx", None)
-    if cache is None:
-        cache = {}
-        spark._mda_neardup_idx = cache
-    pt, st = f"ndidx_post_{tag}", f"ndidx_size_{tag}"
-    if tag not in cache:
-        _d.build_near_dup_index(
-            corpus, pt, st, "doc_id", "text", n=3,
-            max_shingle_df=MAX_SHINGLE_DF, num_buckets=8,
-            postings_path=tempfile.mkdtemp(prefix="mda_ndidx_p_"),
-            sizes_path=tempfile.mkdtemp(prefix="mda_ndidx_s_"),
-        )
-        cache[tag] = (pt, st)
+    pt, st = _neardup_index(spark, sf_dir)
     survivors, probe_join = _d.probe_near_dup_index(
         spark, new, pt, st, "doc_id", "text", n=3, threshold=0.6
     )
@@ -10992,6 +11002,88 @@ ORACLES["dedup_embedding_lsh_pairs"] = (
 QUERIES["dedup_embedding_lsh_pairs"] = dedup_embedding_lsh_pairs
 
 
+def streaming_dedup_index_probe(spark, sf_dir):
+    """Streaming ingest probing the PERSISTED near-dup index — the
+    crawl-pipeline synthesis of this round's index work with the streaming
+    surface: the odd-id document stream shingles itself map-side
+    (stateless) and stream-static joins the bucketed posting table (the
+    static side is the index `_neardup_index` built once; stream-static
+    joins keep NO state store, unlike stream-stream), then a per-doc
+    aggregate counts DISTINCT indexed candidates — the candidate-generation
+    stage of streaming dedup, whose bounded replay must equal the batch
+    probe (the oracle). Complete output mode is the certification shape
+    (same as streaming_static_enrich_agg); a production run bounds the
+    aggregate's state with an arrival-time window or runs the per-batch
+    filter in foreachBatch."""
+    import uuid
+
+    pt, _st = _neardup_index(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="mda_stream_ndidx_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    post = spark.table(pt)
+    with _stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .parquet(stage)
+            .where(F.col("doc_id") % 2 == 1)
+        )
+        sh = stream.select(
+            "doc_id",
+            F.explode(
+                dedup.shingle_expr(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 3
+                )
+            ).alias("sh"),
+        ).where(F.col("sh") != "")
+        joined = sh.join(post, "sh")
+        # streaming aggs forbid COUNT(DISTINCT ...); an exact distinct
+        # count via collect_set is fine here — per-doc candidate sets are
+        # bounded by (doc shingles x df cap)
+        agg = joined.groupBy("doc_id").agg(
+            F.size(F.collect_set("corpus_id")).cast("long").alias("n_candidates")
+        )
+        name = f"stream_ndidx_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+STREAMING_INDEX_PROBE_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, (doc_id % 2) = 1 AS is_new,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, is_new,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM docs
+),
+sh1 AS (SELECT doc_id, is_new, sh FROM sh0 WHERE sh <> ''),
+cpost0 AS (SELECT sh, doc_id AS cid FROM sh1 WHERE NOT is_new),
+ckeep AS (SELECT sh FROM cpost0 GROUP BY sh HAVING count(*) <= 100),
+cpost AS (SELECT c.sh, c.cid FROM cpost0 c JOIN ckeep USING (sh)),
+nsh AS (SELECT doc_id, sh FROM sh1 WHERE is_new)
+SELECT doc_id, CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_candidates
+FROM nsh JOIN cpost USING (sh)
+GROUP BY doc_id
+"""
+
+
+QUERIES["streaming_dedup_index_probe"] = streaming_dedup_index_probe
+ORACLES["streaming_dedup_index_probe"] = STREAMING_INDEX_PROBE_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -11013,6 +11105,7 @@ _CHECK_FIRST = [
     "pack_sequences_gpt",
     "salted_join_revenue",
     "dedup_embedding_lsh_pairs",
+    "streaming_dedup_index_probe",
     # (1) stalest: latest driver cert is r3 (7 queries)
     "semdedup_embeddings",
     "shard_training_corpus",

@@ -12,6 +12,7 @@ from mysql_data_anonymizer_spark import queries as Q
 NEW = [
     # r8
     "salted_join_revenue",
+    "streaming_dedup_index_probe",
     "dedup_embedding_lsh_pairs",
     "pack_sequences_gpt",
     "dedup_exact_substring",

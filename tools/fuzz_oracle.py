@@ -278,6 +278,7 @@ DEFAULT_QUERIES = [
     "pack_sequences_gpt",
     "salted_join_revenue",
     "dedup_embedding_lsh_pairs",
+    "streaming_dedup_index_probe",
 ]
 
 EDGE_TEXTS = [
