@@ -528,7 +528,15 @@ def enforce_k_anonymity(
     suppressed rows report the merged '*'-group total, NOT their original
     sub-k group size — releasing the exact size would partition the merged
     group back into its sub-k equivalence classes (a unique group_n plus
-    public QI frequencies re-identifies the suppressed QI values).
+    public QI frequencies re-identifies the suppressed QI values). Two
+    degenerate cases make even the merged total a leak (r8 ADVICE):
+    (a) exactly ONE sub-k group contributed — the total then equals that
+    group's exact size; (b) the merged total is itself < k — the '*' group
+    is not a k-member crowd, so its size is below the release bar. In
+    both, suppressed rows release ``group_n = NULL`` (size withheld);
+    case (b) additionally means the RELEASE is not k-anonymous until the
+    caller widens generalization, which the NULL makes visible instead of
+    papering over.
 
     Scale shape: ONE map-side-combinable hash agg on the QI key (the same
     shuffle the audit pays) + a broadcast join back onto the fact table —
@@ -550,7 +558,12 @@ def enforce_k_anonymity(
             F.sum(F.when(F.col("__grp_n") < k, F.col("__grp_n"))), F.lit(0)
         )
         .cast("long")
-        .alias("__supp_total")
+        .alias("__supp_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("__grp_n") < k, F.lit(1))), F.lit(0)
+        )
+        .cast("long")
+        .alias("__supp_groups"),
     )
     groups = groups.crossJoin(F.broadcast(totals))
     cond = None
@@ -566,8 +579,15 @@ def enforce_k_anonymity(
             .otherwise(F.col(c).cast("string"))
             .alias(f"{c}_out")
         )
+    # the merged total is safe to release only when >= 2 sub-k groups
+    # contributed (else it IS one group's exact size) AND it is itself a
+    # crowd of >= k (else the '*' group's size is below the bar)
+    total_releasable = (F.col("__supp_groups") >= 2) & (
+        F.col("__supp_total") >= k
+    )
     out_cols.append(
-        F.when(suppressed, F.col("__supp_total"))
+        F.when(suppressed & total_releasable, F.col("__supp_total"))
+        .when(suppressed, F.lit(None).cast("long"))
         .otherwise(F.col("__grp_n"))
         .alias("group_n")
     )

@@ -650,10 +650,12 @@ def pack_sequences(
         "shard",
         "__n",
         "__off",
+        # BIGINT `DIV`, not floor(double /): double division flattens above
+        # 2^53 tokens per shard, silently mis-numbering sequences (r8 ADVICE)
         F.explode(
             F.sequence(
-                F.floor(F.col("__off") / seq_len).cast("long"),
-                F.floor((F.col("__off") + F.col("__n") - 1) / seq_len).cast("long"),
+                F.expr(f"__off DIV {int(seq_len)}").cast("long"),
+                F.expr(f"(__off + __n - 1) DIV {int(seq_len)}").cast("long"),
             )
         ).alias("seq_no"),
     )

@@ -9766,7 +9766,10 @@ def enforce_k_anonymity_customers(spark, sf_dir):
     (the repo's double-notation rule). One QI-keyed agg + broadcast join
     back; NULL-safe on the QI so NULL groups can't dodge suppression.
     Suppressed rows release the merged '*'-group total as group_n (r7
-    ADVICE: exact sub-k sizes would re-partition the merged group)."""
+    ADVICE: exact sub-k sizes would re-partition the merged group) —
+    UNLESS the total is itself a leak (r8 ADVICE): with exactly one sub-k
+    group it equals that group's exact size, and a total < k is below the
+    release bar; both degenerate cases release group_n = NULL instead."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -9790,7 +9793,9 @@ groups AS (
 ),
 tot AS (
   SELECT CAST(COALESCE(SUM(CASE WHEN grp_n < 10 THEN grp_n END), 0) AS BIGINT)
-           AS supp_total
+           AS supp_total,
+         CAST(COALESCE(SUM(CASE WHEN grp_n < 10 THEN 1 END), 0) AS BIGINT)
+           AS supp_groups
   FROM groups
 )
 SELECT s.c_custkey, s.c_acctbal_str,
@@ -9798,7 +9803,10 @@ SELECT s.c_custkey, s.c_acctbal_str,
          AS c_nationkey_out,
        CASE WHEN g.grp_n < 10 THEN '*' ELSE s.c_mktsegment END
          AS c_mktsegment_out,
-       CASE WHEN g.grp_n < 10 THEN t.supp_total ELSE g.grp_n END AS group_n,
+       CASE WHEN g.grp_n < 10
+            THEN CASE WHEN t.supp_groups >= 2 AND t.supp_total >= 10
+                      THEN t.supp_total END
+            ELSE g.grp_n END AS group_n,
        g.grp_n < 10 AS suppressed
 FROM src s
 JOIN groups g
@@ -9935,20 +9943,26 @@ def fuzzy_match_blocked_suppliers(spark, sf_dir):
     """Edit-distance fuzzy matching with blocking — the third rung of the
     record-linkage ladder (exact join < set-similarity `trigram_name_
     matches` < EDIT distance, which catches transpositions/typos that
-    shatter trigram sets): supplier names are blocked on a drop-last-char
-    key (candidate pairs only within a block) and verified with
-    levenshtein <= 2.
+    shatter trigram sets): candidate pairs are generated through a UNION
+    of blocking keys — the full deletion-1 neighborhood (name with the
+    char at position i removed, for EVERY i, plus the identity key) — and
+    verified with levenshtein <= 2.
 
-    Blocking key choice (r7 ADVICE): a fixed-width PREFIX key degenerates
-    on exactly this repo's fixtures — TPC-H names are 'Supplier#' + nine
-    zero-padded digits, so 'Supplier#000' puts virtually the whole table
-    in ONE block and the join is O(n^2) levenshtein pairs as the COMMON
-    case, not an edge. The drop-last-char key keeps the distinctive
-    suffix, bounding occupancy at |alphabet| (10 here) regardless of
-    table size. A hot block is still possible on adversarial data (mass-
-    duplicated names), so blocks over ``cap=64`` members are dropped —
-    the shingle df-cap remedy, pair work bounded by cap^2/2 per block;
-    recall loss is exactly "typos inside a 64+-duplicate cluster".
+    Blocking key choice (r7 + r8 ADVICE): a fixed-width PREFIX key
+    degenerates on TPC-H's 'Supplier#' + zero-padded-digit names (one hot
+    block, O(n^2) verify), and a SINGLE drop-last-char key only blocks
+    together names whose edit is in the final character. The deletion-1
+    key UNION has a provable contract: any pair at edit distance <= 1
+    shares a key by construction (substitution at i -> both drop-i keys
+    equal; insertion/deletion at i -> the longer name's drop-i key equals
+    the shorter name's identity key), so recall is EXACT at distance 1
+    outside capped blocks. Distance-2 pairs are recovered iff their
+    deletion-1 neighborhoods intersect (e.g. deletion + substitution at
+    the deleted spot); the exhaustive distance-2 path is
+    `fuzzy_pairs_symdelete`'s deeper delete neighborhood. Hot blocks
+    (mass-duplicated names) are still dropped at ``cap=64`` members — the
+    shingle df-cap remedy; residual recall loss is exactly "typos inside
+    a 64+-duplicate cluster of the same deletion variant".
 
     Cross-engine note (measured): Spark levenshtein counts CODEPOINTS,
     DuckDB counts BYTES — they disagree on any non-ASCII name, so both
@@ -9956,34 +9970,53 @@ def fuzzy_match_blocked_suppliers(spark, sf_dir):
     [space..tilde] becomes '?', one-for-one per codepoint in both regex
     engines). Distances are then identical small ints.
 
-    Scale shape: one count agg + one equi-join on the block key (same key
-    -> the pair join reuses the exchange), per-pair verify inside codegen
-    — pair count <= n * min(occupancy, cap) by construction."""
+    Scale shape: key fan-out is x(len+1) map-side (bounded by name
+    length), one count agg + one equi-join on the block key, DISTINCT
+    collapses multi-key pair hits before the codegen verify — pair work
+    <= n * (len+1) * cap by construction."""
     sup = _t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         F.regexp_replace(F.col("s_name"), "[^ -~]", "?").alias("__nm"),
     )
-    blocked = sup.select(
-        "s_suppkey",
-        "__nm",
-        F.expr("substring(__nm, 1, greatest(length(__nm) - 1, 1))").alias("__blk"),
+    # deletion-1 neighborhood: i in 1..len drops char i; i = len+1 is the
+    # identity key (matches a one-char-longer name's deletion variant)
+    keyed = (
+        sup.select(
+            "s_suppkey",
+            "__nm",
+            F.explode(F.sequence(F.lit(1), F.length("__nm") + 1)).alias("__i"),
+        )
+        .select(
+            "s_suppkey",
+            "__nm",
+            F.expr(
+                "concat(substring(__nm, 1, __i - 1), substring(__nm, __i + 1))"
+            ).alias("__blk"),
+        )
+        .distinct()  # repeated chars collapse adjacent deletion keys
     )
-    occ = blocked.groupBy("__blk").agg(F.count(F.lit(1)).alias("__occ"))
-    blocked = blocked.join(occ, "__blk").where(F.col("__occ") <= 64)
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    dist = F.levenshtein(F.col("a.__nm"), F.col("b.__nm"))
-    return (
+    occ = keyed.groupBy("__blk").agg(F.count(F.lit(1)).alias("__occ"))
+    keyed = keyed.join(occ, "__blk").where(F.col("__occ") <= 64)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
         a.join(b, F.col("a.__blk") == F.col("b.__blk"))
         .where(F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        .where(dist <= 2)
         .select(
             F.col("a.s_suppkey").alias("suppkey_a"),
             F.col("b.s_suppkey").alias("suppkey_b"),
             F.col("a.__nm").alias("name_a"),
             F.col("b.__nm").alias("name_b"),
-            dist.cast("long").alias("edit_distance"),
         )
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return pairs.where(dist <= 2).select(
+        "suppkey_a",
+        "suppkey_b",
+        "name_a",
+        "name_b",
+        dist.cast("long").alias("edit_distance"),
     )
 
 
@@ -9992,21 +10025,29 @@ WITH s AS (
   SELECT s_suppkey, regexp_replace(s_name, '[^ -~]', '?', 'g') AS nm
   FROM supplier
 ),
-blocked0 AS (
-  SELECT s_suppkey, nm, substr(nm, 1, GREATEST(length(nm) - 1, 1)) AS blk
-  FROM s
+keys0 AS (
+  SELECT s_suppkey, nm,
+         substr(nm, 1, CAST(u.i AS INTEGER) - 1)
+           || substr(nm, CAST(u.i AS INTEGER) + 1) AS blk
+  FROM s, UNNEST(range(1, length(nm) + 2)) AS u(i)
 ),
-occ AS (SELECT blk, COUNT(*) AS n FROM blocked0 GROUP BY 1),
-blocked AS (
-  SELECT b0.* FROM blocked0 b0 JOIN occ ON b0.blk = occ.blk WHERE occ.n <= 64
+keys AS (SELECT DISTINCT s_suppkey, nm, blk FROM keys0),
+occ AS (SELECT blk, COUNT(*) AS n FROM keys GROUP BY 1),
+capped AS (
+  SELECT k.* FROM keys k JOIN occ ON k.blk = occ.blk WHERE occ.n <= 64
+),
+pairs AS (
+  SELECT DISTINCT a.s_suppkey AS suppkey_a,
+                  b.s_suppkey AS suppkey_b,
+                  a.nm AS name_a,
+                  b.nm AS name_b
+  FROM capped a JOIN capped b ON a.blk = b.blk
+  WHERE a.s_suppkey < b.s_suppkey
 )
-SELECT a.s_suppkey AS suppkey_a,
-       b.s_suppkey AS suppkey_b,
-       a.nm AS name_a,
-       b.nm AS name_b,
-       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_distance
-FROM blocked a JOIN blocked b ON a.blk = b.blk
-WHERE a.s_suppkey < b.s_suppkey AND levenshtein(a.nm, b.nm) <= 2
+SELECT suppkey_a, suppkey_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
+FROM pairs
+WHERE levenshtein(name_a, name_b) <= 2
 """
 
 
@@ -10621,6 +10662,28 @@ QUERIES["bpe_encode_docs"] = bpe_encode_docs
 ORACLES["bpe_encode_docs"] = _gen_bpe_encode_sql()
 
 
+def _ivf_scan_pruned(plan: str, table: str, n_cells: int) -> bool:
+    """Certify static partition pruning from an executed-plan string: locate
+    the scan node that reads ``table`` (anchored — a multi-scan plan's LAST
+    PartitionFilters may belong to a different scan), parse the literal
+    ``cell INSET`` value list out of ITS PartitionFilters, and require the
+    probed-cell count to be nonzero and STRICTLY below the trained centroid
+    count — an INSET that enumerates every cell prunes nothing (r8 ADVICE:
+    the old gate checked only substring presence after the last anchor)."""
+    idx = plan.find(table)
+    if idx < 0:
+        return False
+    seg = plan[idx:]
+    m = re.search(r"PartitionFilters:\s*\[([^\]]*)\]", seg)
+    if not m:
+        return False
+    inset = re.search(r"INSET\s+((?:-?\d+,)*-?\d+)", m.group(1))
+    if not inset:
+        return False
+    probed = {int(v) for v in inset.group(1).split(",")}
+    return 0 < len(probed) < n_cells
+
+
 def knn_ivf_indexed(spark, sf_dir):
     """IVF ANN over a PERSISTED inverted file (similarity.build_ivf_index
     + ivf_indexed_topk) — the dedup_incremental_indexed story for the ANN
@@ -10653,7 +10716,11 @@ def knn_ivf_indexed(spark, sf_dir):
         spark, queries, tbl, cents, k=5, nprobe=8, dim=None
     )
     plan = scan._jdf.queryExecution().executedPlan().toString()
-    pruned = "INSET" in plan.split("PartitionFilters:")[-1][:200]
+    # r8 ADVICE: anchor the gate to the INDEX table's scan node (not the
+    # last PartitionFilters in a multi-scan plan) and require the INSET to
+    # name STRICTLY FEWER cells than the trained centroid count — "every
+    # partition listed" is a scan, not a prune
+    pruned = _ivf_scan_pruned(plan, tbl, n_cells=len(cents))
     exact = similarity.matmul_topk(emb, queries, k=5)
     hits = exact.join(
         approx.select("query_id", "neighbor_id"),
@@ -10877,8 +10944,8 @@ offs AS (
 ),
 spans AS (
   SELECT doc_id, shard, n, off, CAST(u.s AS BIGINT) AS seq_no
-  FROM offs, UNNEST(range(CAST(FLOOR(off / 512) AS BIGINT),
-                          CAST(FLOOR((off + n - 1) / 512) AS BIGINT) + 1)) AS u(s)
+  FROM offs, UNNEST(range(CAST(off // 512 AS BIGINT),
+                          CAST((off + n - 1) // 512 AS BIGINT) + 1)) AS u(s)
 )
 SELECT shard, seq_no,
        CAST(SUM(LEAST(512 * (seq_no + 1), off + n)
@@ -11090,62 +11157,14 @@ ORACLES["streaming_dedup_index_probe"] = STREAMING_INDEX_PROBE_SQL
 # re-checking queries that are already green.
 # ===========================================================================
 _CHECK_FIRST = [
-    # Ordering for the driver's bounded (~50-query) sample, round 8
-    # (VERDICT r7 #1: stalest-first). (0) new this round — never
-    # driver-certified:
-    "dedup_exact_substring",
-    "dedup_incremental_indexed",
-    "bpe_merge_steps",
-    "bpe_encode_docs",
-    "ccnet_perplexity_buckets_prod",
+    # Ordering for the driver's bounded (~50-query) sample, round 9
+    # (standing stalest-first rule). (0) semantics CHANGED this round
+    # by the r8 ADVICE fixes — must re-certify:
+    "enforce_k_anonymity_customers",
+    "fuzzy_match_blocked_suppliers",
     "knn_ivf_indexed",
-    "hard_negatives_embeddings",
-    "mlm_mask_docs",
-    "epoch_expand_mixture",
     "pack_sequences_gpt",
-    "salted_join_revenue",
-    "dedup_embedding_lsh_pairs",
-    "streaming_dedup_index_probe",
-    # (1) stalest: latest driver cert is r3 (7 queries)
-    "semdedup_embeddings",
-    "shard_training_corpus",
-    "snapshot_diff_orders",
-    "suppress_small_groups",
-    "variant_events_agg",
-    "vocab_top_terms",
-    "winsorize_events_value",
-    # (2) next-stalest: latest cert r4 (50 queries; the 50-sample
-    #     reaches ~39 of these this round, the rest lead round 9)
-    "anti_join_customers_no_orders",
-    "approx_distinct_users_daily",
-    "asof_last_order_per_event",
-    "curate_corpus_pipeline",
-    "decontaminate_training_docs",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_md5",
-    "distinct_nations_per_segment",
-    "doc_repetition_stats",
-    "except_rich_customers_without_orders",
-    "intersect_rich_customers_with_orders",
-    "jdbc_roundtrip_agg",
-    "json_events_agg",
-    "knn_brute_force",
-    "knn_ivf",
-    "knn_lsh",
-    "knn_matmul",
-    "mask_chain_fields",
-    "mask_faker_profile",
-    "mask_row_template",
-    "mask_synchro_remap",
-    "multimodal_featurize",
-    "orc_source_agg",
-    "order_gaps_lag_lead",
-    "pit_join_future_event_state",
+    # (1) stalest latest-cert first (r4 cohort, then r5, then r6):
     "pivot_orders_status",
     "q17_small_quantity_revenue",
     "q1_pricing_summary",
@@ -11166,57 +11185,106 @@ _CHECK_FIRST = [
     "text_winnowing",
     "top_supplier_per_nation",
     "topk_customers_per_segment",
-    # (3) latest cert r5; everything fresher sorts after this list
-    "mask_static",
-    "mask_generator_email",
-    "mask_guarded",
-    "mask_global_where",
-    "mask_unique_uuid",
-    "grouping_sets_orders",
+    "compact_latest_events",
+    "corpus_quality_filter",
     "cube_orders",
+    "decontaminate_semantic_embeddings",
+    "dedup_canonical_docs",
+    "dedup_chunks_reconstruct",
+    "dedup_incremental_new_docs",
     "events_hourly_window",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
+    "fuzzy_pairs_symdelete",
+    "grouping_sets_orders",
+    "histogram_totalprice",
+    "knn_pq",
+    "mask_generator_email",
+    "mask_generator_profile",
+    "mask_global_where",
+    "mask_guarded",
+    "mask_run_report",
+    "mask_static",
+    "mask_unique_uuid",
+    "ntile_deciles_acctbal",
+    "order_window_features",
+    "pack_docs_token_bins",
+    "pydatasource_stream_agg",
     "q10_returned_items",
     "q11_important_nations",
     "q13_order_distribution",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q21_waiting_suppliers",
-    "unpivot_lineitem_charges",
-    "stats_corr_qty_price",
-    "histogram_totalprice",
-    "ntile_deciles_acctbal",
-    "timeseries_gapfill_hourly",
-    "zscore_acctbal_per_segment",
-    "streaming_tumbling_agg",
-    "streaming_sliding_agg",
-    "streaming_session_agg",
-    "dedup_canonical_docs",
-    "mask_generator_profile",
-    "streaming_stateful_user_totals",
-    "corpus_quality_filter",
-    "stratified_sample_docs",
-    "scrub_documents_pii",
-    "pack_docs_token_bins",
-    "q2_min_cost_supplier",
     "q20_volume_share_suppliers",
-    "dedup_incremental_new_docs",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
     "rolling_30d_order_stats",
-    "order_window_features",
+    "scrub_documents_pii",
     "segment_nation_list",
-    "fuzzy_pairs_symdelete",
-    "compact_latest_events",
-    "knn_pq",
-    "decontaminate_semantic_embeddings",
-    "dedup_chunks_reconstruct",
+    "stats_corr_qty_price",
+    "stratified_sample_docs",
     "streaming_jdbc_upsert_agg",
-    "zorder_orders_key",
-    "pydatasource_stream_agg",
-    "zorder_lineitem_key3",
-    "mask_run_report",
+    "streaming_session_agg",
+    "streaming_sliding_agg",
+    "streaming_stateful_user_totals",
+    "streaming_tumbling_agg",
     "text_nfc_dedup_prep",
+    "timeseries_gapfill_hourly",
+    "unpivot_lineitem_charges",
+    "zorder_lineitem_key3",
+    "zorder_orders_key",
+    "zscore_acctbal_per_segment",
+    "benford_first_digit_audit",
+    "bloom_join_pruned_revenue",
+    "bm25_term_scores",
+    "bucketed_join_revenue",
+    "cms_frequency_parts",
+    "compact_small_files_events",
+    "crypto_shred_rtbf",
+    "decontaminate_bloom_ngrams",
+    "dedup_boilerplate_chunks",
+    "dedup_ngram_containment",
+    "dp_bounded_sum_events",
+    "dp_noised_counts_customers",
+    "dq_checks_orders",
+    "embedding_norms_arrow",
+    "entity_clusters_parts",
+    "frequent_part_pairs",
+    "gapfill_recursive_days",
+    "hll_intersection_users",
+    "hll_union_rollup_users",
+    "interpolate_hourly_values",
+    "knn_ivfpq",
+    "knn_sq8",
+    "lateral_top2_orders_per_customer",
+    "mask_date_shift_orders",
+    "mask_fpe_card_customers",
+    "mask_microaggregate_acctbal",
+    "mask_plan_manifest",
+    "mask_pram_mktsegment",
+    "mask_report_synchro_cascade",
+    "mask_swap_acctbal_nation",
+    "max_concurrent_events_sweepline",
+    "not_in_null_aware_customers",
+    "ohlc_hourly_events",
+    "partition_pruned_orders_agg",
+    "pydatasource_write_roundtrip",
+    "readability_scores_docs",
+    "schema_evolution_merge_read",
+    "split_leakage_safe",
+    "streaming_mask_pseudonymize",
+    "streaming_ohlc_window_agg",
+    "streaming_parquet_sink_agg",
+    "streaming_static_enrich_agg",
+    "streaming_stream_left_join",
+    "streaming_update_mode_agg",
+    "t_closeness_audit_customers",
+    "text_source_agg",
+    "trigram_name_matches",
+    "udtf_trigram_stats",
+    "user_daily_streaks",
+    "xml_source_agg",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},

@@ -234,9 +234,18 @@ def test_ivf_index_probe_matches_in_memory_and_prunes(spark, tmp_path):
     )
     base = S.ivf_topk(emb, q, k=5, nprobe=8, dim=None, centroids=cents)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+    # anchored gate (r8 ADVICE): the INSET must sit on THIS table's scan
+    # node and enumerate strictly fewer cells than were trained
+    from mysql_data_anonymizer_spark.queries import _ivf_scan_pruned
+
     plan = scan._jdf.queryExecution().executedPlan().toString()
-    assert "INSET" in plan.split("PartitionFilters:")[-1][:200], (
-        "probe must plan static partition pruning on the cell directories"
+    assert _ivf_scan_pruned(plan, "t_ivf_idx_ut", n_cells=len(cents)), (
+        "probe must plan static partition pruning on the cell directories, "
+        "probing strictly fewer cells than trained"
+    )
+    assert not _ivf_scan_pruned(plan, "no_such_table", n_cells=len(cents))
+    assert not _ivf_scan_pruned(plan, "t_ivf_idx_ut", n_cells=1), (
+        "an INSET covering every trained cell is a full scan, not a prune"
     )
 
 
