@@ -1043,3 +1043,84 @@ def hard_negative_topk(
     return out.select(
         "query_id", "query_label", "neighbor_id", "neighbor_label", "cosine", "rank"
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    start_id: int = 0,
+    round_digits: int = 4,
+    dim: int | None = DEFAULT_DIM,
+) -> tuple[list[tuple[int, int]], DataFrame]:
+    """Greedy farthest-point k-center selection (Gonzalez 1985) — the
+    coreset / data-pruning primitive an LLM pipeline uses to pick a small
+    maximally-diverse subset (dedup keeps one PER near-dup cluster; this
+    keeps the k points that COVER the space, a 2-approximation of the
+    optimal k-center cover): start from ``start_id``, then k-1 times pick
+    the point FARTHEST from the selected set (max over rows of min over
+    centers of squared L2, the |a-c|^2 = |a|^2+|c|^2-2a.c identity, round-4
+    + lowest-id tie-break — the kmeans_assign_step discipline, so a DuckDB
+    CTE chain replays the selection exactly).
+
+    Driver iteration is the ANN-family trainer pattern (train_ivf_centroids
+    collects centroids the same way): each of the k-1 steps collects ONE
+    row — the argmax — while the distance scan itself stays distributed
+    (map over the corpus + TakeOrdered(1); centers ride along as literal
+    arrays, never a shuffle). O(k) passes over the corpus is the textbook
+    cost of greedy k-center; at 100 TB k stays small (it is a coreset) and
+    each pass is embarrassingly parallel.
+
+    Returns ``(centers, assignment)``: centers as [(rank, id), ...] in
+    selection order, assignment as one row per input row —
+    (id_col, center_rank, center_id, dist2) for its NEAREST center
+    (min dist2, tie broken toward the earlier-selected center)."""
+    e = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        dot_expr(vec_col, vec_col, dim).alias("__sq"),
+    )
+    first = e.where(F.col(id_col) == start_id).select(id_col, "__v", "__sq").head()
+    if first is None:
+        raise ValueError(f"start_id {start_id} not found in {id_col}")
+    centers = [(0, first[0], [float(x) for x in first[1]], float(first[2]))]
+
+    def _dist_to(cv: list[float], csq: float) -> Column:
+        lit_v = F.array(*[F.lit(x) for x in cv])
+        return F.round(
+            F.col("__sq") + F.lit(csq) - F.lit(2.0) * dot_expr(F.col("__v"), lit_v, dim),
+            round_digits,
+        )
+
+    for r in range(1, k):
+        dcols = [_dist_to(cv, csq) for (_, _, cv, csq) in centers]
+        mind = dcols[0] if len(dcols) == 1 else F.least(*dcols)
+        row = (
+            e.select(id_col, "__v", "__sq", mind.alias("__d"))
+            .orderBy(F.desc("__d"), F.asc(id_col))
+            .limit(1)
+            .head()
+        )
+        centers.append((r, row[0], [float(x) for x in row[1]], float(row[2])))
+
+    # nearest-center assignment: array_min over (dist2, rank, id) structs —
+    # struct ordering IS the (min dist, earliest center) tie-break, all
+    # codegen, no shuffle
+    structs = [
+        F.struct(
+            _dist_to(cv, csq).alias("dist2"),
+            F.lit(r).cast("long").alias("center_rank"),
+            F.lit(cid).cast("long").alias("center_id"),
+        )
+        for (r, cid, cv, csq) in centers
+    ]
+    assignment = e.select(
+        id_col, F.array_min(F.array(*structs)).alias("__b")
+    ).select(
+        id_col,
+        F.col("__b.center_rank").alias("center_rank"),
+        F.col("__b.center_id").alias("center_id"),
+        F.col("__b.dist2").alias("dist2"),
+    )
+    return [(r, cid) for (r, cid, _, _) in centers], assignment

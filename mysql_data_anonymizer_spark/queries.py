@@ -11156,15 +11156,536 @@ ORACLES["streaming_dedup_index_probe"] = STREAMING_INDEX_PROBE_SQL
 # for come FIRST, so a bounded correctness pass always reaches them before
 # re-checking queries that are already green.
 # ===========================================================================
+# --------------------------------------------------------------------------
+# round 9: Hilbert layout, skip-gram pairs, Kneser-Ney counts, triangles,
+# k-center coreset, exact-integer EWMA
+# --------------------------------------------------------------------------
+
+
+def hilbert_orders_key(spark, sf_dir):
+    """Hilbert-curve clustering key over (o_custkey, floor(o_totalprice))
+    — the better-locality sibling of zorder_orders_key (sources/
+    layout.py::hilbert_key_expr): consecutive key values are always
+    grid-adjacent, so files cover contiguous curve runs and a band
+    predicate on either dimension touches fewer files than under Morton
+    (Iceberg ships hilbert next to z-order for this reason). The key is
+    the classic MSB-to-LSB quadrant walk as ONE integer aggregate fold —
+    whole-stage codegen, zero shuffle, bit-for-bit reproduced by the
+    unrolled CTE chain in the oracle and unit-tested against an
+    independent Python reference over a full grid."""
+    from mysql_data_anonymizer_spark.sources import layout
+
+    orders = _t(spark, sf_dir, "orders")
+    h = layout.hilbert_key_expr(
+        "o_custkey", "CAST(FLOOR(o_totalprice) AS LONG)", bits=16
+    )
+    return orders.select("o_orderkey", h.alias("hkey"))
+
+
+def _gen_hilbert_sql(bits: int = 16) -> str:
+    n = 1 << bits
+    ctes = []
+    prev = "h0"
+    for step, i in enumerate(range(bits - 1, -1, -1), 1):
+        cur = f"h{step}"
+        ctes.append(
+            f"""{cur} AS (
+  SELECT * REPLACE (
+    d + (xor(3 * ((x >> {i}) & 1), (y >> {i}) & 1) << {2 * i}) AS d,
+    CASE WHEN ((y >> {i}) & 1) = 0 THEN
+      CASE WHEN ((x >> {i}) & 1) = 1 THEN {n - 1} - y ELSE y END
+    ELSE x END AS x,
+    CASE WHEN ((y >> {i}) & 1) = 0 THEN
+      CASE WHEN ((x >> {i}) & 1) = 1 THEN {n - 1} - x ELSE x END
+    ELSE y END AS y)
+  FROM {prev}
+)"""
+        )
+        prev = cur
+    chain = ",\n".join(ctes)
+    return f"""
+WITH h0 AS (
+  SELECT o_orderkey, CAST(0 AS BIGINT) AS d,
+         CAST(o_custkey AS BIGINT) & {n - 1} AS x,
+         CAST(FLOOR(o_totalprice) AS BIGINT) & {n - 1} AS y
+  FROM orders
+),
+{chain}
+SELECT o_orderkey, d AS hkey FROM {prev}
+"""
+
+
+QUERIES["hilbert_orders_key"] = hilbert_orders_key
+ORACLES["hilbert_orders_key"] = _gen_hilbert_sql()
+
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_COUNT = 5
+
+
+def skipgram_pairs_docs(spark, sf_dir):
+    """Skip-gram (center, context) pair extraction — the word2vec /
+    fastText training-example generator (Mikolov et al. 2013): every
+    ordered token pair within a +-2 window becomes a training pair, and
+    corpus-wide pair counts feed negative-sampling tables. Pure codegen
+    array algebra: for each offset k the pair list is zip_with of the
+    token array against its own k-shifted slice (NO per-doc self-join —
+    that is the oracle's shape, not the engine's), one explode fans out
+    both directions, one map-side-combinable count aggregates. Scale
+    shape: fan-out is 2*window rows per token — linear in corpus tokens;
+    the only shuffle is the final (center, context) count, and the
+    ``min_count`` cut (the word2vec vocabulary rule) bounds the output to
+    the frequent-pair head."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+        ).alias("t")
+    )
+    slices = []
+    for k in range(1, SKIPGRAM_WINDOW + 1):
+        ln = F.greatest(F.size("t") - k, F.lit(0))
+        slices.append(
+            F.zip_with(
+                F.slice("t", F.lit(1), ln),
+                F.slice("t", F.lit(k + 1), ln),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        )
+    ex = toks.select(F.explode(F.flatten(F.array(*slices))).alias("pr"))
+    both = ex.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pr.a").alias("center"), F.col("pr.b").alias("context")
+                ),
+                F.struct(
+                    F.col("pr.b").alias("center"), F.col("pr.a").alias("context")
+                ),
+            )
+        ).alias("cc")
+    ).select("cc.center", "cc.context")
+    return (
+        both.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .where(F.col("n_pairs") >= SKIPGRAM_MIN_COUNT)
+    )
+
+
+SKIPGRAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+pairs AS (
+  SELECT a.w AS center, b.w AS context
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND {SKIPGRAM_WINDOW}
+),
+bidi AS (
+  SELECT center, context FROM pairs
+  UNION ALL
+  SELECT context AS center, center AS context FROM pairs
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM bidi GROUP BY 1, 2 HAVING COUNT(*) >= {SKIPGRAM_MIN_COUNT}
+"""
+
+
+QUERIES["skipgram_pairs_docs"] = skipgram_pairs_docs
+ORACLES["skipgram_pairs_docs"] = SKIPGRAM_SQL
+
+
+KN_MIN_COUNT = 5
+
+
+def kneser_ney_bigram_counts(spark, sf_dir):
+    """Kneser-Ney smoothing count tables — the statistics a KenLM-style
+    n-gram LM trainer shards and merges at corpus scale (Heafield 2011;
+    the CCNet perplexity filter consumes exactly such a model): for every
+    frequent bigram, c(w1 w2), the left-context total c(w1.) (the KN
+    denominator), the follower-type count N1+(w1 .) (how many distinct
+    words follow w1 — the lambda backoff weight numerator), the
+    continuation count N1+(. w2) (how many distinct words precede w2 —
+    THE Kneser-Ney idea: a word's unigram backoff is how many contexts it
+    completes, not how often it occurs), and the global bigram-type total
+    (the continuation denominator). All EXACT BIGINTs — the discounted
+    probability is one division away and deliberately left to the caller
+    (transcendental-free cross-engine discipline, the bigram_collocations
+    rule). Scale shape: one token explode -> one (w1,w2) count (map-side
+    combinable); the three side tables derive from the BIGRAM table
+    (vocabulary-sized, Heaps-law sub-linear), broadcast back; the 1-row
+    type total cross-joins."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+        ).alias("t")
+    )
+    ln = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", F.lit(1), ln),
+                    F.slice("t", F.lit(2), ln),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w1w2"))
+    )
+    left = bg.groupBy("w1").agg(
+        F.sum("n_w1w2").cast("long").alias("c_w1"),
+        F.count(F.lit(1)).cast("long").alias("n_follow"),
+    )
+    right = bg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_precede")
+    )
+    types = bg.agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"))
+    return (
+        bg.where(F.col("n_w1w2") >= KN_MIN_COUNT)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1", "w2", "n_w1w2", "c_w1", "n_follow", "n_precede", "n_bigram_types"
+        )
+    )
+
+
+KNESER_NEY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+bg AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS n_w1w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2
+),
+lft AS (
+  SELECT w1, CAST(SUM(n_w1w2) AS BIGINT) AS c_w1,
+         CAST(COUNT(*) AS BIGINT) AS n_follow
+  FROM bg GROUP BY 1
+),
+rgt AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_precede FROM bg GROUP BY 1
+),
+typ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM bg)
+SELECT bg.w1, bg.w2, bg.n_w1w2, lft.c_w1, lft.n_follow, rgt.n_precede,
+       typ.n_bigram_types
+FROM bg
+JOIN lft USING (w1)
+JOIN rgt USING (w2)
+CROSS JOIN typ
+WHERE bg.n_w1w2 >= {KN_MIN_COUNT}
+"""
+
+
+QUERIES["kneser_ney_bigram_counts"] = kneser_ney_bigram_counts
+ORACLES["kneser_ney_bigram_counts"] = KNESER_NEY_SQL
+
+
+def triangle_count_copurchase(spark, sf_dir):
+    """Per-node triangle counting on the co-purchase graph — the third
+    graph primitive next to pagerank_copurchase_parts (centrality) and
+    dedup_clusters (components): triangle participation measures local
+    clustering, the standard community/spam signal. Algorithm is the
+    DEGREE-ORDERED node-iterator (cf. compact-forward / the MapReduce
+    triangle literature): orient every undirected edge from its
+    (degree, id)-smaller endpoint to the larger, build wedges by joining
+    oriented out-edges on their source, and close each wedge with one more
+    equi-join on the oriented (v, w) edge. Orientation is what makes this
+    web-scale: out-degree is bounded by O(sqrt(m)), so wedge count is
+    sum(outdeg^2) << sum(deg^2) — the hub that breaks the naive
+    node-iterator never becomes a wedge source here. Each triangle is
+    found EXACTLY once (u < v < w in the degree order). The node sample
+    (partkey % 10 = 0) bounds fixture density; the plan shape is
+    sample-invariant. Every step is an equi-join or hash agg — no
+    windows, no cross joins."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("s", "t")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        und.join(deg.withColumnRenamed("node", "s").withColumnRenamed("d", "ds"), "s")
+        .join(deg.withColumnRenamed("node", "t").withColumnRenamed("d", "dt"), "t")
+    )
+    fwd = (F.col("ds") < F.col("dt")) | (
+        (F.col("ds") == F.col("dt")) & (F.col("s") < F.col("t"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("s")).otherwise(F.col("t")).alias("src"),
+        F.when(fwd, F.col("t")).otherwise(F.col("s")).alias("dst"),
+        F.when(fwd, F.col("dt")).otherwise(F.col("ds")).alias("ddst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(o2, F.col("o1.src") == F.col("o2.src"))
+        .where(
+            (F.col("o1.ddst") < F.col("o2.ddst"))
+            | (
+                (F.col("o1.ddst") == F.col("o2.ddst"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        )
+        .select(
+            F.col("o1.src").alias("u"),
+            F.col("o1.dst").alias("v"),
+            F.col("o2.dst").alias("w"),
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+TRIANGLE_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+),
+und AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT s AS node FROM und UNION ALL SELECT t FROM und)
+  GROUP BY 1
+),
+ed AS (
+  SELECT und.s, und.t, d1.d AS ds, d2.d AS dt
+  FROM und JOIN deg d1 ON d1.node = und.s JOIN deg d2 ON d2.node = und.t
+),
+oriented AS (
+  SELECT CASE WHEN ds < dt OR (ds = dt AND s < t) THEN s ELSE t END AS src,
+         CASE WHEN ds < dt OR (ds = dt AND s < t) THEN t ELSE s END AS dst,
+         CASE WHEN ds < dt OR (ds = dt AND s < t) THEN dt ELSE ds END AS ddst
+  FROM ed
+),
+wedges AS (
+  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+  FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+  WHERE o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst)
+),
+tri AS (
+  SELECT u, v, w FROM wedges JOIN oriented o ON o.src = wedges.v AND o.dst = wedges.w
+)
+SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT u AS p_partkey FROM tri UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri)
+GROUP BY 1
+"""
+
+
+QUERIES["triangle_count_copurchase"] = triangle_count_copurchase
+ORACLES["triangle_count_copurchase"] = TRIANGLE_SQL
+
+
+KCENTER_K = 5
+
+
+def kcenter_coreset_embeddings(spark, sf_dir):
+    """Greedy farthest-point k-center coreset selection (operators/
+    similarity.py::kcenter_select — Gonzalez 1985): pick the 5 vectors
+    that maximally cover embedding space (start at vec_id 0, then 4x the
+    point farthest from the selected set), then assign every corpus
+    vector to its nearest center. This is the data-PRUNING primitive
+    (coreset / diverse-subset selection for training-data curation) —
+    dedup removes redundancy, k-center keeps coverage. Exact squared-L2
+    with the kmeans round-4 + id tie-break discipline, so the oracle
+    replays the full greedy selection as a CTE chain and the assignment
+    hash-matches. Selection is k-1 distributed argmax passes (each one
+    TakeOrdered(1), centers as broadcast literals); assignment is one
+    map stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assignment = similarity.kcenter_select(
+        emb, k=KCENTER_K, start_id=0, dim=None
+    )
+    return assignment
+
+
+def _gen_kcenter_sql(k: int = KCENTER_K, start_id: int = 0) -> str:
+    def dist(erow: str, crow: str) -> str:
+        return (
+            f"ROUND({erow}.sq + {crow}.sq - 2 * "
+            f"{_sql_dot(f'{erow}.embedding', f'{crow}.embedding')}, 4)"
+        )
+
+    ctes = [
+        f"e AS (SELECT vec_id, embedding, {_sql_dot('embedding', 'embedding')} AS sq"
+        f" FROM embeddings)",
+        f"c0 AS (SELECT vec_id, embedding, sq FROM e WHERE vec_id = {start_id})",
+    ]
+    prev_centers = ["c0"]
+    for r in range(1, k):
+        mind = ", ".join(dist("e", c) for c in prev_centers)
+        mind = f"LEAST({mind})" if len(prev_centers) > 1 else dist("e", "c0")
+        joins = " CROSS JOIN ".join(prev_centers)
+        ctes.append(
+            f"""c{r} AS (
+  SELECT e.vec_id, e.embedding, e.sq
+  FROM e CROSS JOIN {joins}
+  ORDER BY {mind} DESC, e.vec_id ASC LIMIT 1
+)"""
+        )
+        prev_centers.append(f"c{r}")
+    cents = "\n  UNION ALL ".join(
+        f"SELECT {r} AS center_rank, vec_id AS center_id, embedding, sq FROM c{r}"
+        for r in range(k)
+    )
+    ctes.append(f"cents AS (\n  {cents}\n)")
+    ctes.append(
+        f"""d AS (
+  SELECT e.vec_id, c.center_rank, c.center_id, {dist('e', 'c')} AS dist2
+  FROM e CROSS JOIN cents c
+)"""
+    )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain}
+SELECT vec_id, CAST(center_rank AS BIGINT) AS center_rank,
+       CAST(center_id AS BIGINT) AS center_id, dist2
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist2 ASC, center_rank ASC) AS rn
+  FROM d
+) WHERE rn = 1
+"""
+
+
+QUERIES["kcenter_coreset_embeddings"] = kcenter_coreset_embeddings
+ORACLES["kcenter_coreset_embeddings"] = _gen_kcenter_sql()
+
+
+EWMA_WINDOW = 20
+
+
+def ewma_user_events(spark, sf_dir):
+    """Exponentially-weighted moving average per user over event time —
+    the time-series smoothing feature (monitoring baselines, per-user
+    engagement decay) with alpha = 1/2, EXACT INTEGERS end-to-end: values
+    go to millionths BIGINTs, the last-20-event window's weights are the
+    powers of two 2^0 (oldest) .. 2^(L-1) (newest) — the truncated-and-
+    renormalized geometric EWMA — so the numerator is a bit-shift fold and
+    the result is one BIGINT division (num // (2^L - 1)), reproducible in
+    any engine with zero float-accumulation drift (the pagerank/ccnet
+    millionths discipline; a float EWMA would hash-diverge on summation
+    order). Plan: ONE bounded per-user window (collect_list over 20 rows,
+    (ts, event_id)-ordered) + a per-row codegen fold — no explode, no
+    re-aggregation; user count bounds window width, the window is the
+    only shuffle."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * F.lit(1000000.0), 0).cast("long").alias("__vm"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    arr = F.collect_list("__vm").over(w)
+    num = F.expr(
+        "aggregate(__arr, named_struct('i', 0, 'acc', CAST(0 AS LONG)),"
+        " (st, v) -> named_struct('i', st.i + 1, 'acc', st.acc + shiftleft(v, st.i)),"
+        " st -> st.acc)"
+    )
+    den = F.expr("shiftleft(CAST(1 AS BIGINT), size(__arr)) - CAST(1 AS BIGINT)")
+    return (
+        ev.withColumn("__arr", arr)
+        .withColumn("__num", num.cast("long"))
+        .withColumn("__den", den)
+        .select(
+            "event_id",
+            "user_id",
+            F.size("__arr").cast("long").alias("n_window"),
+            # BIGINT DIV, never double '/': the r8 pack_sequences lesson
+            F.expr("__num DIV __den").alias("ewma_millionths"),
+        )
+    )
+
+
+EWMA_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+win AS (
+  SELECT event_id, user_id,
+         list(vm) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+           AS arr
+  FROM ev
+),
+flat AS (
+  SELECT event_id, user_id, CAST(len(arr) AS BIGINT) AS n_window,
+         unnest(arr) AS v, generate_subscripts(arr, 1) AS i
+  FROM win
+)
+SELECT event_id, user_id, n_window,
+       CAST(SUM(v * (CAST(1 AS BIGINT) << (i - 1))) //
+            ((CAST(1 AS BIGINT) << n_window) - 1) AS BIGINT) AS ewma_millionths
+FROM flat
+GROUP BY event_id, user_id, n_window
+"""
+
+
+QUERIES["ewma_user_events"] = ewma_user_events
+ORACLES["ewma_user_events"] = EWMA_SQL
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 9
-    # (standing stalest-first rule). (0) semantics CHANGED this round
-    # by the r8 ADVICE fixes — must re-certify:
+    # (standing stalest-first rule). (0) new this round — never
+    # driver-certified:
+    "hilbert_orders_key",
+    "skipgram_pairs_docs",
+    "kneser_ney_bigram_counts",
+    "triangle_count_copurchase",
+    "kcenter_coreset_embeddings",
+    "ewma_user_events",
+    # (1) semantics CHANGED this round by the r8 ADVICE fixes — must
+    # re-certify:
     "enforce_k_anonymity_customers",
     "fuzzy_match_blocked_suppliers",
     "knn_ivf_indexed",
     "pack_sequences_gpt",
-    # (1) stalest latest-cert first (r4 cohort, then r5, then r6):
+    # (2) stalest latest-cert first (r4 cohort, then r5, then r6):
     "pivot_orders_status",
     "q17_small_quantity_revenue",
     "q1_pricing_summary",

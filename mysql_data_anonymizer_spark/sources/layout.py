@@ -100,3 +100,41 @@ def zorder_key_expr_n(col_sqls: list[str], bits: int | None = None) -> Column:
   (st, i) -> named_struct('acc', st.acc + {terms}, {carry}),
   st -> st.acc)"""
     )
+
+
+def hilbert_key_expr(x_sql: str, y_sql: str, bits: int = 16) -> Column:
+    """Hilbert-curve index of the low ``bits`` bits of two non-negative
+    integer SQL expressions — the strictly-better-locality alternative to
+    ``zorder_key_expr``: consecutive key values are ALWAYS grid-adjacent
+    (the Morton curve jumps across the space at every power-of-two
+    boundary), so range predicates on either dimension touch fewer
+    contiguous key runs and therefore fewer files (Iceberg and many
+    warehouse engines offer hilbert ordering next to z-order for exactly
+    this reason; cf. Hilbert 1891 / the standard xy2d bit transform).
+
+    Implementation: the classic MSB-to-LSB quadrant walk (per bit: emit
+    the 2-bit quadrant digit gray-coded as (3*rx)^ry, then reflect+swap
+    the frame when leaving the lower half) as one integer ``aggregate``
+    fold — whole-stage codegen, no Python, and exactly reproducible in the
+    DuckDB oracle as an unrolled CTE chain (queries._gen_hilbert_sql).
+    2*bits <= 62 keeps the key in a signed long. Unit-tested bit-for-bit
+    against an independent Python reference over a full grid."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    n = 1 << bits
+    mask = n - 1
+    rx = "(shiftright(st.x, i) & 1)"
+    ry = "(shiftright(st.y, i) & 1)"
+    return F.expr(
+        f"""aggregate(
+  sequence({bits - 1}, 0, -1),
+  named_struct(
+    'acc', CAST(0 AS LONG),
+    'x', CAST(({x_sql}) AS LONG) & {mask},
+    'y', CAST(({y_sql}) AS LONG) & {mask}),
+  (st, i) -> named_struct(
+    'acc', st.acc + shiftleft((3 * {rx}) ^ {ry}, 2 * i),
+    'x', IF({ry} = 0, IF({rx} = 1, {n - 1} - st.y, st.y), st.x),
+    'y', IF({ry} = 0, IF({rx} = 1, {n - 1} - st.x, st.x), st.y)),
+  st -> st.acc)"""
+    )

@@ -84,3 +84,184 @@ def test_fuzzy_blocking_occupancy_cap_drops_hot_block(spark, tmp_path):
     # so the mass-duplicate cluster yields NO pairs (documented recall loss)
     got = _fuzzy_on(spark, tmp_path, ["same name"] * 70)
     assert got == {}
+
+
+# ---------------------------------------------------------------------------
+# hilbert_key_expr — bit-for-bit vs an independent Python reference
+# ---------------------------------------------------------------------------
+def _hilbert_ref(n, x, y):
+    # classic xy2d quadrant walk (public algorithm, e.g. Wikipedia
+    # "Hilbert curve"), written independently of the SQL fold
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_full_grid(spark):
+    from mysql_data_anonymizer_spark.sources import layout
+
+    bits = 5
+    n = 1 << bits
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    rows = grid.select(
+        "x", "y", layout.hilbert_key_expr("x", "y", bits=bits).alias("d")
+    ).collect()
+    assert len(rows) == n * n
+    ds = set()
+    for r in rows:
+        assert r["d"] == _hilbert_ref(n, r["x"], r["y"])
+        ds.add(r["d"])
+    # bijection onto [0, n^2): every cell gets a unique curve position
+    assert ds == set(range(n * n))
+
+
+def test_hilbert_consecutive_keys_are_grid_adjacent(spark):
+    # THE Hilbert property (and the one Morton lacks): walking the curve
+    # moves exactly one grid step at a time
+    from mysql_data_anonymizer_spark.sources import layout
+
+    bits = 4
+    n = 1 << bits
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    rows = grid.select(
+        "x", "y", layout.hilbert_key_expr("x", "y", bits=bits).alias("d")
+    ).collect()
+    by_d = {r["d"]: (r["x"], r["y"]) for r in rows}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+# ---------------------------------------------------------------------------
+# kcenter_select — greedy farthest-point invariants
+# ---------------------------------------------------------------------------
+def test_kcenter_selects_farthest_and_assigns_nearest(spark):
+    from mysql_data_anonymizer_spark.operators import similarity as S
+
+    # four 2-d points: two tight clusters far apart + an outlier
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.0]),
+        (2, [10.0, 0.0]),
+        (3, [10.1, 0.0]),
+        (4, [0.0, 100.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centers, assign = S.kcenter_select(df, k=3, start_id=0, dim=None)
+    order = [cid for _, cid in centers]
+    # farthest from 0 is the outlier 4; the next pick must come from the
+    # far cluster {2, 3} (either member — they differ by 0.1 in min-dist)
+    assert order[0] == 0 and order[1] == 4 and order[2] in (2, 3)
+    got = {r["vec_id"]: r for r in assign.collect()}
+    assert got[1]["center_id"] == 0, "near point joins the 0-cluster"
+    assert got[2]["center_rank"] == got[3]["center_rank"], (
+        "far-cluster points share the far center"
+    )
+    for _, cid in centers:
+        assert got[cid]["dist2"] == 0.0 and got[cid]["center_id"] == cid
+
+
+def test_kcenter_missing_start_raises(spark):
+    from mysql_data_anonymizer_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    try:
+        S.kcenter_select(df, k=2, start_id=99, dim=None)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# triangle counting — hand-checked graph through the registered query
+# ---------------------------------------------------------------------------
+def test_triangle_count_hand_graph(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    # orders as cliques: order 1 = {10,20,30} (one triangle), order 2 =
+    # {10,20,40,50} (C(4,3)=4 triangles), order 3 = {60,70} (none).
+    # partkeys are all %10==0 so the query's node sample keeps them.
+    rows = []
+    for ok, parts in [(1, [10, 20, 30]), (2, [10, 20, 40, 50]), (3, [60, 70])]:
+        rows += [(ok, p) for p in parts]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["p_partkey"]: r["n_triangles"]
+        for r in Q.QUERIES["triangle_count_copurchase"](spark, str(tmp_path)).collect()
+    }
+    # triangles: {10,20,30} + the 4 inside order 2; node 10 is in
+    # {10,20,30},{10,20,40},{10,20,50},{10,40,50} -> 4
+    assert got[10] == 4 and got[20] == 4
+    assert got[30] == 1
+    assert got[40] == 3 and got[50] == 3  # {10,20,40},{10,40,50},{20,40,50}
+    assert 60 not in got and 70 not in got
+
+
+# ---------------------------------------------------------------------------
+# ewma_user_events — exact integer semantics on a tiny fixture
+# ---------------------------------------------------------------------------
+def test_ewma_exact_weights(spark, tmp_path):
+    from datetime import datetime
+
+    from mysql_data_anonymizer_spark import queries as Q
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 7, "a", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 1, 0), 7, "a", 2.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 2, 0), 7, "a", 4.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: r
+        for r in Q.QUERIES["ewma_user_events"](spark, str(tmp_path)).collect()
+    }
+    assert got[1]["n_window"] == 1 and got[1]["ewma_millionths"] == 1_000_000
+    # window [1,2]: (1e6*1 + 2e6*2) // 3
+    assert got[2]["n_window"] == 2 and got[2]["ewma_millionths"] == 5_000_000 // 3
+    # window [1,2,4]: (1e6*1 + 2e6*2 + 4e6*4) // 7 = 3e6
+    assert got[3]["n_window"] == 3 and got[3]["ewma_millionths"] == 3_000_000
+
+
+# ---------------------------------------------------------------------------
+# skip-gram pairs — window and direction semantics
+# ---------------------------------------------------------------------------
+def test_skipgram_window_and_symmetry(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    # 'a b c a b' repeated so pairs clear the min_count=5 bar:
+    text = " ".join(["a b c"] * 5)
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in Q.QUERIES["skipgram_pairs_docs"](spark, str(tmp_path)).collect()
+    }
+    # adjacent (a,b): 5 occurrences + (b,a) direction listed separately
+    assert got[("a", "b")] == got[("b", "a")]
+    # distance-2 (a,c) present; distance-3 (e.g. a..a across one period)
+    # between consecutive 'a's is distance 3 -> absent
+    assert ("a", "c") in got
+    assert ("a", "a") not in got

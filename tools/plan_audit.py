@@ -76,6 +76,10 @@ BNL_OK: set[str] = {
     # q11: the global threshold is a BROADCAST 1-row aggregate cross-joined
     # onto the 25-row per-nation table — bounded by construction
     "q11_important_nations",
+    # Kneser-Ney counts: the global bigram-type total is a BROADCAST 1-row
+    # aggregate cross-joined onto the (vocabulary-sized) frequent-bigram
+    # table — q11 threshold class
+    "kneser_ney_bigram_counts",
     # t-closeness: the N scalar is a BROADCAST 1-row aggregate cross-joined
     # onto the post-aggregation (QI x category) table — bounded by
     # construction, same class as q11's threshold

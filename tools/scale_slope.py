@@ -98,6 +98,17 @@ FAMILIES = [
     # lineitem slice (K disconnected co-purchase graphs): iterative graph
     # centrality — K x nodes and edges, per-copy structure unchanged
     "pagerank_copurchase_parts",
+    # round-9 additions: skip-gram pair counts + KN continuation counts
+    # (documents — token explode + keyed aggs, slope should be ~K of scan),
+    # degree-ordered triangle counting (lineitem — K disconnected graphs,
+    # wedge work per copy unchanged), greedy k-center (embeddings — k
+    # distributed argmax passes, slope ~K), exact-integer EWMA (events —
+    # K x users at unchanged window width, one bounded keyed window)
+    "skipgram_pairs_docs",
+    "kneser_ney_bigram_counts",
+    "triangle_count_copurchase",
+    "kcenter_coreset_embeddings",
+    "ewma_user_events",
 ]
 
 
