@@ -242,6 +242,13 @@ HEADLINE = [
     "streaming_update_mode_agg",
     "streaming_stream_left_join",
     "streaming_dedup_index_probe",
+    # round-9 additions
+    "hilbert_orders_key",
+    "skipgram_pairs_docs",
+    "kneser_ney_bigram_counts",
+    "triangle_count_copurchase",
+    "kcenter_coreset_embeddings",
+    "ewma_user_events",
 ]
 
 
