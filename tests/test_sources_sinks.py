@@ -534,3 +534,43 @@ def test_hexlines_writer_two_phase_commit_retry_semantics(tmp_path):
     # abort clears staging (the loser's file lives there until then)
     w.abort([loser])
     assert not os.path.exists(os.path.join(target, "_staging"))
+
+def test_hilbert_layout_prunes_both_dimensions(spark, tmp_path):
+    """Hilbert layout (sources/layout.py::hilbert_key_expr): the same
+    two-dimension zone-map pruning contract as the Z-order test, on the
+    better-locality curve — a band predicate on either column must touch
+    strictly fewer files than the 1-D sort's non-sort dimension (which
+    cannot prune at all)."""
+    from mysql_data_anonymizer_spark.sources import files, layout
+
+    od = files.read_table(
+        spark, "/root/testdata/sf0.001/orders.parquet", table_name="orders"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    h = layout.hilbert_key_expr(
+        "o_custkey DIV 3", "CAST(o_totalprice AS LONG) DIV 8000", bits=6
+    )
+    dh = str(tmp_path / "hilb")
+    du = str(tmp_path / "custsort")
+    layout.write_zordered(od, dh, h, num_files=16)  # writer is key-agnostic
+    od.repartitionByRange(16, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.mode("overwrite").parquet(du)
+
+    def file_hits(path, c0, c1, p0, p1):
+        df = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+        bx = df.groupBy("__f").agg(
+            F.min("o_custkey").alias("cl"), F.max("o_custkey").alias("ch"),
+            F.min("o_totalprice").alias("pl"), F.max("o_totalprice").alias("ph"),
+        ).collect()
+        n = sum(1 for r in bx if not (r.ch < c0 or r.cl > c1 or r.ph < p0 or r.pl > p1))
+        return n, len(bx)
+
+    BIG = 10**12
+    h_cust, nf = file_hits(dh, 30, 60, -BIG, BIG)
+    h_price, _ = file_hits(dh, -BIG, BIG, 16000, 80000)
+    s_price, _ = file_hits(du, -BIG, BIG, 16000, 80000)
+    assert nf == 16
+    assert s_price == nf  # 1-D layout: no pruning on the non-sort dim
+    assert h_cust < nf and h_price < nf
+    assert h_price < s_price
+    assert spark.read.parquet(dh).count() == od.count()
