@@ -244,6 +244,7 @@ HEADLINE = [
     "streaming_dedup_index_probe",
     # round-9 additions
     "hilbert_orders_key",
+    "bootstrap_ci_events",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "triangle_count_copurchase",

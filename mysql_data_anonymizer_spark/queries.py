@@ -11607,11 +11607,16 @@ def ewma_user_events(spark, sf_dir):
     (ts, event_id)-ordered) + a per-row codegen fold — no explode, no
     re-aggregation; user count bounds window width, the window is the
     only shuffle."""
+    # winsorize guard (fuzz finding): |vm| <= 4e12 millionths keeps the
+    # worst-case fold numerator 4e12 * (2^20 - 1) ~ 4.2e18 inside INT64 —
+    # one 1e12-value outlier row must not crash the stage under ANSI
+    clamp = F.lit(4_000_000_000_000).cast("long")
+    vm = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
         "ts",
-        F.round(F.col("value") * F.lit(1000000.0), 0).cast("long").alias("__vm"),
+        F.greatest(F.least(vm, clamp), -clamp).alias("__vm"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -11642,7 +11647,8 @@ def ewma_user_events(spark, sf_dir):
 EWMA_SQL = f"""
 WITH ev AS (
   SELECT event_id, user_id, ts,
-         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+         GREATEST(LEAST(CAST(ROUND(value * 1000000) AS BIGINT),
+                        4000000000000), -4000000000000) AS vm
   FROM events
 ),
 win AS (
@@ -11669,11 +11675,132 @@ QUERIES["ewma_user_events"] = ewma_user_events
 ORACLES["ewma_user_events"] = EWMA_SQL
 
 
+
+
+_POISSON1_CUM_M = [367879, 735758, 919698, 981011, 996340, 999405, 999916,
+                   999989, 999998, 999999]
+BOOTSTRAP_B = 20
+
+
+def bootstrap_ci_events(spark, sf_dir):
+    """Poisson-bootstrap confidence intervals for per-group means — the
+    uncertainty-quantification primitive for data too big to resample
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012): instead of materializing B resamples, every row draws a
+    DETERMINISTIC Poisson(1) weight per replica b from
+    u32(md5('boot:b:event_id')) % 1e6 against the precomputed Poisson(1)
+    CDF in exact millionths (_POISSON1_CUM_M — both engines compare the
+    same 10 integer thresholds, so weights are identical by construction
+    and the whole bootstrap is replayable). Per event_type: the point mean
+    plus the min/max of B=20 replica means (the replica spread — the
+    honest small-B envelope; percentile CIs are the same plumbing with a
+    bigger B), everything in exact millionths BIGINTs with integer DIV.
+
+    Scale shape: ONE pass — a x B map-side explode (no data movement for
+    resampling, THE point of Poisson bootstrap), one map-side-combinable
+    (type, b) aggregate, one B-row-per-type final fold. At 100 TB the
+    explode factor B is the only cost knob and the shuffle key count is
+    |types| x B — tiny."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0), 0).cast("long").alias("__vm"),
+    )
+    point = ev.groupBy("event_type").agg(
+        F.expr("CAST(sum(__vm) AS BIGINT) DIV count(1)").alias("point_mean_millionths")
+    )
+    u = text._md5_u32(
+        F.concat(
+            F.lit("boot:"),
+            F.col("__b").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    ) % F.lit(1000000)
+    w = sum(
+        (F.when(u >= F.lit(t), 1).otherwise(0) for t in _POISSON1_CUM_M),
+        F.lit(0),
+    )
+    reps = (
+        ev.withColumn(
+            "__b", F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1)))
+        )
+        .withColumn("__w", w.cast("long"))
+        .groupBy("event_type", "__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__vm")).alias("__swv"),
+            F.sum("__w").alias("__sw"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN __sw > 0 THEN CAST(__swv AS BIGINT) DIV __sw END"
+            ).alias("__mean"),
+        )
+    )
+    ci = reps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("boot_reps"),
+        F.min("__mean").alias("boot_lo_millionths"),
+        F.max("__mean").alias("boot_hi_millionths"),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type",
+        "point_mean_millionths",
+        "boot_reps",
+        "boot_lo_millionths",
+        "boot_hi_millionths",
+    )
+
+
+def _gen_bootstrap_sql(b: int = BOOTSTRAP_B) -> str:
+    u = _sql_md5_u32(
+        "md5('boot:' || CAST(r.b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR))"
+    )
+    wsum = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POISSON1_CUM_M
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+point AS (
+  SELECT event_type, CAST(SUM(vm) // COUNT(*) AS BIGINT) AS point_mean_millionths
+  FROM ev GROUP BY 1
+),
+drawn AS (
+  SELECT event_type, r.b, vm, ({u}) % 1000000 AS u
+  FROM ev CROSS JOIN (SELECT unnest(range(0, {b})) AS b) r
+),
+weighted AS (SELECT event_type, b, vm, CAST({wsum} AS BIGINT) AS w FROM drawn),
+reps AS (
+  SELECT event_type, b,
+         CASE WHEN SUM(w) > 0
+              THEN CAST(SUM(w * vm) // SUM(w) AS BIGINT) END AS mean_m
+  FROM weighted GROUP BY 1, 2
+),
+ci AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS boot_reps,
+         MIN(mean_m) AS boot_lo_millionths, MAX(mean_m) AS boot_hi_millionths
+  FROM reps GROUP BY 1
+)
+SELECT point.event_type, point.point_mean_millionths, ci.boot_reps,
+       ci.boot_lo_millionths, ci.boot_hi_millionths
+FROM point JOIN ci USING (event_type)
+"""
+
+
+QUERIES["bootstrap_ci_events"] = bootstrap_ci_events
+ORACLES["bootstrap_ci_events"] = _gen_bootstrap_sql()
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 9
     # (standing stalest-first rule). (0) new this round — never
     # driver-certified:
     "hilbert_orders_key",
+    "bootstrap_ci_events",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "triangle_count_copurchase",

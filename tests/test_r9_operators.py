@@ -265,3 +265,35 @@ def test_skipgram_window_and_symmetry(spark, tmp_path):
     # between consecutive 'a's is distance 3 -> absent
     assert ("a", "c") in got
     assert ("a", "a") not in got
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci_events — Poisson-weight construction invariants
+# ---------------------------------------------------------------------------
+def test_poisson_thresholds_match_analytic_cdf():
+    import math
+
+    from mysql_data_anonymizer_spark.queries import _POISSON1_CUM_M
+
+    e = math.exp(-1)
+    c = 0.0
+    for k, t in enumerate(_POISSON1_CUM_M):
+        c += e / math.factorial(k)
+        assert t == int(c * 1000000), f"threshold k={k}"
+
+
+def test_bootstrap_ci_brackets_point_and_is_deterministic(spark):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["event_type"]: r for r in Q.QUERIES["bootstrap_ci_events"](spark, sf).collect()}
+    b = {r["event_type"]: r for r in Q.QUERIES["bootstrap_ci_events"](spark, sf).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert tuple(a[k]) == tuple(b[k]), "hash-derived bootstrap must replay"
+        assert a[k]["boot_reps"] == 20
+        assert a[k]["boot_lo_millionths"] <= a[k]["boot_hi_millionths"]
+        # the point mean should fall inside (or at worst on) the replica
+        # envelope for any non-degenerate group
+        assert a[k]["boot_lo_millionths"] <= a[k]["point_mean_millionths"] * 1.02
+        assert a[k]["boot_hi_millionths"] >= a[k]["point_mean_millionths"] * 0.98

@@ -69,6 +69,8 @@ DEFAULT_QUERIES = [
     "lateral_top2_orders_per_customer",
     "t_closeness_audit_customers",
     "max_concurrent_events_sweepline",
+    "skipgram_pairs_docs",
+    "kneser_ney_bigram_counts",
     "frequent_part_pairs",
     "interpolate_hourly_values",
     "udtf_trigram_stats",
@@ -118,6 +120,8 @@ DEFAULT_QUERIES = [
     "approx_distinct_users_daily",
     "hll_intersection_users",
     "dp_bounded_sum_events",
+    "ewma_user_events",
+    "bootstrap_ci_events",
     "streaming_tumbling_agg",
     "streaming_sliding_agg",
     "streaming_session_agg",

@@ -109,6 +109,8 @@ FAMILIES = [
     "triangle_count_copurchase",
     "kcenter_coreset_embeddings",
     "ewma_user_events",
+    # events — x B map-side explode + keyed aggs; slope should be ~K
+    "bootstrap_ci_events",
 ]
 
 
