@@ -250,6 +250,7 @@ HEADLINE = [
     "triangle_count_copurchase",
     "kcenter_coreset_embeddings",
     "ewma_user_events",
+    "streaming_ewma_user",
 ]
 
 

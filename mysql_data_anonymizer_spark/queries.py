@@ -11795,12 +11795,95 @@ QUERIES["bootstrap_ci_events"] = bootstrap_ci_events
 ORACLES["bootstrap_ci_events"] = _gen_bootstrap_sql()
 
 
+
+
+def streaming_ewma_user(spark, sf_dir):
+    """Streaming per-user EWMA (streaming/stream_ops.py::stateful_user_ewma)
+    — the stateful-streaming face of ewma_user_events, and the bounded-FIFO
+    state class the running-totals operator cannot express: per-user state
+    is the last 20 exact-millionths values (O(keys x 20) forever), each
+    micro-batch appends sorted arrivals, truncates, and emits the alpha=1/2
+    shift-fold EWMA with the identical BIGINT math as the batch operator.
+    Certification: bounded single-batch replay must equal the BATCH query's
+    row for each user's LAST event (same clamp, same weights, same DIV) —
+    update mode emits exactly one final row per user here."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import stateful_user_ewma
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    clamp = F.lit(4_000_000_000_000).cast("long")
+    vm = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        prepared = stream.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.greatest(F.least(vm, clamp), -clamp).alias("vm"),
+        )
+        agg = stateful_user_ewma(prepared)
+        name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "user_id", "n_events", "n_window", "ewma_millionths"
+    )
+
+
+STREAMING_EWMA_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         GREATEST(LEAST(CAST(ROUND(value * 1000000) AS BIGINT),
+                        4000000000000), -4000000000000) AS vm
+  FROM events
+),
+win AS (
+  SELECT event_id, user_id,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         list(vm) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+  FROM ev
+),
+last_ev AS (SELECT * FROM win WHERE rn = 1),
+flat AS (
+  SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+         CAST(len(arr) AS BIGINT) AS n_window,
+         unnest(arr) AS v, generate_subscripts(arr, 1) AS i
+  FROM last_ev
+)
+SELECT user_id, n_events, n_window,
+       CAST(SUM(v * (CAST(1 AS BIGINT) << (i - 1))) //
+            ((CAST(1 AS BIGINT) << n_window) - 1) AS BIGINT) AS ewma_millionths
+FROM flat
+GROUP BY user_id, n_events, n_window
+"""
+
+
+QUERIES["streaming_ewma_user"] = streaming_ewma_user
+ORACLES["streaming_ewma_user"] = STREAMING_EWMA_SQL
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 9
     # (standing stalest-first rule). (0) new this round — never
     # driver-certified:
     "hilbert_orders_key",
     "bootstrap_ci_events",
+    "streaming_ewma_user",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "triangle_count_copurchase",

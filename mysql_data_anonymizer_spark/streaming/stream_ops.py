@@ -417,3 +417,60 @@ def stateful_user_stats_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+def stateful_user_ewma(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    vm_col: str = "vm",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window: int = 20,
+) -> DataFrame:
+    """Stateful streaming EWMA — the custom-EVICTION state class
+    ``stateful_user_totals``' running pair cannot express: per-user state is
+    a bounded FIFO of the last ``window`` exact-millionths values (newest
+    last), so state is O(keys x window) forever, not O(events); each
+    micro-batch appends its (event-time, id)-sorted arrivals, truncates to
+    the window, and emits the alpha=1/2 EWMA as one BIGINT shift-fold
+    division — bit-identical to the batch ``ewma_user_events`` math, which
+    is what certifies it (bounded replay == the batch query's row for each
+    user's LAST event). In-batch sorting makes the result deterministic
+    under any executor interleaving; cross-batch order is the stream's
+    arrival contract (the same assumption every stateful sessionizer
+    makes)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, n_events long, n_window long, ewma_millionths long"
+    )
+    state_schema = "n long, vals array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n_seen, vals = state.get
+            vals = list(vals)
+        else:
+            n_seen, vals = 0, []
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values([ts_col, id_col])
+        new = [int(v) for v in batch[vm_col].tolist()]
+        n_seen += len(new)
+        vals = (vals + new)[-window:]
+        state.update((n_seen, vals))
+        num = 0
+        for i, v in enumerate(vals):
+            num += v << i
+        den = (1 << len(vals)) - 1
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n_seen],
+                "n_window": [len(vals)],
+                "ewma_millionths": [num // den if den else None],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -715,3 +715,50 @@ def test_left_outer_join_one_empty_side_withholds_everything(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table(name).count() == 0
+
+
+def test_stateful_ewma_fifo_state_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the per-user FIFO must
+    carry the first batch's tail into the second batch's window and
+    truncate to the last 20 values — equal to the batch shift-fold over
+    the final 20 of all 25 events."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import stateful_user_ewma
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, float(i + 1)) for i in range(25)
+    ]  # vm = (i+1) * 1e6
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    b1 = spark.createDataFrame(rows[:15], schema)
+    b2 = spark.createDataFrame(rows[15:], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in" / "b1.parquet"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in" / "b2.parquet"))
+    # one file per trigger -> two stateful updates for the key
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    prepared = stream.select(
+        "user_id", "ts", "event_id",
+        (F.round(F.col("value") * 1000000.0, 0)).cast("long").alias("vm"),
+    )
+    out = stateful_user_ewma(prepared)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ewma_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_ewma_state").orderBy(F.desc("n_events")).limit(1).collect()[0]
+    assert got["n_events"] == 25 and got["n_window"] == 20
+    # expected: values 6..25 (millionths), newest weight 2^19
+    vals = [(i + 1) * 1_000_000 for i in range(5, 25)]
+    num = sum(v << i for i, v in enumerate(vals))
+    assert got["ewma_millionths"] == num // ((1 << 20) - 1)
