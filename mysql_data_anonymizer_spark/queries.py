@@ -1566,13 +1566,16 @@ def pack_docs_token_bins(spark, sf_dir):
         "doc_id",
         "source",
         "n_tokens",
-        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(4096)).cast("long").alias("bin"),
+        # BIGINT DIV, not floor(double /): a per-source cumulative count
+        # beyond 2^53 tokens would silently mis-bin (the r8 pack_sequences
+        # ADVICE class, fixed repo-wide)
+        F.expr("(cum - n_tokens) DIV 4096").cast("long").alias("bin"),
     )
 
 
 PACK_BINS_SQL = """
 SELECT doc_id, source, n_tokens,
-       CAST(FLOOR((cum - n_tokens) / 4096) AS BIGINT) AS bin
+       CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin
 FROM (
   SELECT doc_id, source,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -9361,7 +9364,7 @@ def dedup_keep_best_quality(spark, sf_dir):
     component of Jaccard >= 0.6 pairs, the pipeline's existing artifact)
     keep the HIGHEST-QUALITY member, not the lowest id. The selection key
     is exact-integer model quality (hashed_quality_features:
-    ``q_sc = FLOOR(1e6 * w_sum / n_tokens)``; empty docs sink to a -1e15
+    ``q_sc = (1e6 * w_sum) DIV n_tokens``; empty docs sink to a -1e15
     sentinel), ties by doc_id asc — fully deterministic and cross-engine
     bit-stable, unlike ranking on a floating heuristic score.
 
@@ -9383,7 +9386,8 @@ def dedup_keep_best_quality(spark, sf_dir):
     )
     q_sc = F.when(
         F.col("__f.n_tokens") > 0,
-        F.floor(F.col("__f.w_sum") * F.lit(1000000).cast("long") / F.col("__f.n_tokens")),
+        # BIGINT DIV (r8 ADVICE class, applied repo-wide for discipline)
+        F.expr("(__f.w_sum * 1000000L) DIV __f.n_tokens"),
     ).otherwise(F.lit(-(10**15))).cast("long")
     scored = staged.select("doc_id", "cluster_id", q_sc.alias("q_sc"))
     w = Window.partitionBy("cluster_id").orderBy(F.desc("q_sc"), F.asc("doc_id"))
@@ -9420,7 +9424,7 @@ scored AS (
   SELECT q.doc_id,
          COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
          CASE WHEN q.n_tokens > 0
-              THEN CAST(FLOOR(q.w_sum * CAST(1000000 AS BIGINT) / q.n_tokens) AS BIGINT)
+              THEN CAST(q.w_sum * CAST(1000000 AS BIGINT) // q.n_tokens AS BIGINT)
               ELSE CAST(-1000000000000000 AS BIGINT) END AS q_sc
   FROM quality q
   LEFT JOIN clusters c ON q.doc_id = c.doc_id
@@ -9504,10 +9508,13 @@ def _ccnet_buckets_impl(spark, sf_dir, keyed: bool):
     db = base.where(F.size("toks") >= 2).select(
         "doc_id", F.explode(bigrams).alias("bg")
     )
-    contrib = F.floor(
-        (F.coalesce(F.col("n_xy"), F.lit(0).cast("long")) + F.lit(1).cast("long"))
-        * F.lit(1000000).cast("long")
-        / (F.coalesce(F.col("n_w"), F.lit(0).cast("long")) + F.col("v_sz"))
+    # BIGINT DIV, not floor(double /): at trillion-token reference-LM
+    # scale the numerator passes 2^53 and the denominator passes the
+    # ~4.5e9 bound where a correctly-rounded double quotient can land on
+    # the wrong side of an integer (the r8 pack_sequences ADVICE class)
+    contrib = F.expr(
+        "((coalesce(n_xy, CAST(0 AS LONG)) + 1L) * 1000000L)"
+        " DIV (coalesce(n_w, CAST(0 AS LONG)) + v_sz)"
     ).cast("long")
     uc1 = uc.withColumnRenamed("w", "__w1")
     if keyed:
@@ -9532,7 +9539,7 @@ def _ccnet_buckets_impl(spark, sf_dir, keyed: bool):
         .select(
             "doc_id",
             "n_bigrams",
-            F.floor(F.col("lm_sum") / F.col("n_bigrams")).cast("long").alias("lm_score"),
+            F.expr("lm_sum DIV n_bigrams").cast("long").alias("lm_score"),
         )
     )
     all_ids = base.select("doc_id").distinct()
@@ -9596,8 +9603,8 @@ db AS (
 per_doc AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         CAST(SUM(CAST(FLOOR((COALESCE(bc.n_xy, 0) + 1) * CAST(1000000 AS BIGINT)
-                             / (COALESCE(uc.n_w, 0) + vocab.v_sz)) AS BIGINT)) AS BIGINT)
+         CAST(SUM((COALESCE(bc.n_xy, 0) + 1) * CAST(1000000 AS BIGINT)
+                  // (COALESCE(uc.n_w, 0) + vocab.v_sz)) AS BIGINT)
            AS lm_sum
   FROM db
   LEFT JOIN bc USING (bg)
@@ -9608,7 +9615,7 @@ per_doc AS (
 scored AS (
   SELECT b.doc_id,
          COALESCE(p.n_bigrams, 0) AS n_bigrams,
-         CAST(FLOOR(p.lm_sum / p.n_bigrams) AS BIGINT) AS lm_score
+         CAST(p.lm_sum // p.n_bigrams AS BIGINT) AS lm_score
   FROM (SELECT DISTINCT doc_id FROM base) b
   LEFT JOIN per_doc p USING (doc_id)
 ),
@@ -9662,7 +9669,7 @@ def pagerank_copurchase_parts(spark, sf_dir):
     Graph: undirected co-purchase (two parts in the same order), built by
     one keyed self-join on l_orderkey + distinct. Five power iterations
     with damping 0.85, EXACT INTEGER millionths end-to-end:
-    ``r' = 150000 + Σ_in FLOOR((r_src * 85) / (deg_src * 100))`` — the one
+    ``r' = 150000 + Σ_in (r_src * 85) DIV (deg_src * 100)`` — the one
     IEEE division per message is over exactly representable ints, so every
     engine floors the same value and the fixpoint trajectory is
     bit-reproducible (no double accumulation ever happens).
@@ -9695,12 +9702,10 @@ def pagerank_copurchase_parts(spark, sf_dir):
         # driver-side broadcast materialization)
         msgs = ed.join(ranks.withColumnRenamed("node", "src"), "src").select(
             "dst",
-            F.floor(
-                (F.col("r") * F.lit(85).cast("long"))
-                / (F.col("d") * F.lit(100).cast("long"))
-            )
-            .cast("long")
-            .alias("c"),
+            # BIGINT DIV, not floor(double /): a web-scale hub's rank*85
+            # passes 2^53 and deg*100 passes the ~4.5e9 double-quotient
+            # hazard bound (the r8 pack_sequences ADVICE class)
+            F.expr("(r * 85L) DIV (d * 100L)").cast("long").alias("c"),
         )
         agg = msgs.groupBy("dst").agg(F.sum("c").cast("long").alias("cs"))
         ranks = nodes.join(agg.withColumnRenamed("dst", "node"), "node", "left").select(
@@ -9727,7 +9732,7 @@ def _gen_pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
          CAST(150000 + COALESCE(s.cs, 0) AS BIGINT) AS r
   FROM nodes n LEFT JOIN (
     SELECT ed.dst AS node,
-           CAST(SUM(CAST(FLOOR((p.r * 85) / (ed.d * 100)) AS BIGINT)) AS BIGINT) AS cs
+           CAST(SUM((p.r * 85) // (ed.d * 100)) AS BIGINT) AS cs
     FROM ed JOIN {prev} p ON ed.src = p.node GROUP BY ed.dst
   ) s USING (node)
 )"""
@@ -10254,13 +10259,13 @@ def skew_report_lineitem(spark, sf_dir):
         "total_rows",
         "max_cnt",
         "min_cnt",
-        F.floor(F.col("total_rows") * F.lit(1000000).cast("long") / F.col("n_keys"))
+        # BIGINT DIV, not floor(double /): at web scale total_rows*1e6
+        # passes 2^53 and n_keys can pass the ~4.5e9 double-quotient
+        # hazard bound (r8 ADVICE class, fixed repo-wide)
+        F.expr("(total_rows * 1000000L) DIV n_keys")
         .cast("long")
         .alias("mean_millionths"),
-        F.floor(
-            F.col("max_cnt") * F.lit(1000000).cast("long") * F.col("n_keys")
-            / F.col("total_rows")
-        )
+        F.expr("(max_cnt * 1000000L * n_keys) DIV total_rows")
         .cast("long")
         .alias("skew_ratio_millionths"),
         "n_hot_keys_2x",
@@ -10284,9 +10289,9 @@ hot AS (
   WHERE cnt * n_keys > 2 * total_rows
 )
 SELECT n_keys, total_rows, max_cnt, min_cnt,
-       CAST(FLOOR(total_rows * CAST(1000000 AS BIGINT) / n_keys) AS BIGINT)
+       CAST(total_rows * CAST(1000000 AS BIGINT) // n_keys AS BIGINT)
          AS mean_millionths,
-       CAST(FLOOR(max_cnt * CAST(1000000 AS BIGINT) * n_keys / total_rows) AS BIGINT)
+       CAST(max_cnt * CAST(1000000 AS BIGINT) * n_keys // total_rows AS BIGINT)
          AS skew_ratio_millionths,
        n_hot_keys_2x
 FROM stats CROSS JOIN hot
@@ -10863,7 +10868,9 @@ def epoch_expand_mixture(spark, sf_dir):
                 F.lit(4).cast("long"),
                 F.greatest(
                     F.lit(1).cast("long"),
-                    F.floor(F.col("__budget") / F.greatest(F.col("__tot"), F.lit(1))).cast("long"),
+                    # BIGINT DIV (r8 ADVICE class): budget and domain
+                    # totals both pass the double-exactness bounds at scale
+                    F.expr("__budget DIV greatest(__tot, 1L)").cast("long"),
                 ),
             ).alias("n_epochs"),
         )
@@ -10898,7 +10905,7 @@ epochs AS (
   SELECT lang,
          LEAST(CAST(4 AS BIGINT),
                GREATEST(CAST(1 AS BIGINT),
-                        CAST(FLOOR(b / GREATEST(tot, 1)) AS BIGINT))) AS n_epochs
+                        CAST(b // GREATEST(tot, 1) AS BIGINT))) AS n_epochs
   FROM totals CROSS JOIN budget
 )
 SELECT doc_id, base.lang, n_tokens, n_epochs, CAST(u.e AS BIGINT) AS epoch
@@ -10984,7 +10991,12 @@ def salted_join_revenue(spark, sf_dir):
         li, o.hint("shuffle_merge"), "l_orderkey", "o_orderkey", salt_buckets=16
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    salted_ok = "__salt" in plan and "SortMergeJoin" in plan
+    # anchored gate (the r8 knn_ivf_indexed lesson): __salt must appear in
+    # the SortMergeJoin node's OWN key list, not merely anywhere in the
+    # plan text (a projection mentioning __salt would satisfy a bare
+    # substring check without the join actually being salted)
+    smj = re.search(r"SortMergeJoin(?:\w*)? \[([^\]]*)\], \[([^\]]*)\]", plan)
+    salted_ok = bool(smj) and "__salt" in smj.group(1) and "__salt" in smj.group(2)
     return (
         joined.groupBy("o_orderpriority")
         .agg(
@@ -11889,12 +11901,20 @@ _CHECK_FIRST = [
     "triangle_count_copurchase",
     "kcenter_coreset_embeddings",
     "ewma_user_events",
-    # (1) semantics CHANGED this round by the r8 ADVICE fixes — must
-    # re-certify:
+    # (1) semantics CHANGED this round by the r8 ADVICE fixes and the
+    # repo-wide BIGINT-DIV sweep — must re-certify:
     "enforce_k_anonymity_customers",
     "fuzzy_match_blocked_suppliers",
     "knn_ivf_indexed",
     "pack_sequences_gpt",
+    "pack_docs_token_bins",
+    "ccnet_perplexity_buckets",
+    "ccnet_perplexity_buckets_prod",
+    "pagerank_copurchase_parts",
+    "skew_report_lineitem",
+    "epoch_expand_mixture",
+    "dedup_keep_best_quality",
+    "salted_join_revenue",
     # (2) stalest latest-cert first (r4 cohort, then r5, then r6):
     "pivot_orders_status",
     "q17_small_quantity_revenue",
