@@ -251,6 +251,8 @@ HEADLINE = [
     "kcenter_coreset_embeddings",
     "ewma_user_events",
     "streaming_ewma_user",
+    "phonetic_blocking_parts",
+    "doc_novelty_bigrams",
 ]
 
 

@@ -673,3 +673,36 @@ def pack_sequences(
             F.max(id_col).alias("last_doc_id"),
         )
     )
+
+
+_SOUNDEX_FROM = "AEIOUYBFPVCGJKQSXZDTLMNR"
+_SOUNDEX_TO = "000000111122222222334556"
+
+
+def soundex_expr(col: Column) -> Column:
+    """American Soundex as explicit Column algebra — deliberately NOT
+    Spark's builtin ``F.soundex``: the oracle engine has no soundex, so
+    both engines run THIS construction and the code is certified
+    bit-for-bit rather than trusted to two implementations' edge cases.
+    Standard rules including the H/W transparency (same-code letters
+    separated by H or W merge; separated by a vowel they do not): the
+    first letter is kept, the tail drops H/W then maps through the code
+    table, the first letter's own code is prepended so a same-code run
+    crossing it collapses (Pfister -> P236), adjacent duplicate digits
+    collapse, the leading code group is dropped, vowel zeros vanish, and
+    the result pads to letter + 3 digits. Verified against the classic
+    vectors (Robert/Rupert R163, Ashcraft A261, Tymczak T522, Honeyman
+    H555, Washington W252). Non-ASCII/non-alpha strips first; empty ->
+    NULL. Pure codegen string ops, zero Python."""
+    up = F.upper(F.regexp_replace(col.cast("string"), "[^A-Za-z]", ""))
+    first = F.substring(up, 1, 1)
+    tail = F.substr(up, F.lit(2), F.length(up))
+    coded = F.concat(
+        F.translate(first, _SOUNDEX_FROM, _SOUNDEX_TO),
+        F.translate(F.translate(tail, "HW", ""), _SOUNDEX_FROM, _SOUNDEX_TO),
+    )
+    collapsed = F.regexp_replace(coded, r"(\d)\1+", "$1")
+    rest = F.substr(collapsed, F.lit(2), F.length(collapsed))
+    digits = F.translate(rest, "0", "")
+    sx = F.concat(first, F.rpad(F.substring(digits, 1, 3), 3, "0"))
+    return F.when(F.length(up) > 0, sx)

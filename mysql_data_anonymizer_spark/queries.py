@@ -11889,6 +11889,167 @@ QUERIES["streaming_ewma_user"] = streaming_ewma_user
 ORACLES["streaming_ewma_user"] = STREAMING_EWMA_SQL
 
 
+
+
+def phonetic_blocking_parts(spark, sf_dir):
+    """Phonetic blocking — the record-linkage ladder's fourth rung
+    (exact < trigram set < edit distance < PHONETIC: Soundex groups
+    spelling variants that are pronounced alike, catching typos edit
+    distance misses at zero pair cost): parts block on the American
+    Soundex of their first name word (operators/text.py::soundex_expr —
+    implemented as explicit string algebra, NOT the builtin, so the
+    oracle certifies the algorithm itself bit-for-bit; classic vectors
+    unit-pinned). Output is the blocking-key profile a linkage planner
+    reads: per code, member count, distinct-word count (how much the key
+    collapses), and the lexicographically first word. Map-only projection
+    + one keyed count — scan-bound at any size; the downstream pair
+    verify (levenshtein inside blocks) is the fuzzy_match machinery."""
+    parts = _t(spark, sf_dir, "part")
+    w = F.lower(F.split(F.col("p_name"), " ")[0])
+    coded = parts.select(
+        w.alias("__w"), text.soundex_expr(F.lower(F.split(F.col("p_name"), " ")[0])).alias("sx_code")
+    )
+    return coded.groupBy("sx_code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.count_distinct(F.col("__w")).cast("long").alias("n_distinct_words"),
+        F.min("__w").alias("first_word"),
+    )
+
+
+PHONETIC_BLOCKING_SQL = """
+WITH pw AS (
+  SELECT lower(split_part(p_name, ' ', 1)) AS w FROM part
+),
+up AS (
+  SELECT w, upper(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS u FROM pw
+),
+coded AS (
+  SELECT w, u,
+         string_split(
+           translate(substr(u, 1, 1),
+                     'AEIOUYBFPVCGJKQSXZDTLMNR', '000000111122222222334556')
+           || translate(translate(substr(u, 2), 'HW', ''),
+                        'AEIOUYBFPVCGJKQSXZDTLMNR', '000000111122222222334556'),
+           '') AS ch
+  FROM up
+),
+sx AS (
+  SELECT w,
+         CASE WHEN length(u) > 0 THEN
+           substr(u, 1, 1) ||
+           rpad(substr(replace(substr(array_to_string(
+             list_filter(ch, (x, i) -> i = 1 OR x <> ch[i-1]), ''), 2),
+             '0', ''), 1, 3), 3, '0')
+         END AS sx_code
+  FROM coded
+)
+SELECT sx_code, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+       MIN(w) AS first_word
+FROM sx GROUP BY sx_code
+"""
+
+
+QUERIES["phonetic_blocking_parts"] = phonetic_blocking_parts
+ORACLES["phonetic_blocking_parts"] = PHONETIC_BLOCKING_SQL
+
+
+def doc_novelty_bigrams(spark, sf_dir):
+    """Per-document n-gram NOVELTY over crawl order — the diversity signal
+    curation pipelines track as a corpus saturates (novelty collapsing
+    toward zero means new crawls add redundancy, the macro view of what
+    dedup removes row-wise): for each doc, the fraction of its DISTINCT
+    bigrams whose globally FIRST occurrence (min doc_id = crawl order) is
+    this doc. Exact-integer millionths via BIGINT DIV. Plan: one bigram
+    explode -> per-(bigram) min-doc agg (map-side combinable) joined back
+    to the per-doc distinct sets — two keyed shuffles, no windows, no
+    pair joins; the first-occurrence table is vocabulary-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+        ).alias("t"),
+    )
+    ln = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(
+                F.zip_with(
+                    F.slice("t", F.lit(1), ln),
+                    F.slice("t", F.lit(2), ln),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            )
+        ).alias("bg"),
+    )
+    present = bg.where(F.col("bg").isNotNull())
+    first = present.groupBy("bg").agg(F.min("doc_id").alias("__first"))
+    per_doc = (
+        present.join(first, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+            F.sum(F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_distinct_bigrams"), F.lit(0).cast("long")).alias(
+                "n_distinct_bigrams"
+            ),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias("n_novel"),
+            F.expr(
+                "CASE WHEN n_distinct_bigrams > 0"
+                " THEN (n_novel * 1000000L) DIV n_distinct_bigrams"
+                " ELSE CAST(0 AS LONG) END"
+            ).alias("novelty_millionths"),
+        )
+    )
+
+
+DOC_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT doc_id, u.b AS bg
+  FROM (SELECT doc_id,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bgs
+        FROM toks WHERE len(t) >= 2) x,
+       UNNEST(x.bgs) AS u(b)
+),
+first_occ AS (SELECT bg, MIN(doc_id) AS first_doc FROM bg GROUP BY 1),
+per_doc AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM bg JOIN first_occ f USING (bg)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(p.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CASE WHEN COALESCE(p.n_distinct_bigrams, 0) > 0
+            THEN (p.n_novel * CAST(1000000 AS BIGINT)) // p.n_distinct_bigrams
+            ELSE CAST(0 AS BIGINT) END AS novelty_millionths
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES["doc_novelty_bigrams"] = doc_novelty_bigrams
+ORACLES["doc_novelty_bigrams"] = DOC_NOVELTY_SQL
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 9
     # (standing stalest-first rule). (0) new this round — never
@@ -11896,6 +12057,8 @@ _CHECK_FIRST = [
     "hilbert_orders_key",
     "bootstrap_ci_events",
     "streaming_ewma_user",
+    "phonetic_blocking_parts",
+    "doc_novelty_bigrams",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "triangle_count_copurchase",

@@ -297,3 +297,56 @@ def test_bootstrap_ci_brackets_point_and_is_deterministic(spark):
         # envelope for any non-degenerate group
         assert a[k]["boot_lo_millionths"] <= a[k]["point_mean_millionths"] * 1.02
         assert a[k]["boot_hi_millionths"] >= a[k]["point_mean_millionths"] * 0.98
+
+
+# ---------------------------------------------------------------------------
+# soundex_expr — classic vectors + H/W transparency
+# ---------------------------------------------------------------------------
+def test_soundex_classic_vectors(spark):
+    from mysql_data_anonymizer_spark.operators import text
+
+    cases = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",   # H-transparency: same-code across H merges
+        "Ashcroft": "A261",
+        "Tymczak": "T522",    # vowel separates same codes -> both kept
+        "Honeyman": "H555",
+        "Washington": "W252",
+        "Pfister": "P236",    # first-letter code merges with same-code run
+        "White": "W300",
+        "Lee": "L000",
+        "": None,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "w string")
+    got = {
+        r["w"]: r["sx"]
+        for r in df.select("w", text.soundex_expr(F.col("w")).alias("sx")).collect()
+    }
+    for w, want in cases.items():
+        assert got[w] == want, (w, got[w], want)
+
+
+# ---------------------------------------------------------------------------
+# doc_novelty_bigrams — first-occurrence semantics
+# ---------------------------------------------------------------------------
+def test_doc_novelty_first_occurrence(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    docs = [
+        (1, "a b c", "en", "s", 5),      # bigrams {a b, b c}: both novel
+        (2, "a b d", "en", "s", 5),      # {a b (seen), b d (novel)} -> 1/2
+        (3, "a b c", "en", "s", 5),      # all seen -> 0
+        (4, "x", "en", "s", 1),          # no bigrams -> 0/0
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in Q.QUERIES["doc_novelty_bigrams"](spark, str(tmp_path)).collect()
+    }
+    assert got[1]["n_novel"] == 2 and got[1]["novelty_millionths"] == 1_000_000
+    assert got[2]["n_novel"] == 1 and got[2]["novelty_millionths"] == 500_000
+    assert got[3]["n_novel"] == 0 and got[3]["novelty_millionths"] == 0
+    assert got[4]["n_distinct_bigrams"] == 0 and got[4]["novelty_millionths"] == 0

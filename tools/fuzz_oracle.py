@@ -71,6 +71,7 @@ DEFAULT_QUERIES = [
     "max_concurrent_events_sweepline",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
+    "doc_novelty_bigrams",
     "frequent_part_pairs",
     "interpolate_hourly_values",
     "udtf_trigram_stats",

@@ -111,6 +111,8 @@ FAMILIES = [
     "ewma_user_events",
     # events — x B map-side explode + keyed aggs; slope should be ~K
     "bootstrap_ci_events",
+    # documents — novelty: bigram explode + first-occurrence agg, slope ~K
+    "doc_novelty_bigrams",
 ]
 
 
