@@ -253,6 +253,8 @@ HEADLINE = [
     "streaming_ewma_user",
     "phonetic_blocking_parts",
     "doc_novelty_bigrams",
+    "prefix_filter_jaccard_parts",
+    "cc_incremental_merge",
 ]
 
 

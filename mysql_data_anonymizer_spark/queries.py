@@ -12050,6 +12050,180 @@ QUERIES["doc_novelty_bigrams"] = doc_novelty_bigrams
 ORACLES["doc_novelty_bigrams"] = DOC_NOVELTY_SQL
 
 
+
+
+PREFIX_JACCARD_T = 45  # percent
+
+
+def prefix_filter_jaccard_parts(spark, sf_dir):
+    """Set-similarity self-join with PREFIX FILTERING (the PPJoin family,
+    Xiao et al. 2008 — the standard web-scale optimization over plain
+    posting lists): order each record's trigram set by GLOBAL document
+    frequency ascending (rarest first, ties lexicographic) and index only
+    the first |s| - ceil(t*|s|) + 1 trigrams — any pair with Jaccard >=
+    t MUST collide inside these prefixes (pigeonhole on the overlap bound
+    ceil(t/(1+t)*(|a|+|b|)) — LOSSLESS for the threshold, unlike the
+    df-cap remedy), so posting lists shrink to rare-token prefixes while
+    recall stays a theorem. Candidates verify with exact integer
+    cross-multiplication; the ORACLE is the naive full-posting-list join
+    (trigram_name_matches' shape), so the driver hash-match certifies the
+    losslessness claim itself. ``prefix_pruned_ok`` additionally certifies
+    the point of the technique: strictly fewer prefix postings than full
+    postings. ceil(t*|s|) is exact-integer ((45*|s| + 99) DIV 100).
+
+    100 TB: df table is vocabulary-sized (broadcast here, keyed join at
+    web scale); per-record sort is one keyed re-agg; the candidate join
+    keys on rare trigrams — the hot-token quadratic cliff that forces the
+    df cap on plain posting lists never forms, because frequent tokens
+    sort OUT of the prefix."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_partkey") % 10 == 0)
+            & F.col("p_name").isNotNull()
+            & (F.length(F.trim(F.lower(F.col("p_name")))) >= 3)
+        )
+        .select(
+            F.col("p_partkey").alias("k"),
+            F.trim(F.lower(F.col("p_name"))).alias("nm"),
+        )
+    )
+    sets = p.select(
+        "k",
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))")
+        ).alias("tgs"),
+    ).withColumn("sz", F.size("tgs").cast("long"))
+    tg = sets.select("k", F.explode("tgs").alias("tg"))
+    df_tbl = tg.groupBy("tg").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ordered = (
+        tg.join(F.broadcast(df_tbl), "tg")
+        .groupBy("k")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(df, tg))), s -> s.tg)")
+            .alias("ord")
+        )
+    )
+    # eager-checkpoint: recs feeds the posting index, BOTH verify sides,
+    # and the gate aggregate — without it the df-join + sort agg re-runs
+    # four times (the BPE merge-step lesson)
+    recs = (
+        sets.join(ordered, "k")
+        .select(
+            "k",
+            "tgs",
+            "sz",
+            F.expr(
+                f"slice(ord, 1, CAST(sz - (({PREFIX_JACCARD_T} * sz + 99) DIV 100) + 1 AS INT))"
+            ).alias("pfx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    posting = recs.select("k", F.explode("pfx").alias("tg"))
+    cand = (
+        posting.alias("a")
+        .join(posting.alias("b"), "tg")
+        .where(F.col("a.k") < F.col("b.k"))
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .distinct()
+    )
+    ra = recs.select(
+        F.col("k").alias("ka"), F.col("tgs").alias("ta"), F.col("sz").alias("sza")
+    )
+    rb = recs.select(
+        F.col("k").alias("kb"), F.col("tgs").alias("tb"), F.col("sz").alias("szb")
+    )
+    verified = (
+        cand.join(ra, "ka")
+        .join(rb, "kb")
+        .withColumn("shared", F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .withColumn("union_sz", F.col("sza") + F.col("szb") - F.col("shared"))
+        .where(F.col("shared") * 100 >= F.lit(PREFIX_JACCARD_T) * F.col("union_sz"))
+    )
+    # the technique's certification: the prefix index is strictly smaller
+    # than the full posting index — ONE bounded aggregate action over the
+    # record table (the knn_ivf_indexed driver-collect pattern)
+    cnts = recs.agg(
+        F.sum("sz").alias("nf"), F.sum(F.size("pfx").cast("long")).alias("np")
+    ).head()
+    pruned = bool(cnts and 0 < cnts["np"] < cnts["nf"])
+    return verified.select(
+        F.col("ka").alias("key_a"),
+        F.col("kb").alias("key_b"),
+        "shared",
+        "union_sz",
+        F.lit(pruned).alias("prefix_pruned_ok"),
+    )
+
+
+PREFIX_FILTER_SQL = f"""
+WITH p AS (
+  SELECT p_partkey AS k, trim(lower(p_name)) AS nm
+  FROM part
+  WHERE p_partkey % 10 = 0 AND p_name IS NOT NULL
+    AND length(trim(lower(p_name))) >= 3
+),
+sets AS (
+  SELECT k, list_distinct(list_transform(range(1, length(nm) - 1),
+                                         i -> substr(nm, CAST(i AS INTEGER), 3))) AS tgs
+  FROM p
+),
+tg AS (SELECT k, unnest(tgs) AS tg FROM sets),
+pairs AS (
+  SELECT a.k AS key_a, b.k AS key_b
+  FROM tg a JOIN tg b ON a.tg = b.tg AND a.k < b.k
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b,
+       CAST(len(list_intersect(sa.tgs, sb.tgs)) AS BIGINT) AS shared,
+       CAST(len(sa.tgs) + len(sb.tgs) - len(list_intersect(sa.tgs, sb.tgs)) AS BIGINT)
+         AS union_sz,
+       TRUE AS prefix_pruned_ok
+FROM pairs
+JOIN sets sa ON sa.k = key_a
+JOIN sets sb ON sb.k = key_b
+WHERE len(list_intersect(sa.tgs, sb.tgs)) * 100
+      >= {PREFIX_JACCARD_T} * (len(sa.tgs) + len(sb.tgs) - len(list_intersect(sa.tgs, sb.tgs)))
+"""
+
+
+QUERIES["prefix_filter_jaccard_parts"] = prefix_filter_jaccard_parts
+ORACLES["prefix_filter_jaccard_parts"] = PREFIX_FILTER_SQL
+
+
+def cc_incremental_merge(spark, sf_dir):
+    """INCREMENTAL connected components — crawl-over-crawl cluster
+    maintenance (the dedup_incremental_indexed story for the graph stage):
+    the old crawl's components (near-dup pairs among even doc_ids) are
+    collapsed to (root, node) LABEL EDGES — a depth-1 star per cluster
+    that preserves old connectivity exactly — and only those stars plus
+    the NEW crawl's edges feed label propagation. Merge == rebuild is a
+    THEOREM here (labels are real min node ids, stars preserve
+    reachability), and the oracle IS the full rebuild over all pairs, so
+    the driver hash-match certifies it. At 100 TB: old pairs never
+    recompute, and propagation over star edges converges in O(1) rounds
+    instead of O(old-component diameter) — the increment's edges are the
+    only new work."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
+    ).select("id_a", "id_b")
+    old = pairs.where((F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0))
+    new = pairs.where((F.col("id_a") % 2 != 0) | (F.col("id_b") % 2 != 0))
+    old_cc = dedup.connected_components(old)
+    stars = old_cc.select(
+        F.col("component").alias("id_a"), F.col("node").alias("id_b")
+    )
+    merged = dedup.connected_components(stars.unionByName(new))
+    return merged.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+QUERIES["cc_incremental_merge"] = cc_incremental_merge
+ORACLES["cc_incremental_merge"] = _gen_dedup_clusters_sql(0.6)
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 9
     # (standing stalest-first rule). (0) new this round — never
@@ -12059,6 +12233,8 @@ _CHECK_FIRST = [
     "streaming_ewma_user",
     "phonetic_blocking_parts",
     "doc_novelty_bigrams",
+    "prefix_filter_jaccard_parts",
+    "cc_incremental_merge",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "triangle_count_copurchase",

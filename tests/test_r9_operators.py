@@ -350,3 +350,74 @@ def test_doc_novelty_first_occurrence(spark, tmp_path):
     assert got[2]["n_novel"] == 1 and got[2]["novelty_millionths"] == 500_000
     assert got[3]["n_novel"] == 0 and got[3]["novelty_millionths"] == 0
     assert got[4]["n_distinct_bigrams"] == 0 and got[4]["novelty_millionths"] == 0
+
+
+# ---------------------------------------------------------------------------
+# prefix filtering — losslessness + actual pruning on a hand corpus
+# ---------------------------------------------------------------------------
+def test_prefix_filter_lossless_and_prunes(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    # partkeys %10==0 to pass the query's sample predicate; names built so
+    # (10,20) is a qualifying near-pair and 30 is unrelated
+    rows = [
+        (10, "goldenrod lavender spring", "B", "T", 1, 1.0),
+        (20, "goldenrod lavender sprint", "B", "T", 1, 1.0),
+        (30, "completely different name", "B", "T", 1, 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = Q.QUERIES["prefix_filter_jaccard_parts"](spark, str(tmp_path)).collect()
+    got = {(r["key_a"], r["key_b"]) for r in out}
+    assert (10, 20) in got, "prefix filtering must not lose a qualifying pair"
+    assert all(30 not in pair for pair in got)
+    assert all(r["prefix_pruned_ok"] for r in out), (
+        "the prefix index must be strictly smaller than the full index"
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental CC — merge == rebuild on a crafted cross-crawl bridge
+# ---------------------------------------------------------------------------
+def test_cc_incremental_bridges_old_clusters(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    # old crawl (even ids): 0,2 near-dup; 4,6 near-dup. New crawl doc 1 is
+    # a near-dup of doc 0 — the odd-id increment must join the OLD cluster
+    # through the star edges without recomputing old pairs.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    docs = [
+        (0, base, "en", "s", 1),
+        (2, base + " x", "en", "s", 1),
+        (4, other, "en", "s", 1),
+        (6, other + " y", "en", "s", 1),
+        (1, base + " z", "en", "s", 1),  # new crawl, near-dup of 0/2
+        (8, "totally unrelated words here nothing shared at all ok", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in Q.QUERIES["cc_incremental_merge"](spark, str(tmp_path)).collect()
+    }
+    for d in (0, 1, 2):
+        assert got[d] == 0, (d, got)
+    assert got[4] == got[6] == 4
+    assert 8 not in got  # no qualifying pair -> not in the pair graph
+    # merge == rebuild, exactly
+    from mysql_data_anonymizer_spark.operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(
+        spark.read.parquet(str(tmp_path / "documents.parquet")),
+        "doc_id", "text", n=3, threshold=0.6, max_shingle_df=64,
+    ).select("id_a", "id_b")
+    rebuild = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == rebuild, "incremental merge must equal the full rebuild"

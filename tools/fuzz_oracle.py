@@ -72,6 +72,7 @@ DEFAULT_QUERIES = [
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "doc_novelty_bigrams",
+    "cc_incremental_merge",
     "frequent_part_pairs",
     "interpolate_hourly_values",
     "udtf_trigram_stats",

@@ -113,6 +113,8 @@ FAMILIES = [
     "bootstrap_ci_events",
     # documents — novelty: bigram explode + first-occurrence agg, slope ~K
     "doc_novelty_bigrams",
+    # documents — incremental CC: pairs + two label propagations; slope ~K
+    "cc_incremental_merge",
 ]
 
 
