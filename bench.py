@@ -255,6 +255,8 @@ HEADLINE = [
     "doc_novelty_bigrams",
     "prefix_filter_jaccard_parts",
     "cc_incremental_merge",
+    "corpus_overlap_matrix",
+    "length_batching_docs",
 ]
 
 

@@ -12224,6 +12224,163 @@ QUERIES["cc_incremental_merge"] = cc_incremental_merge
 ORACLES["cc_incremental_merge"] = _gen_dedup_clusters_sql(0.6)
 
 
+
+
+def corpus_overlap_matrix(spark, sf_dir):
+    """Source-to-source overlap matrix — the curation dashboard metric
+    behind "which feeds duplicate which" decisions (e.g. CommonCrawl snap
+    overlap, news-wire syndication): for every ordered source pair, how
+    many of A's distinct token-3-grams also occur in B, as exact-integer
+    containment millionths. Plan: one (source, shingle) distinct stream;
+    per-shingle source SETS are bounded by |sources| (a fixed catalog —
+    the pair fan-out per shingle is <= |S|^2 regardless of corpus size);
+    one keyed pair count + a broadcast per-source total join. BIGINT DIV
+    throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+        ).alias("t"),
+    ).where(F.size("t") >= 3)
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+                )
+            )
+        ).alias("g"),
+    ).distinct()
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, F.col("a.g") == F.col("b.g"))
+        .where(F.col("a.source") != F.col("b.source"))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    ta = totals.withColumnRenamed("source", "src_a").withColumnRenamed("n_sh", "n_sh_a")
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_sh_a",
+            F.expr("(shared * 1000000L) DIV n_sh_a").alias("containment_millionths"),
+        )
+    )
+
+
+CORPUS_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, u.g AS g
+  FROM (SELECT source,
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gs
+        FROM toks WHERE len(t) >= 3) x,
+       UNNEST(x.gs) AS u(g)
+),
+totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, shared, t.n_sh AS n_sh_a,
+       (shared * CAST(1000000 AS BIGINT)) // t.n_sh AS containment_millionths
+FROM shared JOIN totals t ON t.source = src_a
+"""
+
+
+QUERIES["corpus_overlap_matrix"] = corpus_overlap_matrix
+ORACLES["corpus_overlap_matrix"] = CORPUS_OVERLAP_SQL
+
+
+LENGTH_BAND = 32
+BATCH_SIZE = 8
+
+
+def length_batching_docs(spark, sf_dir):
+    """Length-bucketed dynamic batching — the training-infra step between
+    packing strategies: docs band by token count (band = n DIV 32), order
+    within a band by (length, id), and group into fixed-size batches of 8;
+    per batch the padding bill is n_docs*max_len - sum_len (what a padded
+    collate actually allocates), with waste in exact millionths. This is
+    why dynamic batching exists: similar-length batches shrink the pad
+    waste that random batching pays. Plan: ONE per-band window (bands
+    bound the sort width; band count grows with max doc length, not
+    corpus size) + a map-side-combinable (band, batch) aggregate; every
+    number BIGINT, division is DIV."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("__n"),
+    ).where(F.col("__n") > 0)
+    base = base.withColumn("band", F.expr(f"__n DIV {LENGTH_BAND}"))
+    w = Window.partitionBy("band").orderBy(F.asc("__n"), F.asc("doc_id"))
+    batched = base.withColumn(
+        "__rn", F.row_number().over(w).cast("long")
+    ).withColumn("batch_no", F.expr(f"(__rn - 1) DIV {BATCH_SIZE}"))
+    return (
+        batched.groupBy("band", "batch_no")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("__n").alias("max_len"),
+            F.sum("__n").cast("long").alias("sum_len"),
+        )
+        .select(
+            "band",
+            "batch_no",
+            "n_docs",
+            "max_len",
+            "sum_len",
+            (F.col("n_docs") * F.col("max_len") - F.col("sum_len")).alias("padded_tokens"),
+            F.expr(
+                "((n_docs * max_len - sum_len) * 1000000L) DIV (n_docs * max_len)"
+            ).alias("waste_millionths"),
+        )
+    )
+
+
+LENGTH_BATCHING_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n
+  FROM documents
+),
+nz AS (SELECT doc_id, n, n // {LENGTH_BAND} AS band FROM base WHERE n > 0),
+batched AS (
+  SELECT doc_id, n, band,
+         (row_number() OVER (PARTITION BY band ORDER BY n ASC, doc_id ASC) - 1)
+           // {BATCH_SIZE} AS batch_no
+  FROM nz
+)
+SELECT band, CAST(batch_no AS BIGINT) AS batch_no,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n) AS BIGINT) AS max_len,
+       CAST(SUM(n) AS BIGINT) AS sum_len,
+       CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS padded_tokens,
+       CAST(((COUNT(*) * MAX(n) - SUM(n)) * CAST(1000000 AS BIGINT))
+            // (COUNT(*) * MAX(n)) AS BIGINT) AS waste_millionths
+FROM batched
+GROUP BY band, batch_no
+"""
+
+
+QUERIES["length_batching_docs"] = length_batching_docs
+ORACLES["length_batching_docs"] = LENGTH_BATCHING_SQL
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 9
     # (standing stalest-first rule). (0) new this round — never
@@ -12235,6 +12392,8 @@ _CHECK_FIRST = [
     "doc_novelty_bigrams",
     "prefix_filter_jaccard_parts",
     "cc_incremental_merge",
+    "corpus_overlap_matrix",
+    "length_batching_docs",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "triangle_count_copurchase",

@@ -73,6 +73,8 @@ DEFAULT_QUERIES = [
     "kneser_ney_bigram_counts",
     "doc_novelty_bigrams",
     "cc_incremental_merge",
+    "corpus_overlap_matrix",
+    "length_batching_docs",
     "frequent_part_pairs",
     "interpolate_hourly_values",
     "udtf_trigram_stats",
