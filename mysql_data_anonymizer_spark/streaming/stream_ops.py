@@ -418,6 +418,25 @@ def stateful_user_stats_tws(
         timeMode="None",
     )
 
+def _ewma_fifo_step(
+    n_seen: int, vals: list[int], new: list[int], window: int
+) -> tuple[int, list[int], int | None]:
+    """The pure state transition behind ``stateful_user_ewma`` — exposed so
+    the FIFO/batch-split invariants are testable without a streaming query:
+    append the (already event-time-sorted) batch, truncate to the window,
+    and fold the alpha=1/2 shift EWMA (num = sum v<<i oldest-first, den =
+    2^len - 1, truncating integer division — the batch operator's exact
+    math)."""
+    n_seen += len(new)
+    vals = (vals + new)[-window:]
+    num = 0
+    for i, v in enumerate(vals):
+        num += v << i
+    den = (1 << len(vals)) - 1
+    return n_seen, vals, (num // den if den else None)
+
+
+
 def stateful_user_ewma(
     stream: DataFrame,
     key_col: str = "user_id",
@@ -455,19 +474,14 @@ def stateful_user_ewma(
         batch = pd.concat(list(pdfs))
         batch = batch.sort_values([ts_col, id_col])
         new = [int(v) for v in batch[vm_col].tolist()]
-        n_seen += len(new)
-        vals = (vals + new)[-window:]
+        n_seen, vals, ewma = _ewma_fifo_step(n_seen, vals, new, window)
         state.update((n_seen, vals))
-        num = 0
-        for i, v in enumerate(vals):
-            num += v << i
-        den = (1 << len(vals)) - 1
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
                 "n_events": [n_seen],
                 "n_window": [len(vals)],
-                "ewma_millionths": [num // den if den else None],
+                "ewma_millionths": [ewma],
             }
         )
 

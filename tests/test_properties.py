@@ -156,3 +156,109 @@ def test_upsert_merge_sql_structure(target, staging, key_cols, set_cols):
         assert f"`{k}` = VALUES" not in my
     for c in set_cols:
         assert f"`{c}` = VALUES(`{c}`)" in my
+
+
+# ---------------------------------------------------------------------------
+# round 9: prefix-filter losslessness lemma (the math prefix_filter_jaccard
+# relies on), EWMA integer bounds + streaming FIFO closure, Poisson table
+# ---------------------------------------------------------------------------
+def _prefix_len(sz: int, t_pct: int = 45) -> int:
+    return sz - ((t_pct * sz + 99) // 100) + 1
+
+
+@given(
+    a=st.sets(st.integers(0, 40), min_size=1, max_size=20),
+    b=st.sets(st.integers(0, 40), min_size=1, max_size=20),
+    order_seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_lossless_lemma(a, b, order_seed):
+    """Any pair with Jaccard >= t MUST collide within the df-ordered
+    prefixes of length |s| - ceil(t|s|) + 1 — the pigeonhole
+    prefix_filter_jaccard_parts' recall stands on, under ANY total token
+    order (global df ordering is just one)."""
+    import random
+
+    inter = len(a & b)
+    union = len(a | b)
+    if inter * 100 < 45 * union:
+        return
+    rng = random.Random(order_seed)
+    universe = sorted(a | b)
+    rng.shuffle(universe)
+    pos = {tok: i for i, tok in enumerate(universe)}
+    pa = sorted(a, key=pos.get)[: _prefix_len(len(a))]
+    pb = sorted(b, key=pos.get)[: _prefix_len(len(b))]
+    assert set(pa) & set(pb), (
+        f"qualifying pair escaped the prefixes: a={sorted(a)} b={sorted(b)}"
+    )
+
+
+@given(vals=st.lists(st.integers(-(4 * 10**12), 4 * 10**12), min_size=1, max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_ewma_shift_fold_bounded_by_window(vals):
+    """The alpha=1/2 shift-fold EWMA (num = sum v<<i, den = 2^L - 1, DIV)
+    both engines compute stays within [min, max] of the window for any
+    clamped values — a weighted mean with truncation cannot escape its
+    inputs."""
+    num = sum(v << i for i, v in enumerate(vals))
+    den = (1 << len(vals)) - 1
+    # Spark DIV / DuckDB // both truncate toward zero (verified r9)
+    q = abs(num) // den * (1 if num >= 0 else -1)
+    lo, hi = min(vals), max(vals)
+    assert lo - 1 <= q <= hi + 1, (vals, q)
+
+
+def test_poisson_weight_table_mean_is_one():
+    """Summing w(u) = #thresholds <= u over the whole u32%1e6 grid gives
+    the exact expected weight; Poisson(1) bootstrap needs mean ~1 or the
+    resamples are biased."""
+    from mysql_data_anonymizer_spark.queries import _POISSON1_CUM_M
+
+    total = sum(1_000_000 - t for t in _POISSON1_CUM_M)
+    mean = total / 1_000_000
+    assert 0.999 <= mean <= 1.001, mean
+
+
+def test_streaming_ewma_update_closure_fifo():
+    """The stateful-EWMA state transition (_ewma_fifo_step — the exact
+    function the applyInPandasWithState closure calls) maintains a bounded
+    FIFO that is batch-split invariant — no Spark needed to pin the state
+    machine."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import _ewma_fifo_step
+
+    rows = [(i, i * 10, (i * 7919) % 1000) for i in range(50)]  # (id, ts, vm)
+
+    def run(batches):
+        state = FakeState()
+        out = None
+        for batch in batches:
+            pdf = pd.DataFrame(batch, columns=["event_id", "ts", "vm"])
+            prev = list(state.get[1]) if state.exists else []
+            n_seen = state.get[0] if state.exists else 0
+            pdf = pdf.sort_values(["ts", "event_id"])
+            new = [int(v) for v in pdf["vm"].tolist()]
+            n_seen, vals, ewma = _ewma_fifo_step(n_seen, prev, new, 20)
+            state.update((n_seen, vals))
+            out = (n_seen, len(vals), ewma)
+        return out
+
+    whole = run([rows])
+    split = run([rows[:17], rows[17:33], rows[33:]])
+    assert whole == split, "FIFO state must be batch-split invariant"
+    assert whole[0] == 50 and whole[1] == 20
