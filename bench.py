@@ -260,6 +260,29 @@ HEADLINE = [
 ]
 
 
+def _drop_persisted(spark) -> None:
+    """Free persisted blocks ``clearCache()`` cannot reach: localCheckpoint
+    RDDs (the dedup/graph/prefix families eager-checkpoint intermediates)
+    stay in the block manager until the JVM ContextCleaner happens to run —
+    across a 234-query session they accumulate and squeeze execution
+    memory (measured: last-third queries inflate 1.9-3x vs pins while the
+    same queries re-bench at pin level in a fresh session). A Python gc
+    pass drops driver-side references, then every still-persisted RDD is
+    unpersisted explicitly. Safe across queries: no cross-query cache in
+    this repo holds a live checkpointed DataFrame (they memoize table
+    names, dirs, and numpy arrays only)."""
+    import gc
+
+    gc.collect()
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass
+
+
+
 def main() -> None:
     # optional subset: `bench.py --queries a,b,c` times only those HEADLINE
     # entries (used by tools/certify_changed.py to attribute perf deltas to
@@ -306,6 +329,7 @@ def main() -> None:
     # unpersist per job; the bench equivalent is clearing the block caches
     # between queries (cheap: milliseconds).
     spark.catalog.clearCache()
+    _drop_persisted(spark)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     # Median-of-3 per query (VERDICT r4 #3): this box has documented
@@ -324,6 +348,7 @@ def main() -> None:
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
             spark.catalog.clearCache()
+            _drop_persisted(spark)
         samples.sort()
         times[name] = round(samples[len(samples) // 2], 3)
         print(
