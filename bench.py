@@ -257,6 +257,7 @@ HEADLINE = [
     "cc_incremental_merge",
     "corpus_overlap_matrix",
     "length_batching_docs",
+    "observed_dq_gate_orders",
 ]
 
 

@@ -12381,6 +12381,70 @@ QUERIES["length_batching_docs"] = length_batching_docs
 ORACLES["length_batching_docs"] = LENGTH_BATCHING_SQL
 
 
+
+
+def observed_dq_gate_orders(spark, sf_dir):
+    """Single-pass observed metrics (the Spark ``Observation`` API — the
+    production data-quality circuit-breaker pattern): row count, bad-row
+    count (non-positive totalprice), and max price are harvested from THE
+    SAME scan that computes the per-status aggregate — ``df.observe``
+    attaches accumulator-style metrics to the plan, so at 100 TB the DQ
+    gate costs zero extra scans (dq_checks_orders computes similar checks
+    as a separate aggregate pass; this is the fused form a production job
+    ships). The observed metrics then stamp every output row with the
+    corpus-level gate verdict (``dq_pass``: no bad rows). The per-status
+    aggregate is bounded (|status| rows), so the driver-side harvest is
+    O(1); money goes through the repo's decimal string route."""
+    from pyspark.sql import Observation
+
+    orders = _t(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    agg = observed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _dbl(F.sum(_dec("o_totalprice", 30, 2))).alias("total_price"),
+    )
+    rows = agg.collect()  # ONE action: drives the scan AND fills the observation
+    m = obs.get
+    out = spark.createDataFrame(rows, agg.schema)
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        "total_price",
+        F.lit(int(m["n_rows"])).cast("long").alias("dq_rows"),
+        F.lit(int(m["n_bad"])).cast("long").alias("dq_bad_rows"),
+        F.lit(bool(m["n_bad"] == 0)).alias("dq_pass"),
+    )
+
+
+OBSERVED_DQ_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS dq_rows,
+         CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS dq_bad_rows
+  FROM orders
+)
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+         AS total_price,
+       m.dq_rows, m.dq_bad_rows,
+       m.dq_bad_rows = 0 AS dq_pass
+FROM orders o CROSS JOIN m
+GROUP BY o.o_orderstatus, m.dq_rows, m.dq_bad_rows
+"""
+
+
+QUERIES["observed_dq_gate_orders"] = observed_dq_gate_orders
+ORACLES["observed_dq_gate_orders"] = OBSERVED_DQ_SQL
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 9
     # (standing stalest-first rule). (0) new this round — never
@@ -12394,6 +12458,7 @@ _CHECK_FIRST = [
     "cc_incremental_merge",
     "corpus_overlap_matrix",
     "length_batching_docs",
+    "observed_dq_gate_orders",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "triangle_count_copurchase",

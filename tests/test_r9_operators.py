@@ -421,3 +421,26 @@ def test_cc_incremental_bridges_old_clusters(spark, tmp_path):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == rebuild, "incremental merge must equal the full rebuild"
+
+
+# ---------------------------------------------------------------------------
+# observed_dq_gate_orders — Observation metrics + gate semantics
+# ---------------------------------------------------------------------------
+def test_observed_dq_gate_flags_bad_rows(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    rows = [
+        (1, 10, "O", 100.0, "1996-01-01", "1-URGENT"),
+        (2, 11, "F", -5.0, "1996-01-02", "2-HIGH"),   # bad: non-positive
+        (3, 12, "O", 50.0, "1996-01-03", "3-MEDIUM"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = Q.QUERIES["observed_dq_gate_orders"](spark, str(tmp_path)).collect()
+    assert all(r["dq_rows"] == 3 and r["dq_bad_rows"] == 1 for r in out)
+    assert all(r["dq_pass"] is False for r in out)
+    by_status = {r["o_orderstatus"]: r for r in out}
+    assert by_status["O"]["n_orders"] == 2 and by_status["F"]["n_orders"] == 1
