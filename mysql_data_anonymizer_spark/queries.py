@@ -10682,6 +10682,13 @@ def _ivf_scan_pruned(plan: str, table: str, n_cells: int) -> bool:
     m = re.search(r"PartitionFilters:\s*\[([^\]]*)\]", seg)
     if not m:
         return False
+    # Fail closed on simpleString truncation: past
+    # spark.sql.debug.maxToStringFields (default 25) the INSET value list
+    # is cut and '... N more fields' appended, so a full-enumeration INSET
+    # on a >25-cell index would parse as a small set and falsely pass the
+    # strictly-fewer-than-n_cells gate (r9 ADVICE).
+    if "more fields" in m.group(1):
+        return False
     inset = re.search(r"INSET\s+((?:-?\d+,)*-?\d+)", m.group(1))
     if not inset:
         return False

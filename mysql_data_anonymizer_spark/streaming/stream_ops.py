@@ -425,15 +425,20 @@ def _ewma_fifo_step(
     the FIFO/batch-split invariants are testable without a streaming query:
     append the (already event-time-sorted) batch, truncate to the window,
     and fold the alpha=1/2 shift EWMA (num = sum v<<i oldest-first, den =
-    2^len - 1, truncating integer division — the batch operator's exact
-    math)."""
+    2^len - 1, truncate-toward-zero integer division — the batch operator's
+    exact math: Spark ``DIV`` / DuckDB ``//`` truncate toward zero, so a
+    negative numerator must NOT use Python ``//`` which floors toward
+    -inf; -1 DIV 3 = 0 in both engines but -1 // 3 = -1 in Python)."""
     n_seen += len(new)
     vals = (vals + new)[-window:]
     num = 0
     for i, v in enumerate(vals):
         num += v << i
     den = (1 << len(vals)) - 1
-    return n_seen, vals, (num // den if den else None)
+    if not den:
+        return n_seen, vals, None
+    q = abs(num) // den
+    return n_seen, vals, (-q if num < 0 else q)
 
 
 

@@ -262,3 +262,32 @@ def test_streaming_ewma_update_closure_fifo():
     split = run([rows[:17], rows[17:33], rows[33:]])
     assert whole == split, "FIFO state must be batch-split invariant"
     assert whole[0] == 50 and whole[1] == 20
+
+    # Negative values: the transition must truncate toward zero (Spark DIV
+    # / DuckDB //), not floor (Python //) — r9 ADVICE caught the mismatch.
+    neg_rows = [(i, i * 10, -((i * 7919) % 1000) - 1) for i in range(50)]
+    whole_n = run([neg_rows])
+    split_n = run([neg_rows[:13], neg_rows[13:37], neg_rows[37:]])
+    assert whole_n == split_n
+    vals = [r[2] for r in sorted(neg_rows, key=lambda r: (r[1], r[0]))][-20:]
+    num = sum(v << i for i, v in enumerate(vals))
+    den = (1 << 20) - 1
+    expect = -(abs(num) // den) if num < 0 else abs(num) // den
+    assert whole_n[2] == expect
+    assert num < 0 and num % den != 0, "fixture must exercise the floor-vs-trunc gap"
+    assert whole_n[2] == num // den + 1, "trunc-toward-zero differs from Python floor here"
+
+
+def test_ewma_fifo_step_negative_truncates_toward_zero():
+    """-1 DIV 3 = 0 in Spark and DuckDB; _ewma_fifo_step must agree."""
+    from mysql_data_anonymizer_spark.streaming.stream_ops import _ewma_fifo_step
+
+    # single value -1 over window 2: num = -1, den = 1 -> -1 (exact)
+    _, _, e1 = _ewma_fifo_step(0, [], [-1], 20)
+    assert e1 == -1
+    # vals [-1, 0]: num = -1<<0 + 0<<1 = -1, den = 3 -> DIV gives 0, floor gives -1
+    _, _, e2 = _ewma_fifo_step(0, [], [-1, 0], 20)
+    assert e2 == 0, f"expected trunc-toward-zero 0, got {e2}"
+    # empty window -> None
+    _, _, e3 = _ewma_fifo_step(0, [], [], 20)
+    assert e3 is None

@@ -247,6 +247,16 @@ def test_ivf_index_probe_matches_in_memory_and_prunes(spark, tmp_path):
     assert not _ivf_scan_pruned(plan, "t_ivf_idx_ut", n_cells=1), (
         "an INSET covering every trained cell is a full scan, not a prune"
     )
+    # r9 ADVICE: simpleString truncates INSET lists past maxToStringFields
+    # (default 25) appending ', ... N more fields' — the gate must fail
+    # closed rather than parse the visible prefix as a small set
+    truncated = (
+        "FileScan parquet t_trunc[cell#1] "
+        "PartitionFilters: [cell#1 INSET 0,1,2,3,4, ... 20 more fields]"
+    )
+    assert not _ivf_scan_pruned(truncated, "t_trunc", n_cells=100), (
+        "a truncated INSET list may enumerate every cell; must fail closed"
+    )
 
 
 def test_exact_substring_interval_coverage_identical(spark):
