@@ -258,6 +258,9 @@ HEADLINE = [
     "corpus_overlap_matrix",
     "length_batching_docs",
     "observed_dq_gate_orders",
+    # round-10 additions
+    "kn_perplexity_docs",
+    "mixture_alpha_weights",
 ]
 
 

@@ -12452,63 +12452,380 @@ QUERIES["observed_dq_gate_orders"] = observed_dq_gate_orders
 ORACLES["observed_dq_gate_orders"] = OBSERVED_DQ_SQL
 
 
+def kn_perplexity_docs(spark, sf_dir):
+    """Interpolated Kneser-Ney document scoring — the CONSUMER of the
+    statistics ``kneser_ney_bigram_counts`` trains (r9 verdict item 2):
+    a KN-smoothed bigram LM is fit on the reference slice (the CCNet
+    reference domains, {src0..src3}) and every document is scored by its
+    mean interpolated-KN bigram probability, then bucketed into
+    head/middle/tail terciles — a real in-house LM quality filter (Heafield
+    2011 / Wenzek et al. 2020), not a hashed stand-in.
+
+    Exact-integer millionths (the ccnet_perplexity_buckets discipline,
+    discount D = 3/4 kept rational so no double ever rounds):
+
+      P_KN(w2|w1) = max(c(w1w2) - 3/4, 0)/c(w1.)
+                    + (3/4)*(N1+(w1 .)/c(w1.)) * (N1+(. w2)/T)
+
+    folded into ONE BIGINT division per bigram::
+
+      contrib = (1e6*(max(4*c_xy-3,0)*T + 3*n_follow*n_precede'))
+                DIV (4*c_w1*T)
+
+    (T = bigram-type total, n_precede' = coalesce(N1+(. w2), 1) — an
+    unseen w2 gets one pseudo-context instead of probability zero).
+    Unseen LEFT context (c_w1 NULL) backs off to pure continuation
+    ``1e6*n_precede' DIV T``. Per-doc score = mean contrib (BIGINT DIV);
+    docs with no bigrams score NULL and land in 'tail'. Overflow bound:
+    c_xy*T < 2.3e12 (int64 headroom) — shard the LM vocabulary past that.
+
+    Scale shape (the ccnet PROD discipline — this is web-scale by
+    default): the three LM count tables join the corpus bigram stream ON
+    THEIR KEYS (shuffle_merge-pinned SMJs, nothing broadcast — a
+    trillion-token reference LM's count tables fit no executor);
+    ``keyed_join_ok`` certifies that from the executed plan. The 1-row
+    type total and tercile cutoffs stay broadcast crossJoins (O(1) by
+    construction, plan_audit BNL_OK)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("toks"),
+    )
+    ln = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = F.explode(
+        F.zip_with(
+            F.slice("toks", F.lit(1), ln),
+            F.slice("toks", F.lit(2), ln),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    ref = base.where(F.col("source").isin(*_CCNET_REF_SOURCES))
+    bg = (
+        ref.where(F.size("toks") >= 2)
+        .select(pairs.alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    )
+    lft = bg.groupBy("w1").agg(
+        F.sum("c_xy").cast("long").alias("c_w1"),
+        F.count(F.lit(1)).cast("long").alias("n_follow"),
+    )
+    rgt = bg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_precede")
+    )
+    typ = bg.agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("long").alias("n_types")
+    )
+    db = (
+        base.where(F.size("toks") >= 2)
+        .select("doc_id", pairs.alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    joined = (
+        db.join(bg.hint("shuffle_merge"), ["w1", "w2"], "left")
+        .join(lft.hint("shuffle_merge"), "w1", "left")
+        .join(rgt.hint("shuffle_merge"), "w2", "left")
+        .crossJoin(F.broadcast(typ))
+    )
+    contrib = F.expr(
+        "CASE WHEN c_w1 IS NULL"
+        " THEN (1000000L * coalesce(n_precede, 1L)) DIV n_types"
+        " ELSE (1000000L * (greatest(4L * coalesce(c_xy, 0L) - 3L, 0L)"
+        "                   * n_types"
+        "                   + 3L * n_follow * coalesce(n_precede, 1L)))"
+        "      DIV (4L * c_w1 * n_types)"
+        " END"
+    ).cast("long")
+    per_doc = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(contrib).cast("long").alias("kn_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("kn_sum DIV n_bigrams").cast("long").alias("kn_score"),
+        )
+    )
+    all_ids = base.select("doc_id").distinct()
+    scored = all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        "kn_score",
+    )
+    cuts = scored.agg(
+        F.percentile(F.col("kn_score"), F.lit(1 / 3)).alias("c1"),
+        F.percentile(F.col("kn_score"), F.lit(2 / 3)).alias("c2"),
+    )
+    out = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_bigrams",
+        "kn_score",
+        F.when(F.col("kn_score").isNull(), F.lit("tail"))
+        .when(F.col("kn_score") >= F.col("c2"), F.lit("head"))
+        .when(F.col("kn_score") >= F.col("c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    keyed_ok = plan.count("SortMergeJoin") >= 3 and "BroadcastHashJoin" not in plan
+    return out.withColumn("keyed_join_ok", F.lit(bool(keyed_ok)))
+
+
+def _gen_kn_perplexity_sql() -> str:
+    refs = ", ".join(f"'{s}'" for s in _CCNET_REF_SOURCES)
+    p1, p2 = repr(1 / 3), repr(2 / 3)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> len(t) > 0) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, source, unnest(toks) AS w, generate_subscripts(toks, 1) AS i
+  FROM base
+),
+refpos AS (SELECT * FROM pos WHERE source IN ({refs})),
+bg AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM refpos a JOIN refpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2
+),
+lft AS (
+  SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_w1,
+         CAST(COUNT(*) AS BIGINT) AS n_follow
+  FROM bg GROUP BY 1
+),
+rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_precede FROM bg GROUP BY 1),
+typ AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS n_types FROM bg),
+db AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN lft.c_w1 IS NULL
+              THEN (CAST(1000000 AS BIGINT) * COALESCE(rgt.n_precede, 1))
+                   // typ.n_types
+              ELSE (CAST(1000000 AS BIGINT)
+                    * (GREATEST(4 * COALESCE(bg.c_xy, 0) - 3, 0) * typ.n_types
+                       + 3 * lft.n_follow * COALESCE(rgt.n_precede, 1)))
+                   // (4 * lft.c_w1 * typ.n_types)
+              END) AS BIGINT) AS kn_sum
+  FROM db
+  LEFT JOIN bg USING (w1, w2)
+  LEFT JOIN lft USING (w1)
+  LEFT JOIN rgt USING (w2)
+  CROSS JOIN typ
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT b.doc_id,
+         COALESCE(p.n_bigrams, 0) AS n_bigrams,
+         CAST(p.kn_sum // p.n_bigrams AS BIGINT) AS kn_score
+  FROM (SELECT DISTINCT doc_id FROM base) b
+  LEFT JOIN per_doc p USING (doc_id)
+),
+cuts AS (
+  SELECT quantile_cont(kn_score, {p1}) AS c1,
+         quantile_cont(kn_score, {p2}) AS c2
+  FROM scored
+)
+SELECT doc_id, n_bigrams, kn_score,
+       CASE WHEN kn_score IS NULL THEN 'tail'
+            WHEN kn_score >= c2 THEN 'head'
+            WHEN kn_score >= c1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       TRUE AS keyed_join_ok
+FROM scored CROSS JOIN cuts
+"""
+
+
+QUERIES["kn_perplexity_docs"] = kn_perplexity_docs
+ORACLES["kn_perplexity_docs"] = _gen_kn_perplexity_sql()
+
+
+def _root_seed_sql(x_sql: str, b: int) -> str:
+    """Double seed for the integer b-th root: floor(pow(x, 1/b)) cast to
+    BIGINT. Engines may disagree by an ulp here — the correction fragment
+    below makes that irrelevant."""
+    inv = repr(1.0 / b)
+    return f"CAST(FLOOR(POWER(CAST(({x_sql}) AS DOUBLE), {inv})) AS BIGINT)"
+
+
+def _root_correct_sql(b: int, x_col: str = "__x", r0_col: str = "__r0") -> str:
+    """EXACT integer b-th root given a double seed within +/-2 of the true
+    root (holds for x < 2^62, b >= 2 — POWER's few-ulp relative error is
+    absolutely tiny at these magnitudes, and the round-vs-truncate
+    double->int cast split between engines is at most 1): pick the largest
+    candidate r in [r0-2, r0+2] with r^b <= x via pure BIGINT
+    multiplication — identical SQL text, bit-identical in both engines."""
+
+    def powc(c: str) -> str:
+        return "(" + " * ".join([c] * b) + ")"
+
+    r0 = r0_col
+    return (
+        f"({r0} + CASE"
+        f" WHEN {powc(f'({r0} + 2)')} <= {x_col} THEN 2"
+        f" WHEN {powc(f'({r0} + 1)')} <= {x_col} THEN 1"
+        f" WHEN {powc(r0)} <= {x_col} THEN 0"
+        f" WHEN {powc(f'({r0} - 1)')} <= {x_col} THEN -1"
+        f" ELSE -2 END)"
+    )
+
+
+_MIX_ALPHA = (1, 2)  # temperature alpha = a/b = 1/2 (XLM-R-style upsampling)
+_MIX_SCALE = 1000  # weight resolution: w = floor(S * tot^(a/b)), S = 1000
+
+
+def _mixture_x_sql(tot_sql: str, a: int, b: int, scale: int) -> str:
+    """The radicand of w = floor(scale * tot^(a/b)) = floor((tot^a *
+    scale^b)^(1/b)) — the pow unrolled as explicit BIGINT products (the
+    PageRank/Hilbert iterative-unroll discipline applied to pow). a = b
+    reproduces proportional weighting (w = scale*tot); a = 0 is uniform
+    (w = scale). Overflow bound: tot^a * scale^b < 2^62."""
+    return " * ".join([f"({tot_sql})"] * a + [f"CAST({scale} AS BIGINT)"] * b)
+
+
+def mixture_alpha_weights(spark, sf_dir):
+    """Temperature-based mixture reweighting (UniMax / alpha-sampling;
+    Conneau & Lample 2019, Chung et al. 2023) — the step that DERIVES the
+    per-source epoch counts ``epoch_expand_mixture`` materializes: sample
+    probability p_d ∝ n_d^alpha with alpha = 1/2, so low-resource
+    domains are upsampled and the head is tempered. All EXACT BIGINT
+    math, no transcendental: w_d = floor(1000 * sqrt(n_d)) via the
+    engine-portable integer-root fragment (double seed + exact candidate
+    correction — any pow/cast rounding split between engines is corrected
+    away), p in millionths = (1e6*w_d) DIV Σw, the token target per
+    domain = (B*w_d) DIV Σw (B = corpus total), and the epoch count that
+    feeds the existing expansion = LEAST(4, GREATEST(1,
+    ceil(target/n_d))) — the Muennighoff 4-epoch repeat cap. alpha=1
+    (a=b) reproduces proportional weights and alpha=0 uniform, both
+    property-tested. Overflow bound: n_d * 1e6 < 2^62 (≈4.6e12 tokens
+    per domain — shard the weight computation past that).
+
+    Scale shape: ONE corpus scan -> per-domain token agg (map-side
+    combinable keyed shuffle); every subsequent step runs on the
+    |domains|-row table; the Σw/B scalar is a 1-row broadcast crossJoin
+    (q11 threshold class, plan_audit BNL_OK)."""
+    a, b = _MIX_ALPHA
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    totals = base.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens")
+    )
+    weighted = (
+        totals.withColumn(
+            "__x", F.expr(_mixture_x_sql("total_tokens", a, b, _MIX_SCALE))
+        )
+        .withColumn("__r0", F.expr(_root_seed_sql("__x", b)))
+        .withColumn("w_alpha", F.expr(_root_correct_sql(b)).cast("long"))
+        .drop("__x", "__r0")
+    )
+    scalars = weighted.agg(
+        F.sum("w_alpha").cast("long").alias("__sum_w"),
+        F.sum("total_tokens").cast("long").alias("__budget"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(scalars))
+        .select(
+            "lang",
+            "total_tokens",
+            "w_alpha",
+            F.expr("(1000000L * w_alpha) DIV greatest(__sum_w, 1L)")
+            .cast("long")
+            .alias("p_millionths"),
+            F.expr("(__budget * w_alpha) DIV greatest(__sum_w, 1L)")
+            .cast("long")
+            .alias("target_tokens"),
+            F.expr(
+                "least(4L, greatest(1L,"
+                " ((__budget * w_alpha) DIV greatest(__sum_w, 1L)"
+                "  + total_tokens - 1L) DIV greatest(total_tokens, 1L)))"
+            )
+            .cast("long")
+            .alias("n_epochs"),
+        )
+    )
+
+
+def _gen_mixture_alpha_sql() -> str:
+    a, b = _MIX_ALPHA
+    return rf"""
+WITH base AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+totals AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM base GROUP BY lang
+),
+tx AS (
+  SELECT lang, total_tokens,
+         CAST({_mixture_x_sql("total_tokens", a, b, _MIX_SCALE)} AS BIGINT)
+           AS __x
+  FROM totals
+),
+tr AS (SELECT *, {_root_seed_sql("__x", b)} AS __r0 FROM tx),
+weighted AS (
+  SELECT lang, total_tokens,
+         CAST({_root_correct_sql(b)} AS BIGINT) AS w_alpha
+  FROM tr
+),
+scalars AS (
+  SELECT CAST(SUM(w_alpha) AS BIGINT) AS sum_w,
+         CAST(SUM(total_tokens) AS BIGINT) AS budget
+  FROM weighted
+)
+SELECT lang, total_tokens, w_alpha,
+       CAST((CAST(1000000 AS BIGINT) * w_alpha) // GREATEST(sum_w, 1)
+            AS BIGINT) AS p_millionths,
+       CAST((budget * w_alpha) // GREATEST(sum_w, 1) AS BIGINT)
+         AS target_tokens,
+       CAST(LEAST(4, GREATEST(1,
+              ((budget * w_alpha) // GREATEST(sum_w, 1) + total_tokens - 1)
+              // GREATEST(total_tokens, 1))) AS BIGINT) AS n_epochs
+FROM weighted CROSS JOIN scalars
+"""
+
+
+QUERIES["mixture_alpha_weights"] = mixture_alpha_weights
+ORACLES["mixture_alpha_weights"] = _gen_mixture_alpha_sql()
+
+
 _CHECK_FIRST = [
-    # Ordering for the driver's bounded (~50-query) sample, round 9
+    # Ordering for the driver's bounded (~50-query) sample, round 10
     # (standing stalest-first rule). (0) new this round — never
     # driver-certified:
-    "hilbert_orders_key",
-    "bootstrap_ci_events",
+    "kn_perplexity_docs",
+    "mixture_alpha_weights",
+    # (1) touched this round by the r9 ADVICE fixes (EWMA trunc-toward-zero
+    # transition; IVF prune-gate fail-closed) — re-certify:
     "streaming_ewma_user",
-    "phonetic_blocking_parts",
-    "doc_novelty_bigrams",
-    "prefix_filter_jaccard_parts",
-    "cc_incremental_merge",
-    "corpus_overlap_matrix",
-    "length_batching_docs",
-    "observed_dq_gate_orders",
-    "skipgram_pairs_docs",
-    "kneser_ney_bigram_counts",
-    "triangle_count_copurchase",
-    "kcenter_coreset_embeddings",
-    "ewma_user_events",
-    # (1) semantics CHANGED this round by the r8 ADVICE fixes and the
-    # repo-wide BIGINT-DIV sweep — must re-certify:
-    "enforce_k_anonymity_customers",
-    "fuzzy_match_blocked_suppliers",
     "knn_ivf_indexed",
-    "pack_sequences_gpt",
-    "pack_docs_token_bins",
-    "ccnet_perplexity_buckets",
-    "ccnet_perplexity_buckets_prod",
-    "pagerank_copurchase_parts",
-    "skew_report_lineitem",
-    "epoch_expand_mixture",
-    "dedup_keep_best_quality",
-    "salted_join_revenue",
-    # (2) stalest latest-cert first (r4 cohort, then r5, then r6):
-    "pivot_orders_status",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q4_order_priority",
-    "quantiles_acctbal_per_segment",
-    "range_join_close_prices",
-    "scd2_user_event_history",
-    "select_docs_token_budget",
-    "semdedup_ivf",
-    "semi_join_parts_ordered",
-    "sessionize_events",
-    "streaming_dedup_events",
-    "streaming_dedup_then_window",
-    "streaming_stream_join",
-    "text_fingerprint_groups",
-    "text_lang_source_stats",
-    "text_profile",
-    "text_winnowing",
-    "top_supplier_per_nation",
-    "topk_customers_per_segment",
-    "compact_latest_events",
-    "corpus_quality_filter",
-    "cube_orders",
+    # (2) stalest latest-cert first: the full r5 cohort (46 queries — the
+    # TPC-H long tail, the §2.1 mask suite, knn_pq, the five r5 streaming
+    # queries, both z-order keys, the stats/window family), then r6:
     "decontaminate_semantic_embeddings",
     "dedup_canonical_docs",
     "dedup_chunks_reconstruct",
@@ -12527,7 +12844,6 @@ _CHECK_FIRST = [
     "mask_unique_uuid",
     "ntile_deciles_acctbal",
     "order_window_features",
-    "pack_docs_token_bins",
     "pydatasource_stream_agg",
     "q10_returned_items",
     "q11_important_nations",
@@ -12556,6 +12872,8 @@ _CHECK_FIRST = [
     "zorder_lineitem_key3",
     "zorder_orders_key",
     "zscore_acctbal_per_segment",
+    # r6 cohort (next-stalest — overflow beyond the ~50-query sample
+    # documents the rotation order for r11):
     "benford_first_digit_audit",
     "bloom_join_pruned_revenue",
     "bm25_term_scores",

@@ -166,6 +166,13 @@ BNL_OK: set[str] = {
     # HLL intersection: |types|^2 pair join over the tiny per-type sketch
     # aggregate — bounded by the event-type domain
     "hll_intersection_users",
+    # r10 — KN scoring: SAME 1-row type-total/cutoff scalars as ccnet
+    # (the LM count tables themselves are keyed SMJs, gate-asserted by
+    # keyed_join_ok)
+    "kn_perplexity_docs",
+    # r10 — temperature mixture: the 1-row (sum_w, budget) scalar
+    # crossJoins the |domains|-row weight table — q11 threshold class
+    "mixture_alpha_weights",
 }
 
 

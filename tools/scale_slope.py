@@ -115,6 +115,13 @@ FAMILIES = [
     "doc_novelty_bigrams",
     # documents — incremental CC: pairs + two label propagations; slope ~K
     "cc_incremental_merge",
+    # round-10 additions: KN-smoothed document scoring (documents — ref
+    # count aggs + keyed SMJs over the corpus bigram stream; slope ~K of
+    # the explode, count tables Heaps-sub-linear) and temperature mixture
+    # weights (documents — one keyed token agg, |domains|-row tail; slope
+    # ~K of scan)
+    "kn_perplexity_docs",
+    "mixture_alpha_weights",
 ]
 
 
