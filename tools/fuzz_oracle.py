@@ -30,7 +30,7 @@ BASE = "/root/testdata/sf0.001"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fuzzdata")
 # bump when edge-row sets change: the marker carries the version, so stale
 # .fuzzdata rebuilds automatically instead of silently fuzzing old fixtures
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 # the document-family queries (text analysis, dedup, curation) — the ones
 # whose token/shingle/chunk algebra meets degenerate text
@@ -69,6 +69,20 @@ DEFAULT_QUERIES = [
     "lateral_top2_orders_per_customer",
     "t_closeness_audit_customers",
     "max_concurrent_events_sweepline",
+    # r9/r10 cohort sweep (VERDICT r9 item 5): degenerate docs hit
+    # skipgram/KN/novelty/overlap/KN-scoring; single-char + h/w Soundex
+    # part names (v3 rows) hit phonetic blocking; zero vectors hit
+    # kcenter; duplicate-timestamp events hit EWMA/bootstrap; NULL keys
+    # hit hilbert/triangle; empty docs hit packing/batching/mixture
+    "phonetic_blocking_parts",
+    "prefix_filter_jaccard_parts",
+    "kcenter_coreset_embeddings",
+    "hilbert_orders_key",
+    "triangle_count_copurchase",
+    "observed_dq_gate_orders",
+    "streaming_ewma_user",
+    "kn_perplexity_docs",
+    "mixture_alpha_weights",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "doc_novelty_bigrams",
@@ -493,6 +507,17 @@ def build_fuzz_dir(spark) -> str:
         edge_pt = [
             (pk_max + 1, "", "", "", 0, 0.0),                      # all-empty part
             (pk_max + 2, "ünïcödé pärt", "BRAND#99", "PROMO FUZZ TYPE", -5, 1.0e9),
+            # Soundex pitfalls (v3): single-letter names (the classic
+            # H/W-stripping edge: the code is just the letter padded),
+            # h/w-separated same-code consonants (Ashcraft -> A261 with
+            # h transparent; Pfister -> P236, adjacent same-code letters),
+            # and a digit-leading name (no letter to head the code)
+            (pk_max + 3, "H", "BRAND#01", "FUZZ", 1, 1.0),
+            (pk_max + 4, "W", "BRAND#01", "FUZZ", 1, 1.0),
+            (pk_max + 5, "Ashcraft", "BRAND#01", "FUZZ", 1, 1.0),
+            (pk_max + 6, "Pfister", "BRAND#01", "FUZZ", 1, 1.0),
+            (pk_max + 7, "Tymczak", "BRAND#01", "FUZZ", 1, 1.0),
+            (pk_max + 8, "42nd street part", "BRAND#01", "FUZZ", 1, 1.0),
         ]
         edge_ptdf = spark.createDataFrame(
             edge_pt,
