@@ -261,6 +261,7 @@ HEADLINE = [
     # round-10 additions
     "kn_perplexity_docs",
     "mixture_alpha_weights",
+    "corpus_drift_tvd",
 ]
 
 

@@ -12813,12 +12813,176 @@ QUERIES["mixture_alpha_weights"] = mixture_alpha_weights
 ORACLES["mixture_alpha_weights"] = _gen_mixture_alpha_sql()
 
 
+def corpus_drift_tvd(spark, sf_dir):
+    """Corpus drift monitor — the snapshot-over-snapshot data-quality gate
+    every continuously-crawled training pipeline runs before admitting a
+    new crawl: per SOURCE, the total-variation distance between its token
+    distribution and the pooled reference slice's, plus the OOV mass (the
+    probability weight a source puts on tokens the reference has never
+    seen — the 'new vocabulary' alarm). A source whose TVD or OOV jumps
+    between snapshots changed scrapers, languages, or got poisoned.
+
+    Exact-integer discipline: per-token probabilities are floored
+    millionths — ps = (1e6*c_sw) DIV N_s, qr = (1e6*c_rw) DIV N_r — so the
+    summed |ps - qr| is bit-identical across engines with NO rational
+    blow-up (the exact rational form needs 1e6*Σ|c_s*N_r - c_r*N_s| which
+    overflows int64 past N_s*N_r ≈ 4.6e12; the floored-per-term form only
+    needs 1e6*c < 2^63, i.e. corpora under ~9.2e12 tokens). Flooring
+    under-counts each term by < 1 millionth, uniformly in both engines.
+
+    Scale shape: two keyed token-count aggs (map-side combinable); the
+    per-source side streams; vocab-sized tables join on the token key.
+    The only fan-out is |sources| x |ref vocab| for the
+    in-reference-but-absent-from-source terms (the corpus_overlap_matrix
+    bound class — sources are few); the 1-row N_r scalar and the
+    |sources|-row N_s dim broadcast. Rows with a NULL source are excluded
+    up front (no provenance -> nothing to monitor), which keeps every
+    source join a plain equi-join in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.where(F.col("source").isNotNull()).select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+            )
+        ).alias("w"),
+    )
+    sc = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sw")
+    )
+    ns = sc.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))
+    # reference counts FOLD FROM sc (one token explode + one keyed shuffle
+    # total — rescanning toks would pay the explode twice)
+    rc = (
+        sc.where(F.col("source").isin(*_CCNET_REF_SOURCES))
+        .groupBy("w")
+        .agg(F.sum("c_sw").cast("long").alias("c_rw"))
+    )
+    nr = rc.agg(
+        F.greatest(F.sum("c_rw"), F.lit(1)).cast("long").alias("n_r")
+    )
+    # A: tokens present in the source (reference count NULL -> 0, OOV)
+    a = (
+        sc.join(rc.hint("shuffle_merge"), "w", "left")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "source",
+            F.expr(
+                "abs((1000000L * c_sw) DIV n_s"
+                "     - (1000000L * coalesce(c_rw, 0L)) DIV n_r)"
+            ).alias("term"),
+            F.when(F.col("c_rw").isNull(), F.col("c_sw"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("oov_c"),
+        )
+    )
+    # B: reference tokens ABSENT from the source (ps = 0, term = qr)
+    grid = ns.select("source").crossJoin(rc)
+    b = (
+        grid.join(sc, ["source", "w"], "left_anti")
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "source",
+            F.expr("(1000000L * c_rw) DIV n_r").alias("term"),
+            F.lit(0).cast("long").alias("oov_c"),
+        )
+    )
+    per_src = (
+        a.unionByName(b)
+        .groupBy("source")
+        .agg(
+            F.sum("term").cast("long").alias("__tvd2"),
+            F.sum("oov_c").cast("long").alias("__oov_c"),
+        )
+    )
+    vocab = sc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size")
+    )
+    return (
+        per_src.join(F.broadcast(ns), "source")
+        .join(F.broadcast(vocab), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "vocab_size",
+            F.expr("__tvd2 DIV 2L").cast("long").alias("tvd_millionths"),
+            F.expr("(1000000L * __oov_c) DIV n_s")
+            .cast("long")
+            .alias("oov_mass_millionths"),
+        )
+    )
+
+
+def _gen_corpus_drift_sql() -> str:
+    refs = ", ".join(f"'{s}'" for s in _CCNET_REF_SOURCES)
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS w
+  FROM documents WHERE source IS NOT NULL
+),
+sc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+  FROM toks GROUP BY 1, 2
+),
+ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+rc AS (
+  SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_rw
+  FROM sc WHERE source IN ({refs}) GROUP BY 1
+),
+nr AS (SELECT GREATEST(CAST(COALESCE(SUM(c_rw), 0) AS BIGINT), 1) AS n_r FROM rc),
+a AS (
+  SELECT sc.source,
+         ABS((CAST(1000000 AS BIGINT) * sc.c_sw) // ns.n_s
+             - (CAST(1000000 AS BIGINT) * COALESCE(rc.c_rw, 0)) // nr.n_r)
+           AS term,
+         CASE WHEN rc.c_rw IS NULL THEN sc.c_sw ELSE 0 END AS oov_c
+  FROM sc
+  LEFT JOIN rc USING (w)
+  JOIN ns USING (source)
+  CROSS JOIN nr
+),
+b AS (
+  SELECT g.source,
+         (CAST(1000000 AS BIGINT) * g.c_rw) // nr.n_r AS term,
+         CAST(0 AS BIGINT) AS oov_c
+  FROM (SELECT ns.source, rc.w, rc.c_rw FROM ns CROSS JOIN rc) g
+  CROSS JOIN nr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sc WHERE sc.source = g.source AND sc.w = g.w
+  )
+),
+per_src AS (
+  SELECT source, CAST(SUM(term) AS BIGINT) AS tvd2,
+         CAST(SUM(oov_c) AS BIGINT) AS oov_c
+  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+  GROUP BY source
+),
+vocab AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size FROM sc GROUP BY 1
+)
+SELECT p.source, ns.n_s AS n_tokens, vocab.vocab_size,
+       CAST(p.tvd2 // 2 AS BIGINT) AS tvd_millionths,
+       CAST((CAST(1000000 AS BIGINT) * p.oov_c) // ns.n_s AS BIGINT)
+         AS oov_mass_millionths
+FROM per_src p
+JOIN ns USING (source)
+JOIN vocab USING (source)
+"""
+
+
+QUERIES["corpus_drift_tvd"] = corpus_drift_tvd
+ORACLES["corpus_drift_tvd"] = _gen_corpus_drift_sql()
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 10
     # (standing stalest-first rule). (0) new this round — never
     # driver-certified:
     "kn_perplexity_docs",
     "mixture_alpha_weights",
+    "corpus_drift_tvd",
     # (1) touched this round by the r9 ADVICE fixes (EWMA trunc-toward-zero
     # transition; IVF prune-gate fail-closed) — re-certify:
     "streaming_ewma_user",

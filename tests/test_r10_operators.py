@@ -193,3 +193,60 @@ def test_mixture_alpha_weights_epoch_clamp(spark, tmp_path):
     # temperature: the tiny domain's probability share exceeds its token share
     tot = out["big"]["total_tokens"] + out["tiny"]["total_tokens"]
     assert out["tiny"]["p_millionths"] > 1_000_000 * out["tiny"]["total_tokens"] // tot
+
+
+# ---------------------------------------------------------------------------
+# corpus_drift_tvd — hand-computed drift + identity/disjoint extremes
+# ---------------------------------------------------------------------------
+def test_corpus_drift_identical_and_disjoint_extremes(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("a a b", "src0"),  # reference slice: p(a)=2/3 p(b)=1/3
+            ("a a b", "same"),  # identical distribution -> TVD 0, OOV 0
+            ("x y z", "alien"),  # fully disjoint -> TVD ~1e6, OOV 1e6
+            ("a b b", "half"),  # p(a)=1/3 p(b)=2/3 -> TVD = 1/3
+        ],
+    )
+    out = {
+        r["source"]: r
+        for r in Q.QUERIES["corpus_drift_tvd"](spark, str(tmp_path)).collect()
+    }
+    assert out["same"]["tvd_millionths"] == 0
+    assert out["same"]["oov_mass_millionths"] == 0
+    # reference source vs the pooled reference IS itself -> zero drift
+    assert out["src0"]["tvd_millionths"] == 0
+    # disjoint: sum |p-q| = 2 -> TVD = 1e6 (floored terms: 3*333333 both
+    # sides -> (999999+999999) DIV 2)
+    assert out["alien"]["oov_mass_millionths"] == 1_000_000
+    assert out["alien"]["tvd_millionths"] == 999_999
+    # half: |1/3-2/3|+|2/3-1/3| = 2/3 -> TVD 1/3 (with millionth flooring)
+    assert abs(out["half"]["tvd_millionths"] - 333_333) <= 1
+    assert out["half"]["oov_mass_millionths"] == 0
+    assert out["alien"]["n_tokens"] == 3 and out["alien"]["vocab_size"] == 3
+
+
+def test_corpus_drift_excludes_null_source_and_counts_ref_only_terms(
+    spark, tmp_path
+):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    spark.createDataFrame(
+        [
+            (0, "a b c d", "en", "src0", 7),
+            (1, "a", "en", "narrow", 1),  # misses b,c,d from the ref
+            (2, "junk junk", "en", None, 9),  # NULL source -> excluded
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = Q.QUERIES["corpus_drift_tvd"](spark, str(tmp_path)).collect()
+    srcs = {r["source"] for r in rows}
+    assert None not in srcs and srcs == {"src0", "narrow"}
+    nw = {r["source"]: r for r in rows}["narrow"]
+    # narrow: p(a)=1 vs ref q(a)=1/4 -> |1e6 - 250000| = 750000; the three
+    # ref-only terms contribute 250000 each -> TVD = (750000+750000) DIV 2
+    assert nw["tvd_millionths"] == 750_000
+    assert nw["oov_mass_millionths"] == 0

@@ -83,6 +83,7 @@ DEFAULT_QUERIES = [
     "streaming_ewma_user",
     "kn_perplexity_docs",
     "mixture_alpha_weights",
+    "corpus_drift_tvd",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "doc_novelty_bigrams",

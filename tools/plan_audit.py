@@ -173,6 +173,10 @@ BNL_OK: set[str] = {
     # r10 — temperature mixture: the 1-row (sum_w, budget) scalar
     # crossJoins the |domains|-row weight table — q11 threshold class
     "mixture_alpha_weights",
+    # r10 — corpus drift: the |sources|-row dim crossJoins the ref vocab
+    # (bounded by source count, the corpus_overlap_matrix class) and the
+    # 1-row N_r scalar crossJoins — both bounded by construction
+    "corpus_drift_tvd",
 }
 
 

@@ -122,6 +122,8 @@ FAMILIES = [
     # ~K of scan)
     "kn_perplexity_docs",
     "mixture_alpha_weights",
+    # token-count aggs + vocab-keyed drift joins; slope ~K of the explode
+    "corpus_drift_tvd",
 ]
 
 
