@@ -460,7 +460,11 @@ def stateful_user_ewma(
     is what certifies it (bounded replay == the batch query's row for each
     user's LAST event). In-batch sorting makes the result deterministic
     under any executor interleaving; cross-batch order is the stream's
-    arrival contract (the same assumption every stateful sessionizer
+    arrival contract — so the batch-equality certification holds for
+    streams whose micro-batch boundaries respect event time, and a
+    watermark-late event REORDERED across batches shifts the FIFO contents
+    exactly as it would any arrival-order-dependent stateful operator
+    (the same assumption every stateful sessionizer
     makes)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
