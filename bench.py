@@ -262,6 +262,7 @@ HEADLINE = [
     "kn_perplexity_docs",
     "mixture_alpha_weights",
     "corpus_drift_tvd",
+    "kcore_copurchase_parts",
 ]
 
 

@@ -229,6 +229,54 @@ def test_corpus_drift_identical_and_disjoint_extremes(spark, tmp_path):
     assert out["alien"]["n_tokens"] == 3 and out["alien"]["vocab_size"] == 3
 
 
+def test_kcore_hand_graph_peels_tail_and_keeps_clique(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    # order 100 buys parts {1,2,3,4} -> K4 clique (degree 3 each);
+    # order 101 buys {4,5} -> pendant edge; order 102 buys {5,6} -> chain.
+    # 3-core = exactly the K4; 5 and 6 peel (degree < 3), and peeling 5
+    # removes 4's extra edge without dropping 4 below 3.
+    rows = [(100, p) for p in (1, 2, 3, 4)] + [(101, 4), (101, 5), (102, 5), (102, 6)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r["p_partkey"]: r
+        for r in Q.QUERIES["kcore_copurchase_parts"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert all(r["core_degree"] == 3 for r in out.values())
+    assert all(r["converged"] for r in out.values())
+
+
+def test_kcore_empty_core_and_extra_round_idempotent(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    # a pure chain has no 3-core: every round peels endpoints until empty
+    rows = [(200 + i, p) for i, p in enumerate(range(10)) for p in (p, p + 1)]
+    spark.createDataFrame(
+        [(200 + i, p) for i in range(9) for p in (i, i + 1)],
+        "l_orderkey long, l_partkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = Q.QUERIES["kcore_copurchase_parts"](spark, str(tmp_path)).collect()
+    assert out == []  # empty core -> empty result (converged flag vacuous)
+    # fixture-scale fixpoint: one extra unrolled round changes nothing
+    import mysql_data_anonymizer_spark.queries as QM
+
+    sql6 = QM._gen_kcore_sql(rounds=6)
+    sql7 = QM._gen_kcore_sql(rounds=7)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    )
+    r6 = sorted(con.execute(sql6).fetchall())
+    r7 = sorted(con.execute(sql7).fetchall())
+    assert r6 == r7, "6 peel rounds must already be the fixpoint at sf0.01"
+
+
 def test_corpus_drift_excludes_null_source_and_counts_ref_only_terms(
     spark, tmp_path
 ):

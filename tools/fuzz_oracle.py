@@ -84,6 +84,7 @@ DEFAULT_QUERIES = [
     "kn_perplexity_docs",
     "mixture_alpha_weights",
     "corpus_drift_tvd",
+    "kcore_copurchase_parts",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "doc_novelty_bigrams",

@@ -124,6 +124,9 @@ FAMILIES = [
     "mixture_alpha_weights",
     # token-count aggs + vocab-keyed drift joins; slope ~K of the explode
     "corpus_drift_tvd",
+    # lineitem slice (K disconnected graphs): 6 peel rounds, per-round
+    # keyed agg + 2 semi-joins over the shrinking edge set; slope ~K
+    "kcore_copurchase_parts",
 ]
 
 
@@ -272,6 +275,13 @@ def time_family(spark, name: str, sf_dir: str, k: int = 1) -> tuple[float, int]:
         n = Q.QUERIES[name](spark, sf_dir).count()
     dt = time.time() - t0
     spark.catalog.clearCache()
+    # localCheckpoint blocks survive clearCache() (the bench.py
+    # _drop_persisted lesson): without this, a graph family's x10 row
+    # measures the x1+x5 leftovers' memory squeeze, not the operator —
+    # kcore measured 115 s leaked vs ~25 s in a fresh session
+    from bench import _drop_persisted
+
+    _drop_persisted(spark)
     return round(dt, 3), n
 
 
