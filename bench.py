@@ -281,9 +281,17 @@ def _drop_persisted(spark) -> None:
 
     gc.collect()
     try:
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        # BLOCKING unpersist: the async form (unpersist(False), r9) left
+        # the blocks alive into the next query under memory pressure —
+        # repeated 24M-edge kcore runs degraded 26->49->93 s with async
+        # cleanup and run at a flat ~9 s with blocking unpersist + a JVM
+        # GC (measured r10). The GC only runs when blocks were actually
+        # dropped, so the ~200 checkpoint-free queries pay nothing.
+        rdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+        for rdd in rdds:
+            rdd.unpersist(True)
+        if rdds:
+            spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
 
