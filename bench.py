@@ -263,6 +263,7 @@ HEADLINE = [
     "mixture_alpha_weights",
     "corpus_drift_tvd",
     "kcore_copurchase_parts",
+    "drift_incremental_merge",
 ]
 
 

@@ -277,6 +277,35 @@ def test_kcore_empty_core_and_extra_round_idempotent(spark, tmp_path):
     assert r6 == r7, "6 peel rounds must already be the fixpoint at sf0.01"
 
 
+def test_drift_incremental_merge_equals_rebuild_and_never_rescans(spark, tmp_path):
+    from mysql_data_anonymizer_spark import queries as Q
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("a a b", "src0"),  # doc 0 (even -> base)
+            ("x y a", "newcrawl"),  # doc 1 (odd -> increment)
+            ("a b b", "half"),  # doc 2 (even -> base)
+            ("b z", "newcrawl"),  # doc 3 (odd -> increment)
+        ],
+    )
+    inc = Q.QUERIES["drift_incremental_merge"](spark, str(tmp_path))
+    full = Q.QUERIES["corpus_drift_tvd"](spark, str(tmp_path))
+    got = {
+        r["source"]: r for r in inc.collect()
+    }
+    want = {r["source"]: r for r in full.collect()}
+    assert set(got) == set(want)
+    for s in want:
+        for c in ("n_tokens", "vocab_size", "tvd_millionths", "oov_mass_millionths"):
+            assert got[s][c] == want[s][c], (s, c)
+    assert all(r["base_not_rescanned_ok"] for r in got.values()), (
+        "final plan must contain no documents scan — only the persisted "
+        "count index and the checkpointed increment counts"
+    )
+
+
 def test_corpus_drift_excludes_null_source_and_counts_ref_only_terms(
     spark, tmp_path
 ):

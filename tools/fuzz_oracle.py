@@ -85,6 +85,7 @@ DEFAULT_QUERIES = [
     "mixture_alpha_weights",
     "corpus_drift_tvd",
     "kcore_copurchase_parts",
+    "drift_incremental_merge",
     "skipgram_pairs_docs",
     "kneser_ney_bigram_counts",
     "doc_novelty_bigrams",

@@ -177,6 +177,9 @@ BNL_OK: set[str] = {
     # (bounded by source count, the corpus_overlap_matrix class) and the
     # 1-row N_r scalar crossJoins — both bounded by construction
     "corpus_drift_tvd",
+    # r10 — incremental drift: same bounded crossJoins via the shared
+    # _drift_from_counts tail
+    "drift_incremental_merge",
 }
 
 

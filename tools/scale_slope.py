@@ -127,6 +127,9 @@ FAMILIES = [
     # lineitem slice (K disconnected graphs): 6 peel rounds, per-round
     # keyed agg + 2 semi-joins over the shrinking edge set; slope ~K
     "kcore_copurchase_parts",
+    # increment-only text scan + vocab-sized count merge; slope ~K of the
+    # increment (the base index is amortized by memoization)
+    "drift_incremental_merge",
 ]
 
 
