@@ -267,6 +267,9 @@ HEADLINE = [
 ]
 
 
+_DROP_PERSISTED_WARNED = False
+
+
 def _drop_persisted(spark) -> None:
     """Free persisted blocks ``clearCache()`` cannot reach: localCheckpoint
     RDDs (the dedup/graph/prefix families eager-checkpoint intermediates)
@@ -293,8 +296,19 @@ def _drop_persisted(spark) -> None:
             rdd.unpersist(True)
         if rdds:
             spark.sparkContext._jvm.System.gc()
-    except Exception:
-        pass
+    except Exception as exc:  # pragma: no cover - py4j version drift
+        # If the py4j JavaMap iteration ever stops converting, the
+        # checkpoint-leak fix silently degrading to a no-op would bring
+        # back the 26->93s kcore degradation with no signal (r10 ADVICE)
+        # — so shout once per process instead of passing silently.
+        global _DROP_PERSISTED_WARNED
+        if not _DROP_PERSISTED_WARNED:
+            _DROP_PERSISTED_WARNED = True
+            print(
+                f"WARNING: _drop_persisted failed ({exc!r}); "
+                "checkpoint blocks may leak across queries",
+                file=sys.stderr,
+            )
 
 
 

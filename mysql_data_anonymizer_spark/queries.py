@@ -1623,6 +1623,23 @@ DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 MAX_SHINGLE_DF = 100
 
 
+def _inc_pred(col: str = "doc_id"):
+    """Null-safe TOTAL corpus split for the incremental families (r10
+    ADVICE): Spark's `%` keeps the DIVIDEND's sign, so a plain
+    `doc_id % 2 == 1` puts a negative odd id (remainder -1) and a NULL id
+    in NEITHER half — silently breaking every merge==rebuild / survivors==
+    full-dedup certification whose oracle scans the whole corpus. pmod
+    folds negatives onto {0,1} and the coalesce assigns NULL ids to the
+    base half, so `_inc_pred` and `_base_pred` provably partition the
+    corpus. The oracle twin is ``COALESCE((x % 2 + 2) % 2, 0) = 1`` —
+    DuckDB has no pmod."""
+    return F.coalesce(F.pmod(F.col(col), F.lit(2)), F.lit(0)) == 1
+
+
+def _base_pred(col: str = "doc_id"):
+    return F.coalesce(F.pmod(F.col(col), F.lit(2)), F.lit(0)) != 1
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -1713,8 +1730,8 @@ def dedup_incremental_new_docs(spark, sf_dir):
     increment, not the corpus squared (operators/dedup.py
     incremental_near_dup_filter)."""
     docs = _t(spark, sf_dir, "documents")
-    corpus = docs.where(F.col("doc_id") % 2 == 0)
-    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(_base_pred())
+    new = docs.where(_inc_pred())
     out = dedup.incremental_near_dup_filter(
         corpus, new, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
     )
@@ -1723,7 +1740,7 @@ def dedup_incremental_new_docs(spark, sf_dir):
 
 INCREMENTAL_DEDUP_SQL = """
 WITH docs AS (
-  SELECT doc_id, (doc_id % 2) = 1 AS is_new,
+  SELECT doc_id, COALESCE((doc_id % 2 + 2) % 2, 0) = 1 AS is_new,
          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
   FROM documents
 ),
@@ -1753,7 +1770,8 @@ dup AS (
 )
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d
-WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT new_id FROM dup)
+WHERE COALESCE((d.doc_id % 2 + 2) % 2, 0) = 1
+  AND d.doc_id NOT IN (SELECT new_id FROM dup)
 """
 
 
@@ -10429,7 +10447,7 @@ def _neardup_index(spark, sf_dir):
         spark._mda_neardup_idx = cache
     pt, st = f"ndidx_post_{tag}", f"ndidx_size_{tag}"
     if tag not in cache:
-        corpus = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+        corpus = _t(spark, sf_dir, "documents").where(_base_pred())
         _d.build_near_dup_index(
             corpus, pt, st, "doc_id", "text", n=3,
             max_shingle_df=MAX_SHINGLE_DF, num_buckets=8,
@@ -10458,7 +10476,7 @@ def dedup_incremental_indexed(spark, sf_dir):
     from mysql_data_anonymizer_spark.operators import dedup as _d
 
     docs = _t(spark, sf_dir, "documents")
-    new = docs.where(F.col("doc_id") % 2 == 1)
+    new = docs.where(_inc_pred())
     pt, st = _neardup_index(spark, sf_dir)
     survivors, probe_join = _d.probe_near_dup_index(
         spark, new, pt, st, "doc_id", "text", n=3, threshold=0.6
@@ -10479,7 +10497,7 @@ def dedup_incremental_indexed(spark, sf_dir):
 
 INCREMENTAL_INDEXED_SQL = """
 WITH docs AS (
-  SELECT doc_id, (doc_id % 2) = 1 AS is_new,
+  SELECT doc_id, COALESCE((doc_id % 2 + 2) % 2, 0) = 1 AS is_new,
          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
   FROM documents
 ),
@@ -10511,7 +10529,8 @@ dup AS (
 )
 SELECT d.doc_id, d.lang, d.source, d.n_chars, TRUE AS probe_colocated_ok
 FROM documents d
-WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT nid FROM dup)
+WHERE COALESCE((d.doc_id % 2 + 2) % 2, 0) = 1
+  AND d.doc_id NOT IN (SELECT nid FROM dup)
 """
 
 
@@ -11112,7 +11131,7 @@ def streaming_dedup_index_probe(spark, sf_dir):
         stream = (
             spark.readStream.schema(batch.schema)
             .parquet(stage)
-            .where(F.col("doc_id") % 2 == 1)
+            .where(_inc_pred())
         )
         sh = stream.select(
             "doc_id",
@@ -11143,7 +11162,7 @@ def streaming_dedup_index_probe(spark, sf_dir):
 
 STREAMING_INDEX_PROBE_SQL = r"""
 WITH docs AS (
-  SELECT doc_id, (doc_id % 2) = 1 AS is_new,
+  SELECT doc_id, COALESCE((doc_id % 2 + 2) % 2, 0) = 1 AS is_new,
          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
   FROM documents
 ),
@@ -12478,6 +12497,11 @@ def kn_perplexity_docs(spark, sf_dir):
     ``1e6*n_precede' DIV T``. Per-doc score = mean contrib (BIGINT DIV);
     docs with no bigrams score NULL and land in 'tail'. Overflow bound:
     c_xy*T < 2.3e12 (int64 headroom) — shard the LM vocabulary past that.
+    Tercile buckets use rank-based DISCRETE cuts over the bounded
+    [0, 1e6] score domain (r10 ADVICE — the previous interpolated
+    percentile was the query's only float math; Spark `percentile` vs
+    DuckDB `quantile_cont` could lerp apart by 1 ulp exactly at a cut),
+    so every comparison in the query is now BIGINT-exact.
 
     Scale shape (the ccnet PROD discipline — this is web-scale by
     default): the three LM count tables join the corpus bigram stream ON
@@ -12559,17 +12583,41 @@ def kn_perplexity_docs(spark, sf_dir):
         F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
         "kn_score",
     )
-    cuts = scored.agg(
-        F.percentile(F.col("kn_score"), F.lit(1 / 3)).alias("c1"),
-        F.percentile(F.col("kn_score"), F.lit(2 / 3)).alias("c2"),
+    # Exact-integer tercile cuts (r10 ADVICE: the float-interpolated
+    # percentile was the ONLY non-BIGINT math in this query — a score
+    # landing exactly on a cut where the engines' lerp differs by 1 ulp
+    # would flip buckets). Rank-based discrete cuts instead: c_i = the
+    # smallest score whose cumulative count reaches ceil(i*n/3). kn_score
+    # is a millionths mean, so its domain is the BOUNDED integer range
+    # [0, 1e6] — the per-score count table is <= 1e6+1 rows at ANY corpus
+    # size, which makes the single-partition cumulative window below
+    # broadcast-class (bounded-domain, GLOBAL_WINDOW_OK), not a global
+    # sort of the corpus.
+    freq = (
+        scored.where(F.col("kn_score").isNotNull())
+        .groupBy("kn_score")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    wcum = Window.orderBy("kn_score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = freq.select(
+        "kn_score", F.sum("__c").over(wcum).cast("long").alias("__cum")
+    )
+    nn = freq.agg(F.sum("__c").cast("long").alias("__n"))
+    cuts = cum.crossJoin(F.broadcast(nn)).agg(
+        F.min(
+            F.when(F.expr("__cum >= (__n + 2L) DIV 3L"), F.col("kn_score"))
+        ).alias("c1"),
+        F.min(
+            F.when(F.expr("__cum >= (2L * __n + 2L) DIV 3L"), F.col("kn_score"))
+        ).alias("c2"),
     )
     out = scored.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
         "n_bigrams",
         "kn_score",
         F.when(F.col("kn_score").isNull(), F.lit("tail"))
-        .when(F.col("kn_score") >= F.col("c2"), F.lit("head"))
-        .when(F.col("kn_score") >= F.col("c1"), F.lit("middle"))
+        .when(F.col("kn_score") > F.col("c2"), F.lit("head"))
+        .when(F.col("kn_score") > F.col("c1"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
@@ -12580,7 +12628,6 @@ def kn_perplexity_docs(spark, sf_dir):
 
 def _gen_kn_perplexity_sql() -> str:
     refs = ", ".join(f"'{s}'" for s in _CCNET_REF_SOURCES)
-    p1, p2 = repr(1 / 3), repr(2 / 3)
     return rf"""
 WITH base AS (
   SELECT doc_id, source,
@@ -12634,15 +12681,25 @@ scored AS (
   FROM (SELECT DISTINCT doc_id FROM base) b
   LEFT JOIN per_doc p USING (doc_id)
 ),
+freq AS (
+  SELECT kn_score, CAST(COUNT(*) AS BIGINT) AS c
+  FROM scored WHERE kn_score IS NOT NULL GROUP BY kn_score
+),
+cum AS (
+  SELECT kn_score,
+         CAST(SUM(c) OVER (ORDER BY kn_score) AS BIGINT) AS cumc,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM freq
+),
 cuts AS (
-  SELECT quantile_cont(kn_score, {p1}) AS c1,
-         quantile_cont(kn_score, {p2}) AS c2
-  FROM scored
+  SELECT MIN(CASE WHEN cumc >= (n + 2) // 3 THEN kn_score END) AS c1,
+         MIN(CASE WHEN cumc >= (2 * n + 2) // 3 THEN kn_score END) AS c2
+  FROM cum
 )
 SELECT doc_id, n_bigrams, kn_score,
        CASE WHEN kn_score IS NULL THEN 'tail'
-            WHEN kn_score >= c2 THEN 'head'
-            WHEN kn_score >= c1 THEN 'middle'
+            WHEN kn_score > c2 THEN 'head'
+            WHEN kn_score > c1 THEN 'middle'
             ELSE 'tail' END AS bucket,
        TRUE AS keyed_join_ok
 FROM scored CROSS JOIN cuts
@@ -12711,13 +12768,18 @@ def mixture_alpha_weights(spark, sf_dir):
     ceil(target/n_d))) — the Muennighoff 4-epoch repeat cap. alpha=1
     (a=b) reproduces proportional weights and alpha=0 uniform, both
     property-tested. Overflow bound: n_d * 1e6 < 2^62 (≈4.6e12 tokens
-    per domain — shard the weight computation past that).
+    per domain — shard the weight computation past that); the
+    budget * w_alpha product runs in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — exact 38-digit integer math in BOTH engines, so it cannot
+    wrap below budget*w_alpha ≈ 1e38, unreachable for any corpus (r10
+    ADVICE: the previous all-BIGINT product wrapped silently in Spark at
+    budget ≈ 4.4e10 tokens, ~100x below the then-documented bound, while
+    DuckDB raised — the one place this query needs more than 63 bits).
 
     Scale shape: ONE corpus scan -> per-domain token agg (map-side
     combinable keyed shuffle); every subsequent step runs on the
     |domains|-row table; the Σw/B scalar is a 1-row broadcast crossJoin
     (q11 threshold class, plan_audit BNL_OK)."""
-    a, b = _MIX_ALPHA
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         "lang",
@@ -12732,6 +12794,16 @@ def mixture_alpha_weights(spark, sf_dir):
     totals = base.groupBy("lang").agg(
         F.sum("n_tokens").cast("long").alias("total_tokens")
     )
+    return _mixture_from_totals(totals)
+
+
+def _mixture_from_totals(totals):
+    """Tail of ``mixture_alpha_weights`` from a (lang, total_tokens) table,
+    factored out so the overflow regime (budget * w_alpha far above 2^63)
+    is directly testable with synthetic totals the fixtures cannot
+    produce. ``target_tokens`` is computed ONCE (decimal product) and
+    ``n_epochs`` derives from it — identical structure in the oracle."""
+    a, b = _MIX_ALPHA
     weighted = (
         totals.withColumn(
             "__x", F.expr(_mixture_x_sql("total_tokens", a, b, _MIX_SCALE))
@@ -12746,6 +12818,13 @@ def mixture_alpha_weights(spark, sf_dir):
     )
     return (
         weighted.crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                "CAST((CAST(__budget AS DECIMAL(38,0)) * w_alpha)"
+                " DIV greatest(__sum_w, 1L) AS BIGINT)"
+            ),
+        )
         .select(
             "lang",
             "total_tokens",
@@ -12753,13 +12832,11 @@ def mixture_alpha_weights(spark, sf_dir):
             F.expr("(1000000L * w_alpha) DIV greatest(__sum_w, 1L)")
             .cast("long")
             .alias("p_millionths"),
-            F.expr("(__budget * w_alpha) DIV greatest(__sum_w, 1L)")
-            .cast("long")
-            .alias("target_tokens"),
+            "target_tokens",
             F.expr(
                 "least(4L, greatest(1L,"
-                " ((__budget * w_alpha) DIV greatest(__sum_w, 1L)"
-                "  + total_tokens - 1L) DIV greatest(total_tokens, 1L)))"
+                " (target_tokens + total_tokens - 1L)"
+                " DIV greatest(total_tokens, 1L)))"
             )
             .cast("long")
             .alias("n_epochs"),
@@ -12767,19 +12844,22 @@ def mixture_alpha_weights(spark, sf_dir):
     )
 
 
-def _gen_mixture_alpha_sql() -> str:
+_MIX_TOTALS_SQL = r"""
+  SELECT lang, CAST(SUM(CAST(len(list_filter(
+           string_split_regex(trim(lower(text)), '\s+'),
+           t -> t <> '')) AS BIGINT)) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang
+"""
+
+
+def _gen_mixture_alpha_sql(totals_sql: str = _MIX_TOTALS_SQL) -> str:
+    """Oracle twin of ``_mixture_from_totals`` over any totals relation
+    (lang, total_tokens) — the budget * w_alpha product runs in HUGEINT,
+    matching Spark's DECIMAL(38,0) route exactly (both are exact integer
+    math far past int64)."""
     a, b = _MIX_ALPHA
     return rf"""
-WITH base AS (
-  SELECT lang,
-         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                              t -> t <> '')) AS BIGINT) AS n_tokens
-  FROM documents
-),
-totals AS (
-  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-  FROM base GROUP BY lang
-),
+WITH totals AS ({totals_sql}),
 tx AS (
   SELECT lang, total_tokens,
          CAST({_mixture_x_sql("total_tokens", a, b, _MIX_SCALE)} AS BIGINT)
@@ -12796,16 +12876,21 @@ scalars AS (
   SELECT CAST(SUM(w_alpha) AS BIGINT) AS sum_w,
          CAST(SUM(total_tokens) AS BIGINT) AS budget
   FROM weighted
+),
+tgt AS (
+  SELECT lang, total_tokens, w_alpha, sum_w,
+         CAST((CAST(budget AS HUGEINT) * w_alpha) // GREATEST(sum_w, 1)
+              AS BIGINT) AS target_tokens
+  FROM weighted CROSS JOIN scalars
 )
 SELECT lang, total_tokens, w_alpha,
        CAST((CAST(1000000 AS BIGINT) * w_alpha) // GREATEST(sum_w, 1)
             AS BIGINT) AS p_millionths,
-       CAST((budget * w_alpha) // GREATEST(sum_w, 1) AS BIGINT)
-         AS target_tokens,
+       target_tokens,
        CAST(LEAST(4, GREATEST(1,
-              ((budget * w_alpha) // GREATEST(sum_w, 1) + total_tokens - 1)
+              (target_tokens + total_tokens - 1)
               // GREATEST(total_tokens, 1))) AS BIGINT) AS n_epochs
-FROM weighted CROSS JOIN scalars
+FROM tgt
 """
 
 
@@ -12998,7 +13083,7 @@ def _drift_count_index(spark, sf_dir):
         cache = {}
         spark._mda_drift_idx = cache
     if tag not in cache:
-        base = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+        base = _t(spark, sf_dir, "documents").where(_base_pred())
         path = tempfile.mkdtemp(prefix="mda_drift_idx_") + "/counts"
         _drift_token_counts(base).write.mode("overwrite").parquet(path)
         cache[tag] = path
@@ -13026,7 +13111,7 @@ def drift_incremental_merge(spark, sf_dir):
     source x ref-vocab completion grid)."""
     idx_path = _drift_count_index(spark, sf_dir)
     base_counts = spark.read.parquet(idx_path)
-    inc = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 1)
+    inc = _t(spark, sf_dir, "documents").where(_inc_pred())
     # vocab-sized; checkpointing it keeps document scans out of the final
     # plan entirely (and caps the explode at one execution)
     inc_counts = _drift_token_counts(inc).localCheckpoint(eager=True)

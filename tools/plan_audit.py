@@ -45,6 +45,11 @@ GLOBAL_WINDOW_OK = {
     # synthetic marginals: the cumulative-frequency windows run over the
     # POST-AGG value domains (5 segments / 25 nations) — PRAM class
     "synthesize_marginals_customers",
+    # KN tercile cuts: the cumulative window runs over the per-score count
+    # table, whose key is a millionths mean — BOUNDED domain [0, 1e6]
+    # regardless of corpus size (<= 1e6+1 rows; PRAM class, r11 exact-cut
+    # rework of the former float percentile)
+    "kn_perplexity_docs",
 }
 
 # queries whose broadcast-nested-loop join is over an intentionally bounded
