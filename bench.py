@@ -264,13 +264,57 @@ HEADLINE = [
     "corpus_drift_tvd",
     "kcore_copurchase_parts",
     "drift_incremental_merge",
+    # r11
+    "kmeans_lloyd_embeddings",
+    "knn_recall_report",
 ]
 
 
 _DROP_PERSISTED_WARNED = False
 
 
+def _host_snapshot() -> dict:
+    """Self-qualifying load stamp (r10 verdict item 1): the box has
+    documented hour-scale slow windows (load avg >5 with near-zero CPU
+    pressure = D-state disk wait), and a bench number recorded without the
+    ambient load is unfalsifiable after the fact. Captured at run start
+    AND end so every BENCH/SCALE row carries its own noise context."""
+    snap: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            snap["load"] = [float(x) for x in f.read().split()[:3]]
+    except Exception:
+        pass
+    for res in ("cpu", "io"):
+        try:
+            with open(f"/proc/pressure/{res}") as f:
+                # "some avg10=1.23 avg60=... ..." — avg10 is the signal
+                line = f.readline()
+                snap[f"psi_{res}"] = float(line.split("avg10=")[1].split()[0])
+        except Exception:
+            pass
+    try:
+        with open("/proc/uptime") as f:
+            snap["uptime"] = round(float(f.read().split()[0]))
+    except Exception:
+        pass
+    return snap
+
+
 def _drop_persisted(spark) -> None:
+    """Session hygiene between reps — with A/B knobs for bisecting the
+    r8->r10 uniform bench inflation (r10 verdict item 1c):
+    SPARK_GRAFT_BENCH_HYGIENE=0 skips this entirely;
+    SPARK_GRAFT_BENCH_JVMGC=0 keeps the blocking unpersist but skips the
+    System.gc() (a full JVM GC can unload janino-generated classes, forcing
+    re-JIT of every query's codegen on its next timed rep — exactly the
+    uniform per-query cost a disjoint-worst-mover analysis cannot see)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_HYGIENE", "1") == "0":
+        return
+    _drop_persisted_inner(spark)
+
+
+def _drop_persisted_inner(spark) -> None:
     """Free persisted blocks ``clearCache()`` cannot reach: localCheckpoint
     RDDs (the dedup/graph/prefix families eager-checkpoint intermediates)
     stay in the block manager until the JVM ContextCleaner happens to run —
@@ -289,12 +333,25 @@ def _drop_persisted(spark) -> None:
         # the blocks alive into the next query under memory pressure —
         # repeated 24M-edge kcore runs degraded 26->49->93 s with async
         # cleanup and run at a flat ~9 s with blocking unpersist + a JVM
-        # GC (measured r10). The GC only runs when blocks were actually
-        # dropped, so the ~200 checkpoint-free queries pay nothing.
-        rdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+        # GC (measured r10). r11 REFINEMENT: that unconditional System.gc
+        # was itself the largest code-attributable share of the r10 bench
+        # inflation — a full G1 GC on the 32g heap uncommits memory to the
+        # OS, so the NEXT timed rep pays page re-commit faults: a uniform
+        # additive ~0.1-1.5s per query, worst on the smallest queries
+        # (measured r11: the same 11-query subset ran 19.9s with the GC,
+        # 14.9s without, pins 8.25s). The GC now runs only when the
+        # dropped blocks were actually big enough to have caused the
+        # original leak-class degradation (>1 GiB persisted) — the 24M-edge
+        # slope slices still get it, the ~240 fixture-scale queries don't.
+        jsc = spark.sparkContext._jsc
+        dropped_bytes = 0
+        for info in jsc.sc().getRDDStorageInfo():
+            dropped_bytes += info.memSize() + info.diskSize()
+        rdds = list(jsc.getPersistentRDDs().values())
         for rdd in rdds:
             rdd.unpersist(True)
-        if rdds:
+        big_drop = dropped_bytes > (1 << 30)
+        if rdds and big_drop and os.environ.get("SPARK_GRAFT_BENCH_JVMGC", "1") != "0":
             spark.sparkContext._jvm.System.gc()
     except Exception as exc:  # pragma: no cover - py4j version drift
         # If the py4j JavaMap iteration ever stops converting, the
@@ -330,6 +387,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    host_start = _host_snapshot()
     spark = get_spark("mda-bench", master=f"local[{cpus}]")
     import mysql_data_anonymizer_spark.queries as Q
 
@@ -396,6 +454,8 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "reps": reps,
+                "host_start": host_start,
+                "host_end": _host_snapshot(),
                 "metric": f"headline query wall-clock, median of {reps} reps/query (engine ops + relational + dedup/similarity/text)",
                 "unit": "sec",
                 "value": total,

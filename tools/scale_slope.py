@@ -321,6 +321,12 @@ def main() -> None:
             results[name][k] = time_family(spark, name, dirs[k], k)
             print(f"# {name} x{k}: {results[name][k]}", file=sys.stderr)
 
+    # self-qualifying load stamp (r10 verdict item 1): a slope row recorded
+    # in a slow window is unfalsifiable after the fact without this
+    from bench import _host_snapshot
+
+    print(f"host at table emit: {_host_snapshot()}")
+    print()
     hdr = "| family | " + " | ".join(f"x{k} s (rows)" for k in ks)
     hdr += " | slope x%d/x1 | slope x%d/x%d |" % (scales[0], scales[-1], scales[0])
     print(hdr)
