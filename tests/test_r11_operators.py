@@ -165,3 +165,132 @@ def test_kn_tercile_buckets_rank_based(spark, tmp_path):
     out2 = Q.QUERIES["kn_perplexity_docs"](spark, str(tmp_path)).collect()
     nonnull = {r["bucket"] for r in out2 if r["kn_score"] is not None}
     assert len(nonnull) == 1, "equal scores must land in one bucket"
+
+
+# ---------------------------------------------------------------------------
+# kcore broadcast-cliff fallback — keyed-join path is result-identical and
+# plans without broadcasting the alive set (r10 verdict item 7)
+# ---------------------------------------------------------------------------
+def _write_lineitem_graph(spark, tmp_path, order_parts):
+    rows = [(o, p) for o, parts in order_parts for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_kcore_fallback_identical_hand_graph(spark, tmp_path):
+    # K4 on parts 1-4 (all degree 3 -> the 3-core) + pendant part 5
+    # (degree 1 -> peeled round 1)
+    _write_lineitem_graph(spark, tmp_path, [(100, [1, 2, 3, 4]), (200, [4, 5])])
+    bc = Q._kcore_impl(spark, str(tmp_path), broadcast_alive=True)
+    keyed = Q._kcore_impl(spark, str(tmp_path), broadcast_alive=False)
+    want = {(p, 3, True) for p in (1, 2, 3, 4)}
+    assert {tuple(r) for r in bc.collect()} == want
+    assert {tuple(r) for r in keyed.collect()} == want
+    plan = keyed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "SortMergeJoin" in plan, "fallback must keyed-join the alive set"
+    assert "BroadcastHashJoin" not in plan, "fallback must not broadcast"
+
+
+def test_kcore_fallback_identical_fixture(spark, sf_dir):
+    bc = {tuple(r) for r in Q._kcore_impl(spark, sf_dir, True).collect()}
+    keyed = {tuple(r) for r in Q._kcore_impl(spark, sf_dir, False).collect()}
+    assert bc == keyed
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd_embeddings — full Lloyd loop vs a plain-Python replay of the
+# exact-integer trajectory (quantize -> assign -> trunc-div means, 4 rounds)
+# ---------------------------------------------------------------------------
+def _lloyd_reference(vecs, k, rounds):
+    q = {
+        vid: [math.floor(x * 1_000_000) for x in v] for vid, v in vecs.items()
+    }
+    cents = {cid: list(q[cid]) for cid in range(k)}
+    dim = len(next(iter(q.values())))
+    prev = assign = None
+    for rnd in range(rounds):
+        prev = assign
+        assign = {}
+        for vid, v in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+                for cid, c in cents.items()
+            )
+            assign[vid] = best  # (dist2, cid)
+        if rnd == rounds - 1:
+            break
+        new = {}
+        for cid in cents:
+            members = [q[vid] for vid, (_, c) in assign.items() if c == cid]
+            if members:
+                n = len(members)
+                # trunc-toward-zero division, matching Spark DIV / DuckDB //
+                new[cid] = []
+                for col in zip(*members):
+                    s = sum(col)
+                    d = abs(s) // n
+                    new[cid].append(-d if s < 0 else d)
+            else:
+                new[cid] = cents[cid]
+        cents = new
+    changed = sum(1 for vid in assign if assign[vid][1] != prev[vid][1])
+    return {
+        vid: (c, d, changed == 0) for vid, (d, c) in assign.items()
+    }
+
+
+def test_kmeans_lloyd_matches_python_reference(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    # 3 visible blobs, 18 vectors, dim 4 (the Spark side is dim-agnostic;
+    # the ORACLE hardcodes 64 dims for the fixture — compare_oracle covers
+    # that path, this test pins the Spark trajectory itself)
+    centers = [[0.8, 0.8, -0.5, 0.1], [-0.7, 0.2, 0.6, -0.3], [0.1, -0.9, 0.0, 0.9]]
+    vecs = {}
+    for i in range(18):
+        c = centers[i % 3]
+        vecs[i] = [x + rng.uniform(-0.05, 0.05) for x in c]
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    # quantization happens from the FLOAT32-rounded values the parquet
+    # actually stores — read back for the reference
+    stored = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(str(tmp_path / "embeddings.parquet")).collect()
+    }
+    want = _lloyd_reference(stored, Q.KMEANS_K, Q._KMEANS_ROUNDS)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2"], r["converged"])
+        for r in Q.QUERIES["kmeans_lloyd_embeddings"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# knn_recall_report — one hash-locked recall row per ANN method
+# ---------------------------------------------------------------------------
+def test_knn_recall_report_all_methods_clear_floors(spark, sf_dir):
+    rows = {
+        r["method"]: r
+        for r in Q.QUERIES["knn_recall_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(Q._KNN_RECALL_FLOORS)
+    for m, fl in Q._KNN_RECALL_FLOORS.items():
+        r = rows[m]
+        assert r["recall_ok"], m
+        assert r["certified_floor_hits"] == fl
+        assert r["floor_recall_millionths"] == 1_000_000 * fl // 25
+        assert r["true_pairs"] == 25 and r["k"] == 5
+    # oracle twin is a constant table — direct cross-check (column order:
+    # method, k, true_pairs, certified_floor_hits, floor_recall_millionths,
+    # recall_ok)
+    got = {
+        (t[0], t[3], t[5])
+        for t in duckdb.connect().execute(Q.ORACLES["knn_recall_report"]).fetchall()
+    }
+    want = {(m, fl, True) for m, fl in Q._KNN_RECALL_FLOORS.items()}
+    assert got == want

@@ -13,11 +13,21 @@ Checks per query (over the sf0.01 fixtures — plan SHAPE, not timing):
   - scan column pruning: FileScan ReadSchema listed per query so a scan
     reading every column for a narrow projection is visible.
 
-Usage: python tools/plan_audit.py [sf_dir] [out_md]
+Usage: python tools/plan_audit.py [sf_dir] [--out PLANS.md] [--queries a,b,c]
+
+Safety (r10 verdict item 5 — a stray first argument used to be treated as
+the sf dir and the tool OVERWROTE PLANS.md with 240 ERROR rows):
+  - the sf_dir positional is validated to be a directory containing the
+    fixture parquet tables; anything else aborts before any Spark work;
+  - the gate artifact is refused (written to <out>.rejected instead) when
+    more than 5% of audited rows error out;
+  - --queries runs a subset (bench.py parity) and prints the table to
+    stdout WITHOUT touching PLANS.md unless --out is given explicitly.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import re
 import sys
@@ -134,6 +144,9 @@ BNL_OK: set[str] = {
     # side of the fact crossJoin — bounded by K, same class as
     # knn_brute_force's query set
     "kmeans_assign_step",
+    # r11 — full Lloyd loop: same K-row broadcast centroid crossJoin per
+    # round + the 1-row convergence-count scalar (q11 threshold class)
+    "kmeans_lloyd_embeddings",
     # heavy hitters: the 1-row sketch aggregate cross-joined onto the k-row
     # exact table — bounded scalar, same class as q11's threshold
     "approx_top_terms",
@@ -188,13 +201,18 @@ BNL_OK: set[str] = {
 }
 
 
-def audit(name: str, df) -> dict:
+def audit(name: str, df, plan: str | None = None) -> dict:
     # collect() executes THIS df's own QueryExecution (count() would build a
     # new one), so its AdaptiveSparkPlan finalizes and the string carries the
     # real runtime plan: codegen stage markers *(n), AQEShuffleRead coalesce,
     # runtime-demoted joins. Result sets at sf0.01 are small.
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # When `plan` is given (streaming: the last micro-batch's executed plan
+    # harvested by queries._await_stream) it is audited INSTEAD of the
+    # result df's plan — the memory-sink result table plans as a bare
+    # LocalTableScan and would read 0 in every column (r10 verdict item 6).
+    if plan is None:
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     if "== Final Plan ==" in plan:  # audit the final plan, not the initial
         plan = plan.split("== Initial Plan ==")[0]
     lines = plan.splitlines()
@@ -226,30 +244,74 @@ def audit(name: str, df) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_md = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
+    ap = argparse.ArgumentParser(
+        description="Audit every registered query's executed plan against "
+        "scale invariants and write PLANS.md."
+    )
+    ap.add_argument(
+        "sf_dir",
+        nargs="?",
+        default="/root/testdata/sf0.01",
+        help="fixture directory (must contain lineitem.parquet etc.)",
+    )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="output markdown path (default PLANS.md for full runs; "
+        "subset runs print to stdout unless --out is given)",
+    )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of registry queries (bench.py parity)",
+    )
+    args = ap.parse_args()
+
+    if not os.path.isdir(args.sf_dir) or not os.path.exists(
+        os.path.join(args.sf_dir, "lineitem.parquet")
+    ):
+        ap.error(
+            f"sf_dir {args.sf_dir!r} is not a fixture directory "
+            "(no lineitem.parquet) — refusing to run"
+        )
+
     spark = get_spark("plan-audit", master="local[4]")
     import mysql_data_anonymizer_spark.queries as Q
 
+    names = list(Q.QUERIES)
+    subset = None
+    if args.queries:
+        subset = args.queries.split(",")
+        unknown = [q for q in subset if q not in Q.QUERIES]
+        if unknown:
+            ap.error(f"not in registry: {unknown}")
+        names = subset
+
     rows, violations = [], []
-    for name, fn in Q.QUERIES.items():
-        if name == "streaming_tumbling_agg":
-            # streaming plans don't expose executedPlan pre-run; emit a
-            # self-documenting row so PLANS.md row count == registry size
-            rows.append({"name": name, "skipped": "streaming plan (no executedPlan pre-run)"})
-            continue
+    for name in names:
+        fn = Q.QUERIES[name]
         try:
-            rows.append(audit(name, fn(spark, sf_dir)))
+            df = fn(spark, args.sf_dir)
+            # streaming queries run to completion inside fn and stash the
+            # last micro-batch's executed plan via queries._await_stream —
+            # audit THAT plan, not the memory-sink result table's
+            stream_plan = getattr(spark, "_mda_stream_plans", {}).get(name)
+            r = audit(name, df, plan=stream_plan)
+            if stream_plan is not None:
+                r["streaming"] = True
+            rows.append(r)
         except Exception as exc:  # pragma: no cover
             rows.append({"name": name, "error": str(exc)[:120]})
 
     md = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
         "",
-        f"Fixtures: `{sf_dir}`. Plan *shape* audit — the scale invariants the",
-        "engine promises (no unbounded single-partition stages, keyed shuffles",
-        "only, broadcast small sides, pruned scans). Regenerate after operator",
-        "changes.",
+        f"Fixtures: `{args.sf_dir}`. Plan *shape* audit — the scale invariants",
+        "the engine promises (no unbounded single-partition stages, keyed",
+        "shuffles only, broadcast small sides, pruned scans). Regenerate after",
+        "operator changes. Rows marked ⟲ audit the STREAMING query's last",
+        "micro-batch executed plan (harvested post-run via",
+        "queries._await_stream), not the memory-sink result table.",
         "",
         "| query | shuffles | BHJ | SMJ | BNLJ | codegen spans | global window | scan columns |",
         "|---|---|---|---|---|---|---|---|",
@@ -270,16 +332,36 @@ def main() -> None:
         if r["bnl"] and r["name"] not in BNL_OK:
             violations.append(f"{r['name']}: BroadcastNestedLoopJoin")
         scans = "; ".join(",".join(s) for s in r["scans"][:4]) or "-"
+        label = r["name"] + (" ⟲" if r.get("streaming") else "")
         md.append(
-            f"| {r['name']} | {r['exchanges']} | {r['bhj']} | {r['smj']} | {r['bnl']} "
+            f"| {label} | {r['exchanges']} | {r['bhj']} | {r['smj']} | {r['bnl']} "
             f"| {r['codegen']} | {gw} | {scans[:100]} |"
         )
     md += ["", "## Violations", ""]
     md += [f"- {v}" for v in violations] if violations else ["(none)"]
-    open(out_md, "w").write("\n".join(md) + "\n")
-    print(f"{len(rows)} plans audited; {len(violations)} violations -> {out_md}")
+
+    n_err = sum(1 for r in rows if "error" in r)
+    text = "\n".join(md) + "\n"
+    if subset is not None and args.out is None:
+        # subset mode: inspect, don't touch the gate artifact
+        print(text)
+    else:
+        out_md = args.out or "PLANS.md"
+        if rows and n_err > max(1, len(rows) // 20):
+            rej = out_md + ".rejected"
+            open(rej, "w").write(text)
+            print(
+                f"REFUSED to write {out_md}: {n_err}/{len(rows)} rows errored "
+                f"(>5%) — wrote {rej} instead; the gate artifact is untouched",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        open(out_md, "w").write(text)
+        print(f"{len(rows)} plans audited; {len(violations)} violations -> {out_md}")
     for v in violations:
         print("VIOLATION:", v)
+    if violations:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
