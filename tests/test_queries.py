@@ -146,6 +146,9 @@ NEW = [
     "importance_sample_docs",
     "pretraining_pipeline_e2e",
     "streaming_dedup_then_window",
+    # r11
+    "kmeans_lloyd_embeddings",
+    "knn_recall_report",
 ]
 
 
@@ -406,6 +409,9 @@ INVARIANCE_SAMPLE = [
     "mlm_mask_docs",
     "ccnet_perplexity_buckets_prod",
     "dedup_embedding_lsh_pairs",
+    # r11: Lloyd trajectory must not depend on layout (checkpointed
+    # assignments + exact-integer means)
+    "kmeans_lloyd_embeddings",
 ]
 
 

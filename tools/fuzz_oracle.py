@@ -118,6 +118,10 @@ DEFAULT_QUERIES = [
     "bigram_collocations",
     "bm25_term_scores",
     "readability_scores_docs",
+    # r11 cohort: zero/duplicate vectors hit the Lloyd loop and the ANN
+    # recall floors; degenerate docs hit the rank-based KN terciles
+    "kmeans_lloyd_embeddings",
+    "knn_recall_report",
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",

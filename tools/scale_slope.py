@@ -130,6 +130,13 @@ FAMILIES = [
     # increment-only text scan + vocab-sized count merge; slope ~K of the
     # increment (the base index is amortized by memoization)
     "drift_incremental_merge",
+    # round-11 additions: full Lloyd loop (embeddings — per round one
+    # broadcast-K crossJoin assignment + one (cluster, dim) keyed mean agg
+    # over the pinned quantized vectors; slope ~K per round) and the ANN
+    # recall report (all six method pipelines back to back over the same
+    # slice; slope tracks the knn family's)
+    "kmeans_lloyd_embeddings",
+    "knn_recall_report",
 ]
 
 
