@@ -13329,11 +13329,13 @@ def kmeans_lloyd_embeddings(spark, sf_dir):
 
     Exact-integer discipline end to end (the kcore/pagerank unrolled-
     rounds pattern applied to Lloyd): every float32 component is quantized
-    ONCE to integer millionths via FLOOR (floor of identical doubles is
-    identical in both engines — CAST double->long truncates in Spark but
-    ROUNDS in DuckDB, so a bare cast would diverge); squared L2 distances
-    are pure BIGINT sums (component diff <= 4e6, x64 dims -> < 1e15, wide
-    int64 headroom); new centroids are exact millionth means,
+    ONCE to integer millionths via clamp[-100,100] + FLOOR (floor of
+    identical doubles is identical in both engines — CAST double->long
+    truncates in Spark but ROUNDS in DuckDB, so a bare cast would
+    diverge; the clamp makes the BIGINT bound unconditional, see the
+    inline comment); squared L2 distances are pure BIGINT sums (per-dim
+    diff <= 2e8, x64 dims -> < 2.6e18 < 2^63); new centroids are exact
+    millionth means,
     ``sum DIV count`` (truncation toward zero in both engines); ties break
     on lowest centroid id. _KMEANS_ROUNDS fixed rounds, both engines
     replaying the identical trajectory; ``converged`` is data-certified as
@@ -13351,12 +13353,21 @@ def kmeans_lloyd_embeddings(spark, sf_dir):
     node-sized state, never collected."""
     emb = _t(spark, sf_dir, "embeddings")
     k = KMEANS_K
+    # components CLAMP to [-100, 100] before quantization (identical
+    # least/greatest in the oracle): embeddings are unit-normalized in
+    # practice, and the clamp makes the whole BIGINT pipeline
+    # unconditionally overflow-proof — |q| <= 1e8, per-dim squared diff
+    # <= 4e16, x64 dims < 2.6e18 < 2^63 (an unclamped 1e30 rogue
+    # component, the fuzz sweep's huge-magnitude edge vector, ANSI-crashed
+    # the subtract). NaN folds to the upper clamp in BOTH engines (NaN
+    # compares greater than any numeric in Spark and DuckDB).
     q = (
         emb.select(
             "vec_id",
             F.expr(
                 "transform(embedding,"
-                " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+                " x -> CAST(FLOOR(least(greatest(CAST(x AS DOUBLE),"
+                " -100.0D), 100.0D) * 1000000.0) AS BIGINT))"
             ).alias("q"),
         )
         .localCheckpoint(eager=True)
@@ -13454,7 +13465,9 @@ c{i} AS MATERIALIZED (
 WITH e AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
-                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0)
+                        x -> CAST(FLOOR(LEAST(GREATEST(CAST(x AS DOUBLE),
+                                                       -100.0), 100.0)
+                                        * 1000000.0)
                                   AS BIGINT)) AS q
   FROM embeddings
 ),

@@ -204,7 +204,8 @@ def test_kcore_fallback_identical_fixture(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def _lloyd_reference(vecs, k, rounds):
     q = {
-        vid: [math.floor(x * 1_000_000) for x in v] for vid, v in vecs.items()
+        vid: [math.floor(min(max(x, -100.0), 100.0) * 1_000_000) for x in v]
+        for vid, v in vecs.items()
     }
     cents = {cid: list(q[cid]) for cid in range(k)}
     dim = len(next(iter(q.values())))
