@@ -267,6 +267,7 @@ HEADLINE = [
     # r11
     "kmeans_lloyd_embeddings",
     "knn_recall_report",
+    "gopher_rules_docs",
 ]
 
 

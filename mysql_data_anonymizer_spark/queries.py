@@ -13588,12 +13588,170 @@ QUERIES["knn_recall_report"] = knn_recall_report
 ORACLES["knn_recall_report"] = _gen_knn_recall_sql()
 
 
+# Gopher rule thresholds (Rae et al. 2021 §A1.1, adapted to the fixture
+# word-shape): word count band, mean word length band (millionths),
+# alphabetic-mass floor (millionths of non-space chars), max token length
+# cap (the 5000-char-token stage killer), stop-word floor. Shared by the
+# Spark query and the oracle generator so the two cannot drift.
+_GOPHER_WC_MIN, _GOPHER_WC_MAX = 5, 100_000
+_GOPHER_MWL_MIN, _GOPHER_MWL_MAX = 2_000_000, 12_000_000
+_GOPHER_ALPHA_MIN = 600_000
+_GOPHER_MAX_WLEN = 50
+_GOPHER_STOPWORDS = ("the", "of", "and", "to", "a", "in", "is", "for")
+_GOPHER_STOP_MIN = 1
+
+
+def gopher_rules_docs(spark, sf_dir):
+    """Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1 — the
+    rule-based pre-filter every large pretraining corpus runs BEFORE
+    model-based scoring; MassiveWeb's recipe, reused by RefinedWeb and
+    FineWeb): per document, one boolean per rule plus the conjunction
+    ``keep``, so the pipeline can both filter AND report per-rule
+    attrition (which rule kills how much of a crawl is the first question
+    a data-quality review asks — ``corpus_quality_filter`` is the
+    score-floor gate; this is its auditable rule-by-rule twin).
+
+    Exact-integer discipline: mean word length and alphabetic mass are
+    floored millionths (BIGINT DIV), counts are BIGINTs, every threshold
+    an integer compare — bit-identical across engines, no float in the
+    query. Rules: word count in [{wc_min}, {wc_max}]; mean word length in
+    [2, 12] (fixture words are synthetic, wider than Gopher's prose
+    [3, 10]); alphabetic chars >= 60% of non-space chars; longest token
+    <= 50 chars (the one-bad-crawl-row stage killer); >= 1 stop word.
+
+    Scale shape: ONE scan, map-only — every rule is per-row Column
+    algebra inside whole-stage codegen; no shuffle, no Python. The 100 TB
+    plan is the scan itself."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lower(F.trim(F.col("text"))).alias("__t"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.filter(F.split("__t", r"\s+"), lambda t: t != "").alias("__toks"),
+        F.length(F.regexp_replace("__t", r"\s", "")).cast("long").alias(
+            "__nonspace"
+        ),
+        F.length(F.regexp_replace("__t", r"[^a-z]", "")).cast("long").alias(
+            "__alpha"
+        ),
+    )
+    feat = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("__toks").cast("long").alias("n_words"),
+        F.expr(
+            "CASE WHEN size(__toks) = 0 THEN NULL"
+            " ELSE (1000000L * __nonspace) DIV size(__toks) END"
+        ).alias("mean_wlen_millionths"),
+        F.expr(
+            "CASE WHEN __nonspace = 0 THEN 0L"
+            " ELSE (1000000L * __alpha) DIV __nonspace END"
+        ).alias("alpha_millionths"),
+        F.coalesce(
+            F.expr("CAST(array_max(transform(__toks, t -> length(t))) AS BIGINT)"),
+            F.lit(0).cast("long"),
+        ).alias("max_wlen"),
+        F.size(
+            F.filter("__toks", lambda t: t.isin(*_GOPHER_STOPWORDS))
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    rules = feat.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        "mean_wlen_millionths",
+        "alpha_millionths",
+        "max_wlen",
+        "n_stop",
+        F.col("n_words").between(_GOPHER_WC_MIN, _GOPHER_WC_MAX).alias(
+            "rule_word_count"
+        ),
+        F.coalesce(
+            F.col("mean_wlen_millionths").between(
+                _GOPHER_MWL_MIN, _GOPHER_MWL_MAX
+            ),
+            F.lit(False),
+        ).alias("rule_mean_wlen"),
+        (F.col("alpha_millionths") >= _GOPHER_ALPHA_MIN).alias("rule_alpha"),
+        (F.col("max_wlen") <= _GOPHER_MAX_WLEN).alias("rule_max_wlen"),
+        (F.col("n_stop") >= _GOPHER_STOP_MIN).alias("rule_stopwords"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("rule_word_count")
+        & F.col("rule_mean_wlen")
+        & F.col("rule_alpha")
+        & F.col("rule_max_wlen")
+        & F.col("rule_stopwords"),
+    )
+
+
+def _gen_gopher_rules_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS toks,
+         CAST(length(regexp_replace(trim(lower(text)), '\s', '', 'g'))
+              AS BIGINT) AS nonspace,
+         CAST(length(regexp_replace(trim(lower(text)), '[^a-z]', '', 'g'))
+              AS BIGINT) AS alpha
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, source,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) = 0 THEN NULL
+              ELSE CAST((CAST(1000000 AS BIGINT) * nonspace) // len(toks)
+                        AS BIGINT) END AS mean_wlen_millionths,
+         CASE WHEN nonspace = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((CAST(1000000 AS BIGINT) * alpha) // nonspace
+                        AS BIGINT) END AS alpha_millionths,
+         CAST(COALESCE(list_max(list_transform(toks, t -> length(t))), 0)
+              AS BIGINT) AS max_wlen,
+         CAST(len(list_filter(toks, t -> t IN ({stops}))) AS BIGINT)
+           AS n_stop
+  FROM base
+),
+rules AS (
+  SELECT *,
+         n_words BETWEEN {_GOPHER_WC_MIN} AND {_GOPHER_WC_MAX}
+           AS rule_word_count,
+         COALESCE(mean_wlen_millionths
+                    BETWEEN {_GOPHER_MWL_MIN} AND {_GOPHER_MWL_MAX},
+                  FALSE) AS rule_mean_wlen,
+         alpha_millionths >= {_GOPHER_ALPHA_MIN} AS rule_alpha,
+         max_wlen <= {_GOPHER_MAX_WLEN} AS rule_max_wlen,
+         n_stop >= {_GOPHER_STOP_MIN} AS rule_stopwords
+  FROM feat
+)
+SELECT *, rule_word_count AND rule_mean_wlen AND rule_alpha
+          AND rule_max_wlen AND rule_stopwords AS keep
+FROM rules
+"""
+
+
+QUERIES["gopher_rules_docs"] = gopher_rules_docs
+ORACLES["gopher_rules_docs"] = _gen_gopher_rules_sql()
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 11
     # (standing stalest-first rule). (0) new this round — never
     # driver-certified:
     "kmeans_lloyd_embeddings",
     "knn_recall_report",
+    "gopher_rules_docs",
     # (1) touched this round by the r10 ADVICE fixes (DECIMAL/HUGEINT
     # mixture product, rank-based KN terciles, null-safe incremental
     # splits) and the kcore fallback refactor — re-certify:

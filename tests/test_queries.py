@@ -149,6 +149,7 @@ NEW = [
     # r11
     "kmeans_lloyd_embeddings",
     "knn_recall_report",
+    "gopher_rules_docs",
 ]
 
 

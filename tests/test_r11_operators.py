@@ -295,3 +295,56 @@ def test_knn_recall_report_all_methods_clear_floors(spark, sf_dir):
     }
     want = {(m, fl, True) for m, fl in Q._KNN_RECALL_FLOORS.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules_docs — each rule boundary exercised by a hand-built doc
+# ---------------------------------------------------------------------------
+def test_gopher_rules_hand_docs(spark, tmp_path):
+    docs = [
+        # doc 0: clean — passes every rule
+        (0, "the quick brown fox jumps over the lazy dog near a river bank"),
+        # doc 1: too few words (4 < 5)
+        (1, "the of and to"),
+        # doc 2: a 60-char token -> rule_max_wlen fails (and mean wlen high)
+        (2, "the " + "x" * 60 + " of and to in a is for word here now"),
+        # doc 3: no stop words
+        (3, "zebra quokka wombat lemur gecko iguana"),
+        # doc 4: mostly digits -> alpha mass below 60%
+        (4, "the 12345 67890 11111 22222 33333 44444 55555 66666"),
+        # doc 5: empty text -> every count rule fails closed
+        (5, ""),
+        # doc 6: whitespace only
+        (6, "   \t  "),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in Q.QUERIES["gopher_rules_docs"](spark, str(tmp_path)).collect()
+    }
+    assert out[0]["keep"] and all(
+        out[0][c] for c in out[0].asDict() if c.startswith("rule_")
+    )
+    assert not out[1]["rule_word_count"] and not out[1]["keep"]
+    assert not out[2]["rule_max_wlen"] and not out[2]["keep"]
+    assert out[2]["max_wlen"] == 60
+    assert not out[3]["rule_stopwords"] and not out[3]["keep"]
+    assert not out[4]["rule_alpha"] and not out[4]["keep"]
+    for d in (5, 6):
+        assert out[d]["n_words"] == 0
+        assert out[d]["mean_wlen_millionths"] is None
+        assert not out[d]["rule_word_count"]
+        assert not out[d]["rule_mean_wlen"], "NULL mean must fail closed"
+        assert not out[d]["keep"]
+    # cross-engine: identical rows from the oracle on the same fixture
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    orc = {int(t[0]): t for t in con.execute(Q.ORACLES["gopher_rules_docs"]).fetchall()}
+    for i, r in out.items():
+        assert tuple(r) == orc[i], i

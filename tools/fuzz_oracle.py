@@ -119,9 +119,12 @@ DEFAULT_QUERIES = [
     "bm25_term_scores",
     "readability_scores_docs",
     # r11 cohort: zero/duplicate vectors hit the Lloyd loop and the ANN
-    # recall floors; degenerate docs hit the rank-based KN terciles
+    # recall floors; degenerate docs hit the rank-based KN terciles and
+    # every Gopher rule boundary (empty doc, whitespace-only, 5000-char
+    # token, unicode)
     "kmeans_lloyd_embeddings",
     "knn_recall_report",
+    "gopher_rules_docs",
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",
