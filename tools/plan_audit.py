@@ -62,6 +62,20 @@ GLOBAL_WINDOW_OK = {
     "kn_perplexity_docs",
 }
 
+# streaming queries whose STATEFUL operator legitimately runs without an
+# event-time watermark (the default is a violation: state that nothing
+# evicts grows without bound on a real stream):
+STREAM_STATE_OK = {
+    # complete-mode candidate-count aggregate in the bounded-replay
+    # certification harness; the docstring prescribes the production
+    # variant (arrival-time window or per-batch foreachBatch filter)
+    "streaming_dedup_index_probe",
+    # flatMapGroupsWithState / applyInPandasWithState manage their own
+    # eviction via timeouts — watermark not applicable
+    "streaming_stateful_user_totals",
+    "streaming_ewma_user",
+}
+
 # queries whose broadcast-nested-loop join is over an intentionally bounded
 # broadcast side: brute-force knn streams the corpus against a BROADCAST
 # handful of query vectors with a != predicate — the textbook
@@ -240,6 +254,19 @@ def audit(name: str, df, plan: str | None = None) -> dict:
         if m:
             cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
             res["scans"].append(cols)
+    # streaming state audit (r11): stateful operators without an event-time
+    # watermark accumulate state nothing evicts — the streaming twin of the
+    # global-window hazard. Only meaningful on harvested streaming plans.
+    res["stateful"] = bool(
+        re.search(
+            r"StateStoreSave|SessionWindowStateStoreSave"
+            r"|StreamingSymmetricHashJoin|StreamingDeduplicate"
+            r"|FlatMapGroupsWithState|FlatMapGroupsInPandasWithState"
+            r"|TransformWithState",
+            plan,
+        )
+    )
+    res["watermarked"] = "EventTimeWatermark" in plan
     return res
 
 
@@ -332,7 +359,20 @@ def main() -> None:
         if r["bnl"] and r["name"] not in BNL_OK:
             violations.append(f"{r['name']}: BroadcastNestedLoopJoin")
         scans = "; ".join(",".join(s) for s in r["scans"][:4]) or "-"
-        label = r["name"] + (" ⟲" if r.get("streaming") else "")
+        label = r["name"]
+        if r.get("streaming"):
+            if r["stateful"] and r["watermarked"]:
+                label += " ⟲ wm"
+            elif r["stateful"] and r["name"] in STREAM_STATE_OK:
+                label += " ⟲ state-no-wm (timeout-evicted / certification harness)"
+            elif r["stateful"]:
+                label += " ⟲ **STATE-NO-WM**"
+                violations.append(
+                    f"{r['name']}: stateful streaming operator without "
+                    "an event-time watermark (unbounded state)"
+                )
+            else:
+                label += " ⟲ stateless"
         md.append(
             f"| {label} | {r['exchanges']} | {r['bhj']} | {r['smj']} | {r['bnl']} "
             f"| {r['codegen']} | {gw} | {scans[:100]} |"
