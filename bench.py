@@ -268,6 +268,7 @@ HEADLINE = [
     "kmeans_lloyd_embeddings",
     "knn_recall_report",
     "gopher_rules_docs",
+    "kmeans_incremental_assign",
 ]
 
 

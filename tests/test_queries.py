@@ -150,6 +150,7 @@ NEW = [
     "kmeans_lloyd_embeddings",
     "knn_recall_report",
     "gopher_rules_docs",
+    "kmeans_incremental_assign",
 ]
 
 

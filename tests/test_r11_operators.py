@@ -274,6 +274,30 @@ def test_kmeans_lloyd_matches_python_reference(spark, tmp_path):
 # ---------------------------------------------------------------------------
 # knn_recall_report — one hash-locked recall row per ANN method
 # ---------------------------------------------------------------------------
+def test_kmeans_incremental_assign_index_reused_and_gated(spark, sf_dir):
+    out1 = Q.QUERIES["kmeans_incremental_assign"](spark, sf_dir)
+    rows1 = out1.collect()
+    assert rows1 and all(r["index_not_retrained_ok"] for r in rows1)
+    # increment = odd vec_ids only
+    assert all(r["vec_id"] % 2 == 1 for r in rows1)
+    # memoized model: the second call reuses the SAME parquet path
+    p1 = Q._kmeans_centroid_index(spark, sf_dir)
+    p2 = Q._kmeans_centroid_index(spark, sf_dir)
+    assert p1 == p2
+    # assignments agree with a direct assignment against the stored model
+    cdf = spark.read.parquet(p1)
+    inc = Q._kmeans_quantize(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+            Q._inc_pred("vec_id")
+        )
+    )
+    direct = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in Q._kmeans_assign(inc, cdf).collect()
+    }
+    assert {r["vec_id"]: (r["cluster"], r["dist2"]) for r in rows1} == direct
+
+
 def test_knn_recall_report_all_methods_clear_floors(spark, sf_dir):
     rows = {
         r["method"]: r

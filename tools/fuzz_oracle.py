@@ -125,6 +125,7 @@ DEFAULT_QUERIES = [
     "kmeans_lloyd_embeddings",
     "knn_recall_report",
     "gopher_rules_docs",
+    "kmeans_incremental_assign",
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",

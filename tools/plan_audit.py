@@ -161,6 +161,9 @@ BNL_OK: set[str] = {
     # r11 — full Lloyd loop: same K-row broadcast centroid crossJoin per
     # round + the 1-row convergence-count scalar (q11 threshold class)
     "kmeans_lloyd_embeddings",
+    # r11 — incremental assignment: one broadcast-K centroid crossJoin
+    # over the increment (same bounded-build class)
+    "kmeans_incremental_assign",
     # heavy hitters: the 1-row sketch aggregate cross-joined onto the k-row
     # exact table — bounded scalar, same class as q11's threshold
     "approx_top_terms",

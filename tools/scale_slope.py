@@ -137,6 +137,9 @@ FAMILIES = [
     # slice; slope tracks the knn family's)
     "kmeans_lloyd_embeddings",
     "knn_recall_report",
+    # persisted-centroid incremental assignment: one broadcast-K pass over
+    # the increment only; slope ~K of the increment scan
+    "kmeans_incremental_assign",
 ]
 
 
