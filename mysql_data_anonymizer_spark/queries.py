@@ -12605,6 +12605,12 @@ def kn_perplexity_docs(spark, sf_dir):
             "n_bigrams",
             F.expr("kn_sum DIV n_bigrams").cast("long").alias("kn_score"),
         )
+        # one row per document (the kmeans/cc node-sized-state class),
+        # checkpointed so the KN contrib evaluation — the expensive stage,
+        # 3 SMJs + the per-bigram division — runs exactly ONCE: the tercile
+        # cuts AND the final projection both read this table (without it,
+        # each consumer re-evaluated the whole pipeline; measured 4.1x)
+        .localCheckpoint(eager=True)
     )
     all_ids = base.select("doc_id").distinct()
     scored = all_ids.join(per_doc, "doc_id", "left").select(
@@ -12622,17 +12628,23 @@ def kn_perplexity_docs(spark, sf_dir):
     # size, which makes the single-partition cumulative window below
     # broadcast-class (bounded-domain, GLOBAL_WINDOW_OK), not a global
     # sort of the corpus.
-    freq = (
-        scored.where(F.col("kn_score").isNotNull())
-        .groupBy("kn_score")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    # bounded domain (<= 1e6+1 rows at ANY corpus size); reads the per_doc
+    # checkpoint, so deriving the cuts costs one tiny agg, not a pipeline
+    # re-run. NULL scores only come from the all_ids left join — per_doc
+    # itself never has a NULL kn_score — so freq can read per_doc directly.
+    freq = per_doc.groupBy("kn_score").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
     )
     wcum = Window.orderBy("kn_score").rowsBetween(Window.unboundedPreceding, 0)
-    cum = freq.select(
-        "kn_score", F.sum("__c").over(wcum).cast("long").alias("__cum")
+    wall = Window.orderBy("kn_score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    nn = freq.agg(F.sum("__c").cast("long").alias("__n"))
-    cuts = cum.crossJoin(F.broadcast(nn)).agg(
+    cum = freq.select(
+        "kn_score",
+        F.sum("__c").over(wcum).cast("long").alias("__cum"),
+        F.sum("__c").over(wall).cast("long").alias("__n"),
+    )
+    cuts = cum.agg(
         F.min(
             F.when(F.expr("__cum >= (__n + 2L) DIV 3L"), F.col("kn_score"))
         ).alias("c1"),
