@@ -1,0 +1,88 @@
+"""Round-12 tests: pins for the r11 ADVICE fixes (NULL-doc_id KN tercile
+population, truncation-proof index_not_retrained_ok, explicit stream-plan
+harvest keys), then the round-12 operator cohort."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_data_anonymizer_spark import queries as Q
+
+
+# ---------------------------------------------------------------------------
+# kn_perplexity_docs — a NULL-doc_id document with bigrams must be EXCLUDED
+# from the tercile cut population (r11 ADVICE medium): scored's equality
+# join drops the NULL key in both engines, so the cuts must be computed
+# from scored, not per_doc, or Spark's cuts shift corpus-wide vs DuckDB.
+# ---------------------------------------------------------------------------
+def test_kn_tercile_null_doc_id_excluded_from_cuts(spark, tmp_path):
+    rows = [
+        (0, "a b a b a c", "src0"),  # reference trainer
+        (1, "a b", "other"),
+        (2, "z b", "other"),
+        (3, "a z", "other"),
+        (None, "a b a b", "other"),  # NULL doc_id WITH bigrams
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = Q.QUERIES["kn_perplexity_docs"](spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # the NULL-doc_id row surfaces (all_ids keeps it) but scores NULL/tail
+    assert by_id[None]["kn_score"] is None
+    assert by_id[None]["bucket"] == "tail"
+    # cut population = the non-NULL-scored rows of scored ONLY; replay the
+    # rank-based cuts over exactly that population and check every bucket
+    scores = sorted(
+        r["kn_score"] for r in out if r["kn_score"] is not None
+    )
+    n = len(scores)
+    c1 = scores[(n + 2) // 3 - 1]
+    c2 = scores[(2 * n + 2) // 3 - 1]
+    for r in out:
+        s = r["kn_score"]
+        want = "tail" if s is None or s <= c1 else ("middle" if s <= c2 else "head")
+        assert r["bucket"] == want, (r["doc_id"], s, c1, c2, r["bucket"])
+    # and the oracle agrees row-for-row on the same fixture
+    con = duckdb.connect()
+    pq = str(tmp_path / "documents.parquet") + "/*.parquet"
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    oracle = con.execute(Q.ORACLES["kn_perplexity_docs"]).fetchall()
+    key = lambda t: (t[0] is None, t[0])  # noqa: E731
+    spark_rows = sorted(
+        ((r["doc_id"], r["n_bigrams"], r["kn_score"], r["bucket"]) for r in out),
+        key=key,
+    )
+    oracle_rows = sorted(((d, nb, ks, b) for d, nb, ks, b, _ in oracle), key=key)
+    assert spark_rows == oracle_rows
+
+
+# ---------------------------------------------------------------------------
+# _plan_str_full — the layout-certification render must survive FileScan
+# location truncation (r11 ADVICE low): the default plan render clips
+# locations at spark.sql.maxMetadataStringLength (100), so a long fixture
+# path swallows the '<table>.parquet' token and a substring gate
+# false-passes while the corpus IS being scanned.
+# ---------------------------------------------------------------------------
+def test_plan_str_full_survives_long_paths(spark, tmp_path):
+    deep = tmp_path
+    for i in range(8):
+        deep = deep / ("x" * 24 + str(i))
+    deep.mkdir(parents=True)
+    assert len(str(deep)) > 150
+    spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(deep / "documents.parquet"))
+    df = spark.read.parquet(str(deep / "documents.parquet")).where("doc_id > 0")
+    default_render = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in default_render, (
+        "fixture no longer reproduces the truncation hazard"
+    )
+    # FileSourceScanExec.metadata is a lazy val frozen at FIRST render, so
+    # the helper must see a fresh plan (exactly how the queries call it)
+    df2 = spark.read.parquet(str(deep / "documents.parquet")).where("doc_id > 0")
+    full_render = Q._plan_str_full(df2)
+    assert "documents.parquet" in full_render
+    # conf restored after the render
+    assert int(spark.conf.get("spark.sql.maxMetadataStringLength")) <= 1024

@@ -295,6 +295,12 @@ def main() -> None:
         default=None,
         help="comma-separated subset of registry queries (bench.py parity)",
     )
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="allow a --queries subset run to overwrite the default gate "
+        "artifact (PLANS.md) — normally refused (r11 ADVICE)",
+    )
     args = ap.parse_args()
 
     if not os.path.isdir(args.sf_dir) or not os.path.exists(
@@ -335,6 +341,15 @@ def main() -> None:
 
     md = [
         "# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
+    ]
+    if subset is not None:
+        # subset outputs are self-declaring so a partial table can never
+        # masquerade as the full gate artifact (r11 ADVICE)
+        md.append(
+            f"\n**PARTIAL ({len(names)}/{len(Q.QUERIES)} registry queries"
+            " — NOT the gate artifact)**"
+        )
+    md += [
         "",
         f"Fixtures: `{args.sf_dir}`. Plan *shape* audit — the scale invariants",
         "the engine promises (no unbounded single-partition stages, keyed",
@@ -390,6 +405,19 @@ def main() -> None:
         print(text)
     else:
         out_md = args.out or "PLANS.md"
+        if (
+            subset is not None
+            and os.path.basename(out_md) == "PLANS.md"
+            and not args.force
+        ):
+            ap.error(
+                f"--queries subset targeting the gate artifact {out_md!r} "
+                "would replace the full 244-row table with a partial one; "
+                "pass --force if you really mean it (r11 ADVICE)"
+            )
+        # the >5% error-rate refusal is meaningless on tiny subsets
+        # (max(1, n//20) degrades to 'half the rows may error'); only the
+        # full-registry run may write through the error gate
         if rows and n_err > max(1, len(rows) // 20):
             rej = out_md + ".rejected"
             open(rej, "w").write(text)
