@@ -269,6 +269,8 @@ HEADLINE = [
     "knn_recall_report",
     "gopher_rules_docs",
     "kmeans_incremental_assign",
+    # r12
+    "knn_ivf_kmeans_indexed",
 ]
 
 

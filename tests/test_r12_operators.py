@@ -86,3 +86,59 @@ def test_plan_str_full_survives_long_paths(spark, tmp_path):
     assert "documents.parquet" in full_render
     # conf restored after the render
     assert int(spark.conf.get("spark.sql.maxMetadataStringLength")) <= 1024
+
+
+# ---------------------------------------------------------------------------
+# _ivf_scan_pruned — must parse BOTH literal partition-filter renders:
+# INSET (>10 values) and IN (...) (below the inSetConversionThreshold, the
+# small-nprobe regime knn_ivf_kmeans_indexed probes in)
+# ---------------------------------------------------------------------------
+def test_ivf_scan_pruned_parses_in_and_inset():
+    tpl = (
+        "FileScan parquet spark_catalog.default.ivftbl[vec_id#1L,cell#2L] "
+        "Batched: true, PartitionFilters: [{pf}], PushedFilters: []"
+    )
+    assert Q._ivf_scan_pruned(tpl.format(pf="cell#2L IN (0,2,4)"), "ivftbl", 8)
+    assert Q._ivf_scan_pruned(
+        tpl.format(pf="cell#2L INSET 0,1,2,3,4,5,6,7,8,9,10"), "ivftbl", 16
+    )
+    # full enumeration prunes nothing
+    assert not Q._ivf_scan_pruned(
+        tpl.format(pf="cell#2L IN (0,1,2,3,4,5,6,7)"), "ivftbl", 8
+    )
+    # truncated metadata fails CLOSED
+    assert not Q._ivf_scan_pruned(
+        tpl.format(pf="cell#2L IN (0,2), ... 4 more fields"), "ivftbl", 8
+    )
+    # wrong table anchor
+    assert not Q._ivf_scan_pruned(tpl.format(pf="cell#2L IN (0,2)"), "other", 8)
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_kmeans_indexed — the unified-trainer IVF: one persisted Lloyd
+# model drives both clustering and the ANN inverted file; all three
+# certification gates must hold on the real fixture
+# ---------------------------------------------------------------------------
+def test_knn_ivf_kmeans_indexed_gates(spark):
+    out = Q.QUERIES["knn_ivf_kmeans_indexed"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 25  # 5 queries x k=5 exact twin rows
+    gates = {
+        (r["recall_ok"], r["probe_bounded_ok"], r["model_reused_ok"])
+        for r in rows
+    }
+    assert gates == {(True, True, True)}, gates
+    # one training path: the inverted file's cells are exactly the persisted
+    # Lloyd model's cids (no second trainer introduced new cells)
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    cdf = spark.read.parquet(
+        Q._kmeans_centroid_index(spark, "/root/testdata/sf0.001")
+    )
+    model_cids = {int(r["cid"]) for r in cdf.collect()}
+    tbl = Q._kmeans_ivf_index(spark, "/root/testdata/sf0.001")
+    index_cells = {
+        int(r["cell"])
+        for r in spark.table(tbl).select("cell").distinct().collect()
+    }
+    assert index_cells <= model_cids

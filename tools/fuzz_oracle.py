@@ -126,6 +126,9 @@ DEFAULT_QUERIES = [
     "knn_recall_report",
     "gopher_rules_docs",
     "kmeans_incremental_assign",
+    # r12 cohort: the unified-trainer IVF probes the fuzzed corpus (zero/
+    # huge/duplicate vectors land in model cells and the re-rank)
+    "knn_ivf_kmeans_indexed",
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",

@@ -164,6 +164,14 @@ BNL_OK: set[str] = {
     # r11 — incremental assignment: one broadcast-K centroid crossJoin
     # over the increment (same bounded-build class)
     "kmeans_incremental_assign",
+    # r12 — unified-trainer IVF: query-side broadcast-K centroid crossJoin
+    # (probe assignment) + the exact matmul twin's bounded broadcast theta
+    # join + the 1-row hit-count scalar — knn_ivf_indexed class
+    "knn_ivf_kmeans_indexed",
+    # r12 — the recall report now embeds the ivf_kmeans probe, whose
+    # query-side K-row centroid crossJoin is the same bounded-build class
+    # (plus the per-method 1-row hit-count scalars it always had)
+    "knn_recall_report",
     # heavy hitters: the 1-row sketch aggregate cross-joined onto the k-row
     # exact table — bounded scalar, same class as q11's threshold
     "approx_top_terms",
