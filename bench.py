@@ -271,6 +271,7 @@ HEADLINE = [
     "kmeans_incremental_assign",
     # r12
     "knn_ivf_kmeans_indexed",
+    "quality_score_docs",
 ]
 
 

@@ -14146,6 +14146,180 @@ QUERIES["gopher_rules_docs"] = gopher_rules_docs
 ORACLES["gopher_rules_docs"] = _gen_gopher_rules_sql()
 
 
+# Model-based quality scorer (r11 verdict item 5): hashed-NGRAM logistic
+# weights as a LITERAL broadcast table — the model-artifact shape (a
+# trained classifier ships as K weight rows, not code). Deterministic
+# pseudo-trained values in exact millionths, generated once here and
+# embedded in BOTH engines' plans so they cannot drift.
+_QS_DIM = 64
+_QS_SEED = "qs12"
+
+
+def _qs_weights() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for f in range(_QS_DIM):
+        h = hashlib.md5(f"{_QS_SEED}:{f}".encode()).hexdigest()
+        out.append((f, int(h[:8], 16) % 2_000_001 - 1_000_000))
+    return out
+
+
+_QS_WEIGHT_ROWS = _qs_weights()
+
+
+def quality_score_docs(spark, sf_dir):
+    """Model-based document quality score — the second curation stage the
+    FineWeb/RefinedWeb recipe runs AFTER the Gopher rule pre-filter
+    (`gopher_rules_docs`): a linear classifier over hashed n-gram features
+    with a logistic squash (fastText / DCLM / fineweb-edu classifier
+    shape). Differs from `quality_classifier_scores` (hashed-unigram mean
+    weight, keyed stand-in weights inlined as expressions) in all three
+    model dimensions: features are unigrams AND bigrams (the n-gram
+    channel real classifiers rely on), weights live in a LITERAL
+    BROADCAST TABLE keyed by feature id — the trained-model-artifact
+    shape, swap the 64 rows for a real model's weights and nothing else
+    changes — and the output is a logistic probability.
+
+    Exact-integer end to end (no transcendental): weights are millionths;
+    the doc logit is the exact mean feature weight z = dot DIV n_feats
+    (BIGINT, |z| <= 1e6); the sigmoid is the ALGEBRAIC logistic
+    sigma(z) = (1 + z/sqrt(1+z^2))/2, whose only non-rational op is one
+    integer square root — computed with the engine-portable exact-root
+    pattern (`_root_seed_sql` double seed + BIGINT candidate correction,
+    the mixture_alpha_weights discipline), so score_millionths = 500000 +
+    (500000*z) DIV isqrt(1e12 + z^2) is bit-identical in both engines.
+    Overflow bound: 1e12 + z^2 <= 2e12 < 2^62; 500000*|z| <= 5e11.
+    Empty/token-less docs score NULL and keep=false.
+
+    Scale shape: ONE corpus scan -> n-gram explode (~2x tokens) ->
+    BROADCAST hash join against the 64-row weight table -> map-side-
+    combinable per-doc agg; the sigmoid is per-doc Column algebra. At
+    100 TB the cost is the scan + one keyed agg; the weight table
+    broadcasts at any model size that fits an executor (fastText quality
+    heads are KBs)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    base = docs.select("doc_id", toks.alias("tk"))
+    nln = F.greatest(F.size("tk") - 1, F.lit(0))
+    feats = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform("tk", lambda t: text._md5_u32(t) % F.lit(_QS_DIM)),
+                F.zip_with(
+                    F.slice("tk", F.lit(1), nln),
+                    F.slice("tk", F.lit(2), nln),
+                    lambda a, b: text._md5_u32(F.concat(a, F.lit(" "), b))
+                    % F.lit(_QS_DIM),
+                ),
+            )
+        ).alias("f"),
+    )
+    wdf = spark.createDataFrame(_QS_WEIGHT_ROWS, "f long, w long")
+    per_doc = (
+        feats.join(F.broadcast(wdf), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w").cast("long").alias("dot"),
+        )
+    )
+    scored = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .withColumn(
+            "logit_millionths",
+            F.expr("CASE WHEN n_feats > 0 THEN dot DIV n_feats END").cast("long"),
+        )
+        .withColumn(
+            "__x",
+            F.expr(
+                "1000000000000L + logit_millionths * logit_millionths"
+            ),
+        )
+        .withColumn("__r0", F.expr(_root_seed_sql("__x", 2)))
+        .withColumn(
+            "score_millionths",
+            F.expr(
+                f"500000L + (500000L * logit_millionths)"
+                f" DIV ({_root_correct_sql(2)})"
+            ).cast("long"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.coalesce(F.col("n_feats"), F.lit(0).cast("long")).alias("n_feats"),
+        "logit_millionths",
+        "score_millionths",
+        F.coalesce(F.col("score_millionths") >= 500000, F.lit(False)).alias(
+            "keep"
+        ),
+    )
+
+
+def _gen_quality_score_sql() -> str:
+    vals = ", ".join(f"({f}, {w})" for f, w in _QS_WEIGHT_ROWS)
+    uni = _sql_md5_u32("md5(w)", 1)
+    big = _sql_md5_u32("md5(a.w || ' ' || b.w)", 1)
+    return rf"""
+WITH wt(f, w) AS (VALUES {vals}),
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS i FROM base
+),
+feats AS (
+  SELECT doc_id, ({uni} % {_QS_DIM}) AS f FROM pos
+  UNION ALL
+  SELECT a.doc_id, ({big} % {_QS_DIM}) AS f
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(wt.w) AS BIGINT) AS dot
+  FROM feats JOIN wt USING (f)
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(p.n_feats, 0) AS n_feats,
+         CASE WHEN p.n_feats > 0
+              THEN CAST(p.dot // p.n_feats AS BIGINT) END AS logit_millionths
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN per_doc p USING (doc_id)
+),
+rooted AS (
+  SELECT *,
+         CAST(1000000000000 AS BIGINT)
+           + logit_millionths * logit_millionths AS __x
+  FROM scored
+),
+seeded AS (
+  SELECT *, {_root_seed_sql("__x", 2)} AS __r0 FROM rooted
+)
+SELECT doc_id, n_feats, logit_millionths,
+       CAST(500000 + (500000 * logit_millionths)
+            // ({_root_correct_sql(2)}) AS BIGINT) AS score_millionths,
+       COALESCE(500000 + (500000 * logit_millionths)
+                // ({_root_correct_sql(2)}) >= 500000,
+                FALSE) AS keep
+FROM seeded
+"""
+
+
+QUERIES["quality_score_docs"] = quality_score_docs
+ORACLES["quality_score_docs"] = _gen_quality_score_sql()
+
+
 _CHECK_FIRST = [
     # Ordering for the driver's bounded (~50-query) sample, round 11
     # (standing stalest-first rule). (0) new this round — never

@@ -142,3 +142,54 @@ def test_knn_ivf_kmeans_indexed_gates(spark):
         for r in spark.table(tbl).select("cell").distinct().collect()
     }
     assert index_cells <= model_cids
+
+
+# ---------------------------------------------------------------------------
+# quality_score_docs — hashed-ngram logistic scorer: hand-replicated
+# features/weights/exact-root sigmoid must match, empty docs score NULL
+# ---------------------------------------------------------------------------
+def _qs_expected(texts):
+    import hashlib
+    import math
+
+    def u32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def tdiv(a, b):  # BIGINT DIV: truncation toward zero, not Python floor
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    w = {f: wv for f, wv in Q._QS_WEIGHT_ROWS}
+    out = {}
+    for i, t in enumerate(texts):
+        tk = [x for x in t.strip().lower().split() if x]
+        feats = [u32(x) % Q._QS_DIM for x in tk] + [
+            u32(a + " " + b) % Q._QS_DIM for a, b in zip(tk, tk[1:])
+        ]
+        if not feats:
+            out[i] = (0, None, None, False)
+            continue
+        dot = sum(w[f] for f in feats)
+        z = tdiv(dot, len(feats))
+        r = math.isqrt(10**12 + z * z)
+        s = 500000 + tdiv(500000 * z, r)
+        out[i] = (len(feats), z, s, s >= 500000)
+    return out
+
+
+def test_quality_score_docs_hand_computed(spark, tmp_path):
+    texts = ["alpha beta gamma", "beta beta", "  ", "", "one"]
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["n_feats"],
+            r["logit_millionths"],
+            r["score_millionths"],
+            r["keep"],
+        )
+        for r in Q.QUERIES["quality_score_docs"](spark, str(tmp_path)).collect()
+    }
+    assert got == _qs_expected(texts)

@@ -127,8 +127,11 @@ DEFAULT_QUERIES = [
     "gopher_rules_docs",
     "kmeans_incremental_assign",
     # r12 cohort: the unified-trainer IVF probes the fuzzed corpus (zero/
-    # huge/duplicate vectors land in model cells and the re-rank)
+    # huge/duplicate vectors land in model cells and the re-rank); the
+    # logistic scorer's n-gram explode and exact-root sigmoid meet empty/
+    # whitespace/unicode/5000-char-token docs
     "knn_ivf_kmeans_indexed",
+    "quality_score_docs",
     "approx_top_terms",
     "fuzzy_pairs_symdelete",
     "trigram_name_matches",
