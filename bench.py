@@ -272,6 +272,8 @@ HEADLINE = [
     # r12
     "knn_ivf_kmeans_indexed",
     "quality_score_docs",
+    "streaming_ewma_user_wm",
+    "streaming_dedup_index_probe_wm",
 ]
 
 

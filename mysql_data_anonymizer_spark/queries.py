@@ -11265,6 +11265,125 @@ QUERIES["streaming_dedup_index_probe"] = streaming_dedup_index_probe
 ORACLES["streaming_dedup_index_probe"] = STREAMING_INDEX_PROBE_SQL
 
 
+_SDIP_WM_EPOCH = 1_700_000_000  # synthetic arrival-time base (docs carry none)
+_SDIP_WM_WINDOW_S = 30
+_SDIP_WM_DELAY_S = 15
+
+
+def streaming_dedup_index_probe_wm(spark, sf_dir):
+    """Watermarked twin of ``streaming_dedup_index_probe`` (r11 verdict
+    item 6): the no-wm sibling certifies candidate generation with a
+    complete-mode aggregate whose state grows with distinct doc_ids; this
+    is the BOUNDED-STATE production topology — each arriving document
+    carries an event time (synthesized deterministically as epoch +
+    doc_id seconds, since the fixture has none; overflow bound doc_id <
+    9e12), the stream is watermarked 15 s, and the per-doc candidate
+    aggregate is keyed by a 30 s tumbling window in APPEND mode, so
+    window state is EVICTED once the watermark passes it and only
+    finalized windows emit. The oracle replays the finalization boundary
+    exactly: final watermark = max event time over shingled increment
+    docs - 15 s, and a window is emitted iff window_end <= watermark
+    (inclusive tie — the empirically pinned append-mode behavior, see
+    streaming_dedup_then_window). Stream-static join against the
+    persisted posting index stays stateless, exactly as in the
+    sibling."""
+    import uuid
+
+    pt, _st = _neardup_index(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="mda_stream_ndidxwm_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    post = spark.table(pt)
+    with _stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .parquet(stage)
+            .where(_inc_pred())
+        )
+        sh = (
+            stream.select(
+                "doc_id",
+                F.timestamp_seconds(
+                    F.lit(_SDIP_WM_EPOCH) + F.coalesce(F.col("doc_id"), F.lit(0))
+                ).alias("ts"),
+                F.explode(
+                    dedup.shingle_expr(
+                        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 3
+                    )
+                ).alias("sh"),
+            )
+            .where(F.col("sh") != "")
+            .withWatermark("ts", f"{_SDIP_WM_DELAY_S} seconds")
+        )
+        joined = sh.join(post, "sh")
+        agg = joined.groupBy(
+            F.window("ts", f"{_SDIP_WM_WINDOW_S} seconds"), "doc_id"
+        ).agg(
+            F.size(F.collect_set("corpus_id")).cast("long").alias("n_candidates")
+        )
+        name = f"stream_ndidxwm_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    _await_stream(spark, q, name="streaming_dedup_index_probe_wm")
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("window.start")).cast("long").alias(
+            "window_start_sec"
+        ),
+        "doc_id",
+        "n_candidates",
+    )
+
+
+STREAMING_INDEX_PROBE_WM_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, COALESCE((doc_id % 2 + 2) % 2, 0) = 1 AS is_new,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, is_new,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE CAST([] AS VARCHAR[]) END)) AS sh
+  FROM docs
+),
+sh1 AS (SELECT doc_id, is_new, sh FROM sh0 WHERE sh <> ''),
+cpost0 AS (SELECT sh, doc_id AS cid FROM sh1 WHERE NOT is_new),
+ckeep AS (SELECT sh FROM cpost0 GROUP BY sh HAVING count(*) <= 100),
+cpost AS (SELECT c.sh, c.cid FROM cpost0 c JOIN ckeep USING (sh)),
+nsh AS (SELECT doc_id, sh FROM sh1 WHERE is_new),
+-- final watermark: max synthetic event time over the SHINGLED increment
+-- stream (the rows that reach the EventTimeWatermark node) minus the delay
+wm AS (
+  SELECT MAX({_SDIP_WM_EPOCH} + COALESCE(doc_id, 0)) - {_SDIP_WM_DELAY_S} AS w
+  FROM (SELECT DISTINCT doc_id FROM nsh) t
+),
+cand AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_candidates
+  FROM nsh JOIN cpost USING (sh)
+  GROUP BY doc_id
+)
+SELECT CAST(({_SDIP_WM_EPOCH} + COALESCE(doc_id, 0)) // {_SDIP_WM_WINDOW_S}
+            * {_SDIP_WM_WINDOW_S} AS BIGINT) AS window_start_sec,
+       doc_id, n_candidates
+FROM cand
+-- inclusive tie: append mode DOES emit a window whose end equals the final
+-- watermark (test_append_mode_emits_watermark_tie_window)
+WHERE ({_SDIP_WM_EPOCH} + COALESCE(doc_id, 0)) // {_SDIP_WM_WINDOW_S}
+      * {_SDIP_WM_WINDOW_S} + {_SDIP_WM_WINDOW_S} <= (SELECT w FROM wm)
+"""
+
+
+QUERIES["streaming_dedup_index_probe_wm"] = streaming_dedup_index_probe_wm
+ORACLES["streaming_dedup_index_probe_wm"] = STREAMING_INDEX_PROBE_WM_SQL
+
+
 # ===========================================================================
 # registry ordering: entries the driver has never recorded a CORRECTNESS row
 # for come FIRST, so a bounded correctness pass always reaches them before
@@ -11989,6 +12108,59 @@ GROUP BY user_id, n_events, n_window
 
 QUERIES["streaming_ewma_user"] = streaming_ewma_user
 ORACLES["streaming_ewma_user"] = STREAMING_EWMA_SQL
+
+
+def streaming_ewma_user_wm(spark, sf_dir):
+    """Watermarked + TTL twin of ``streaming_ewma_user`` (r11 verdict item
+    6 — the two state-no-wm rows were the streaming story's open flank):
+    identical FIFO-EWMA state machine, but the stream carries a 30-minute
+    event-time watermark and per-user state uses EventTimeTimeout with a
+    2-hour TTL — a user idle for 2 hours of event time is EVICTED (state
+    removed, nothing emitted), so state is watermark-bounded O(active
+    keys x 20) instead of growing with the key universe. This is the
+    production topology; the no-wm sibling remains the certification
+    harness. On the bounded fixture replay every user's last event is
+    within TTL of the final watermark, so eviction only ever fires after
+    a user's final row is already in the sink — the streaming result
+    still equals the batch EWMA oracle row-for-row, which is exactly what
+    the driver asserts (same oracle SQL as the sibling)."""
+    import uuid
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import stateful_user_ewma
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="mda_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    clamp = F.lit(4_000_000_000_000).cast("long")
+    vm = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
+    with _stream_shuffle(spark):
+        stream = _ts_fix(
+            spark.readStream.schema(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+            .parquet(stage)
+        )
+        prepared = stream.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.greatest(F.least(vm, clamp), -clamp).alias("vm"),
+        ).withWatermark("ts", "30 minutes")
+        agg = stateful_user_ewma(prepared, ttl_seconds=7200)
+        name = f"stream_ewma_wm_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    _await_stream(spark, q, name="streaming_ewma_user_wm")
+    return spark.table(name).select(
+        "user_id", "n_events", "n_window", "ewma_millionths"
+    )
+
+
+QUERIES["streaming_ewma_user_wm"] = streaming_ewma_user_wm
+ORACLES["streaming_ewma_user_wm"] = STREAMING_EWMA_SQL
 
 
 
@@ -14321,66 +14493,22 @@ ORACLES["quality_score_docs"] = _gen_quality_score_sql()
 
 
 _CHECK_FIRST = [
-    # Ordering for the driver's bounded (~50-query) sample, round 11
+    # Ordering for the driver's bounded (~50-query) sample, round 12
     # (standing stalest-first rule). (0) new this round — never
     # driver-certified:
-    "kmeans_lloyd_embeddings",
-    "knn_recall_report",
-    "gopher_rules_docs",
-    "kmeans_incremental_assign",
-    # (1) touched this round by the r10 ADVICE fixes (DECIMAL/HUGEINT
-    # mixture product, rank-based KN terciles, null-safe incremental
-    # splits) and the kcore fallback refactor — re-certify:
+    "knn_ivf_kmeans_indexed",
+    "quality_score_docs",
+    "streaming_ewma_user_wm",
+    "streaming_dedup_index_probe_wm",
+    # (1) semantics/gates changed this round by the r11 ADVICE fixes
+    # (NULL-doc_id KN cut population; truncation-proof plan gates) and the
+    # recall report's new ivf_kmeans method row — re-certify:
     "kn_perplexity_docs",
-    "mixture_alpha_weights",
+    "knn_recall_report",
+    "kmeans_incremental_assign",
     "drift_incremental_merge",
-    "dedup_incremental_new_docs",
-    "dedup_incremental_indexed",
-    "streaming_dedup_index_probe",
-    "kcore_copurchase_parts",
-    # (2) stalest latest-cert first: the 3 r5 stragglers (two already
-    # re-verified by the r10 judge), then the full r6 cohort (50 — the
-    # stale front; whatever the sample doesn't reach stays at the head
-    # for r12):
-    "zorder_lineitem_key3",
-    "zorder_orders_key",
-    "zscore_acctbal_per_segment",
-    "benford_first_digit_audit",
-    "bloom_join_pruned_revenue",
-    "bm25_term_scores",
-    "bucketed_join_revenue",
-    "cms_frequency_parts",
-    "compact_small_files_events",
-    "crypto_shred_rtbf",
-    "decontaminate_bloom_ngrams",
-    "dedup_boilerplate_chunks",
-    "dedup_ngram_containment",
-    "dp_bounded_sum_events",
-    "dp_noised_counts_customers",
-    "dq_checks_orders",
-    "embedding_norms_arrow",
-    "entity_clusters_parts",
-    "frequent_part_pairs",
-    "gapfill_recursive_days",
-    "hll_intersection_users",
-    "hll_union_rollup_users",
-    "interpolate_hourly_values",
-    "knn_ivfpq",
-    "knn_sq8",
-    "lateral_top2_orders_per_customer",
-    "mask_date_shift_orders",
-    "mask_fpe_card_customers",
-    "mask_microaggregate_acctbal",
-    "mask_plan_manifest",
-    "mask_pram_mktsegment",
-    "mask_report_synchro_cascade",
-    "mask_swap_acctbal_nation",
-    "max_concurrent_events_sweepline",
-    "not_in_null_aware_customers",
-    "ohlc_hourly_events",
-    "partition_pruned_orders_agg",
-    "pydatasource_write_roundtrip",
-    "readability_scores_docs",
+    # (2) stalest latest-cert first (r11 verdict item 1: wipe out the
+    # r6/r7 stale front): the full r6 cohort (14) ...
     "schema_evolution_merge_read",
     "split_leakage_safe",
     "streaming_mask_pseudonymize",
@@ -14395,6 +14523,52 @@ _CHECK_FIRST = [
     "udtf_trigram_stats",
     "user_daily_streaks",
     "xml_source_agg",
+    # ... then the full r7 cohort (44) — whatever the ~50-sample doesn't
+    # reach stays at the head for r13:
+    "approx_quantiles_events_value",
+    "approx_top_terms",
+    "bigram_collocations",
+    "binaryfile_media_manifest",
+    "cap_docs_per_source",
+    "cdc_apply_changelog_orders",
+    "chunk_docs_for_rag",
+    "cohort_retention_weekly",
+    "csv_source_agg",
+    "customer_order_keys_array",
+    "doc_top_terms",
+    "explode_doc_sentences",
+    "funnel_view_click_purchase",
+    "hybrid_search_rrf",
+    "importance_sample_docs",
+    "incremental_agg_users",
+    "json_props_struct",
+    "json_source_agg",
+    "k_anonymity_audit_customers",
+    "kmeans_assign_step",
+    "l_diversity_audit_customers",
+    "mask_generalize_customers",
+    "media_audio_segments",
+    "media_frame_sample",
+    "mix_temperature_sample",
+    "phrase_search_docs",
+    "pretraining_pipeline_e2e",
+    "profile_orders_columns",
+    "pydatasource_synth_agg",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "quality_classifier_scores",
+    "rag_pipeline_e2e",
+    "rebalance_corpus_mix",
+    "rollup_orders",
+    "rtbf_forget_cascade",
+    "running_total_per_customer",
+    "synthesize_marginals_customers",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _CHECK_FIRST if k in QUERIES},

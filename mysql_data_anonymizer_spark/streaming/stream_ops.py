@@ -449,6 +449,7 @@ def stateful_user_ewma(
     ts_col: str = "ts",
     id_col: str = "event_id",
     window: int = 20,
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Stateful streaming EWMA — the custom-EVICTION state class
     ``stateful_user_totals``' running pair cannot express: per-user state is
@@ -465,7 +466,17 @@ def stateful_user_ewma(
     watermark-late event REORDERED across batches shifts the FIFO contents
     exactly as it would any arrival-order-dependent stateful operator
     (the same assumption every stateful sessionizer
-    makes)."""
+    makes).
+
+    ``ttl_seconds`` (r11 verdict item 6 — the bounded-state production
+    shape): when set, the caller must have applied ``withWatermark`` on
+    ``ts_col`` and state uses EventTimeTimeout — a key whose last event is
+    more than ``ttl_seconds`` of EVENT TIME behind the watermark is
+    evicted (state.remove(), nothing emitted), so idle users cost nothing
+    forever and total state is O(active keys x window), watermark-bounded
+    instead of unbounded. Rows already emitted are unaffected, which is
+    why the bounded-replay certification (equality with the batch oracle)
+    holds whenever the replay's event-time span fits inside the TTL."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -475,6 +486,9 @@ def stateful_user_ewma(
     state_schema = "n long, vals array<long>"
 
     def update(key, pdfs, state: GroupState):
+        if ttl_seconds is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             n_seen, vals = state.get
             vals = list(vals)
@@ -485,6 +499,9 @@ def stateful_user_ewma(
         new = [int(v) for v in batch[vm_col].tolist()]
         n_seen, vals, ewma = _ewma_fifo_step(n_seen, vals, new, window)
         state.update((n_seen, vals))
+        if ttl_seconds is not None:
+            last_ms = int(batch[ts_col].max().value // 1_000_000)
+            state.setTimeoutTimestamp(last_ms + ttl_seconds * 1000)
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
@@ -494,6 +511,11 @@ def stateful_user_ewma(
             }
         )
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy(key_col).applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "update", timeout
     )

@@ -193,3 +193,92 @@ def test_quality_score_docs_hand_computed(spark, tmp_path):
         for r in Q.QUERIES["quality_score_docs"](spark, str(tmp_path)).collect()
     }
     assert got == _qs_expected(texts)
+
+
+# ---------------------------------------------------------------------------
+# streaming_ewma_user_wm — the watermark+TTL twin must equal the no-wm
+# sibling on the bounded replay (eviction never beats a user's final row)
+# ---------------------------------------------------------------------------
+def test_streaming_ewma_wm_twin_equals_sibling(spark):
+    sd = "/root/testdata/sf0.001"
+    base = {
+        tuple(r)
+        for r in Q.QUERIES["streaming_ewma_user"](spark, sd).collect()
+    }
+    wm = {
+        tuple(r)
+        for r in Q.QUERIES["streaming_ewma_user_wm"](spark, sd).collect()
+    }
+    assert wm == base and len(wm) > 0
+
+
+# ---------------------------------------------------------------------------
+# stateful_user_ewma TTL — event-time eviction actually fires: a user idle
+# for more than the TTL of event time is REMOVED from the state store (the
+# bounded-state claim, asserted from the state operator's own metrics)
+# ---------------------------------------------------------------------------
+def test_stateful_ewma_ttl_evicts_idle_user(spark, tmp_path):
+    import time
+    import uuid
+    from datetime import datetime
+
+    from mysql_data_anonymizer_spark.streaming.stream_ops import stateful_user_ewma
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
+    stream_dir = tmp_path / "ttl_in"
+    stream_dir.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, vm long"
+    # batch 1: user 1 at 00:00; batch 2 (separate file, later mtime):
+    # user 2 at 04:00 -> watermark 03:30 > user 1's TTL stamp 02:00
+    spark.createDataFrame([(1, t(0, 0), 1, 1_000_000)], schema).coalesce(
+        1
+    ).write.parquet(str(stream_dir / "f1"))
+    time.sleep(1.1)  # FileStreamSource orders batches by modification time
+    spark.createDataFrame([(2, t(4, 0), 2, 2_000_000)], schema).coalesce(
+        1
+    ).write.parquet(str(stream_dir / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir) + "/*")
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = stateful_user_ewma(stream, ttl_seconds=7200)
+    name = f"ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.table(name).collect()}
+    assert set(rows) == {1, 2}  # both emitted before/at their own batch
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "no state-operator progress recorded"
+    # user 1's state must be evicted by the event-time timeout: the final
+    # state row count is 1 (user 2 only), not 2
+    assert state_rows[-1] == 1, state_rows
+
+
+# ---------------------------------------------------------------------------
+# streaming_dedup_index_probe_wm — append mode withholds non-finalized
+# windows: the wm twin's rows are a strict subset of the sibling's docs
+# ---------------------------------------------------------------------------
+def test_streaming_probe_wm_finalization_subset(spark):
+    sd = "/root/testdata/sf0.001"
+    base = {
+        (r["doc_id"], r["n_candidates"])
+        for r in Q.QUERIES["streaming_dedup_index_probe"](spark, sd).collect()
+    }
+    wm = {
+        (r["doc_id"], r["n_candidates"])
+        for r in Q.QUERIES["streaming_dedup_index_probe_wm"](spark, sd).collect()
+    }
+    assert 0 < len(wm) < len(base)
+    assert wm < base  # same candidate counts, tail windows withheld

@@ -81,6 +81,7 @@ DEFAULT_QUERIES = [
     "triangle_count_copurchase",
     "observed_dq_gate_orders",
     "streaming_ewma_user",
+    "streaming_ewma_user_wm",
     "kn_perplexity_docs",
     "mixture_alpha_weights",
     "corpus_drift_tvd",
@@ -318,6 +319,7 @@ DEFAULT_QUERIES = [
     "salted_join_revenue",
     "dedup_embedding_lsh_pairs",
     "streaming_dedup_index_probe",
+    "streaming_dedup_index_probe_wm",
 ]
 
 EDGE_TEXTS = [
