@@ -11183,6 +11183,21 @@ ORACLES["dedup_embedding_lsh_pairs"] = (
 QUERIES["dedup_embedding_lsh_pairs"] = dedup_embedding_lsh_pairs
 
 
+def _stage_stream_src(sf_dir: str, name: str, prefix: str) -> str:
+    """Stream-source staging: FileStreamSource wants a directory, and the
+    fixtures are single parquet FILES, so the file is symlinked into a tmp
+    dir. Scale slices (tools/scale_slope.py) write multi-file parquet
+    DIRECTORIES instead — the source doesn't recurse through a symlinked
+    subdirectory (it listed 0 files and the query silently emitted nothing,
+    r12), so a directory input is streamed directly."""
+    src = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(src):
+        return src
+    stage = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(src, f"{stage}/{name}.parquet")
+    return stage
+
+
 def streaming_dedup_index_probe(spark, sf_dir):
     """Streaming ingest probing the PERSISTED near-dup index — the
     crawl-pipeline synthesis of this round's index work with the streaming
@@ -11199,8 +11214,7 @@ def streaming_dedup_index_probe(spark, sf_dir):
     import uuid
 
     pt, _st = _neardup_index(spark, sf_dir)
-    stage = tempfile.mkdtemp(prefix="mda_stream_ndidx_")
-    os.symlink(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    stage = _stage_stream_src(sf_dir, "documents", "mda_stream_ndidx_")
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
     post = spark.table(pt)
     with _stream_shuffle(spark):
@@ -11290,8 +11304,7 @@ def streaming_dedup_index_probe_wm(spark, sf_dir):
     import uuid
 
     pt, _st = _neardup_index(spark, sf_dir)
-    stage = tempfile.mkdtemp(prefix="mda_stream_ndidxwm_")
-    os.symlink(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+    stage = _stage_stream_src(sf_dir, "documents", "mda_stream_ndidxwm_")
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
     post = spark.table(pt)
     with _stream_shuffle(spark):

@@ -140,6 +140,17 @@ FAMILIES = [
     # persisted-centroid incremental assignment: one broadcast-K pass over
     # the increment only; slope ~K of the increment scan
     "kmeans_incremental_assign",
+    # round-12 additions: unified-trainer IVF (embeddings — index build is
+    # one assignment pass + partitioned write, probe reads |Q|*nprobe
+    # cells + the exact matmul twin; slope tracks the knn family), the
+    # hashed-ngram logistic scorer (documents — ~2x-token explode + 64-row
+    # broadcast join + per-doc agg; slope ~K of the scan), and the
+    # watermarked streaming twins (events/documents — micro-batch fixed
+    # cost + watermark-bounded state; healthy rows show slope << K)
+    "knn_ivf_kmeans_indexed",
+    "quality_score_docs",
+    "streaming_ewma_user_wm",
+    "streaming_dedup_index_probe_wm",
 ]
 
 
