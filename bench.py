@@ -271,6 +271,7 @@ HEADLINE = [
     "kmeans_incremental_assign",
     # r12
     "knn_ivf_kmeans_indexed",
+    "knn_ivf_kmeans_append",
     "quality_score_docs",
     "streaming_ewma_user_wm",
     "streaming_dedup_index_probe_wm",

@@ -13914,7 +13914,7 @@ def _kmeans_ivf_index(spark, sf_dir):
     return cache[tag]
 
 
-def _kmeans_ivf_probe(spark, sf_dir, queries, k=5, nprobe=None):
+def _kmeans_ivf_probe(spark, sf_dir, queries, k=5, nprobe=None, table=None):
     """Probe the kmeans-model IVF inverted file: assign each query its
     ``nprobe`` nearest cells by the SAME exact-integer distance the model
     was trained with ((dist2, cid) tiebreak), read the index with a
@@ -13925,8 +13925,10 @@ def _kmeans_ivf_probe(spark, sf_dir, queries, k=5, nprobe=None):
     fixed nprobe could silently equal n_cells (probe-everything = prune
     nothing). Returns (topk, pruned_scan, n_cells) — the scan and cell
     count are exposed so callers can gate on the executed plan
-    (ivf_indexed_topk contract, anchored to the TRUE cell count)."""
-    tbl = _kmeans_ivf_index(spark, sf_dir)
+    (ivf_indexed_topk contract, anchored to the TRUE cell count).
+    ``table`` overrides the probed inverted file (the incrementally
+    APPENDED index in knn_ivf_kmeans_append)."""
+    tbl = table if table is not None else _kmeans_ivf_index(spark, sf_dir)
     cdf = spark.read.parquet(_kmeans_centroid_index(spark, sf_dir))
     n_cells = cdf.count()  # bounded: the K-row model artifact
     if nprobe is None:
@@ -14065,6 +14067,110 @@ ORACLES["knn_ivf_kmeans_indexed"] = (
     f"FROM ({_gen_knn_sql(5)}) t"
 )
 QUERIES["knn_ivf_kmeans_indexed"] = knn_ivf_kmeans_indexed
+
+
+def _kmeans_ivf_index_appended(spark, sf_dir):
+    """Memoized INCREMENTALLY-MAINTAINED inverted file: the base corpus
+    half (even vec_ids) is written hive-partitioned by its persisted-
+    Lloyd-model cell ONCE, and each crawl increment (odd vec_ids) is
+    assigned against the SAME frozen centroid artifact and APPENDED into
+    the existing partition directories — the base inverted lists are
+    never rewritten and the model is never retrained, which is how a
+    deployed IVF index absorbs crawl snapshots (faiss add() semantics on
+    a Spark layout). Per-row cell assignment is a pure function of
+    (vector, model), so append==rebuild is a theorem — and it is
+    data-certified against the full-corpus index anyway
+    (merge_equals_rebuild_ok in knn_ivf_kmeans_append)."""
+    tag = _session_tag(sf_dir)
+    cache = getattr(spark, "_mda_kmeans_ivf_app", None)
+    if cache is None:
+        cache = {}
+        spark._mda_kmeans_ivf_app = cache
+    if tag not in cache:
+        cdf = spark.read.parquet(_kmeans_centroid_index(spark, sf_dir))
+        emb = _t(spark, sf_dir, "embeddings")
+        tbl = f"kmivfapp_{tag}"
+        base_cells = _kmeans_assign(
+            _kmeans_quantize(emb.where(_base_pred("vec_id"))), cdf
+        ).select("vec_id", F.col("cluster").alias("cell"))
+        (
+            emb.join(base_cells, "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .format("parquet")
+            .option("path", tempfile.mkdtemp(prefix="mda_kmivfapp_"))
+            .saveAsTable(tbl)
+        )
+        inc_cells = _kmeans_assign(
+            _kmeans_quantize(emb.where(_inc_pred("vec_id"))), cdf
+        ).select("vec_id", F.col("cluster").alias("cell"))
+        # positional insertInto: partitioning comes from the table, the
+        # increment lands as NEW files in existing cell directories
+        (
+            emb.join(inc_cells, "vec_id")
+            .select(*spark.table(tbl).columns)
+            .write.mode("append")
+            .insertInto(tbl)
+        )
+        cache[tag] = tbl
+    return cache[tag]
+
+
+def knn_ivf_kmeans_append(spark, sf_dir):
+    """Incremental ANN index MAINTENANCE — the last leg of the unified
+    crawl loop (train Lloyd once -> persist the model -> assign
+    increments -> and now: grow the INVERTED FILE without rebuilding
+    it): the base half's inverted lists are written once, each crawl
+    increment is assigned against the frozen centroid model and appended
+    into the existing cell directories, and probes read the merged index
+    exactly like knn_ivf_kmeans_indexed. At 100 TB this is the
+    difference between re-partitioning the whole corpus per crawl and
+    paying only ~|increment| per snapshot (the dedup_incremental_indexed
+    / drift_incremental_merge discipline applied to the ANN index).
+
+    Certification: ``merge_equals_rebuild_ok`` — the appended index's
+    (vec_id, cell) content is verified EQUAL to the full-corpus-built
+    index (exceptAll both ways, the cc_incremental merge==rebuild
+    class; cell assignment is a pure per-row function of the frozen
+    model, so a mismatch means nondeterminism or a lost/duplicated
+    row); ``recall_ok`` — the probe over the appended index clears the
+    same hash-locked floor as the sibling (contents equal => recall
+    equal). Output is the exact matmul twin (knn_ivf pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    tbl = _kmeans_ivf_index_appended(spark, sf_dir)
+    approx, _scan, _n_cells, _nprobe = _kmeans_ivf_probe(
+        spark, sf_dir, queries, k=5, table=tbl
+    )
+    full_tbl = _kmeans_ivf_index(spark, sf_dir)
+    a = spark.table(tbl).select("vec_id", "cell")
+    b = spark.table(full_tbl).select("vec_id", "cell")
+    merge_ok = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    exact = similarity.matmul_topk(emb, queries, k=5)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("__hits"))
+    return (
+        exact.crossJoin(F.broadcast(hits))
+        .withColumn(
+            "recall_ok", F.col("__hits") >= _KNN_RECALL_FLOORS["ivf_kmeans"]
+        )
+        .withColumn("merge_equals_rebuild_ok", F.lit(bool(merge_ok)))
+        .select(
+            "query_id", "neighbor_id", "cosine", "rank",
+            "recall_ok", "merge_equals_rebuild_ok",
+        )
+    )
+
+
+ORACLES["knn_ivf_kmeans_append"] = (
+    "SELECT query_id, neighbor_id, cosine, rank, TRUE AS recall_ok, "
+    "TRUE AS merge_equals_rebuild_ok "
+    f"FROM ({_gen_knn_sql(5)}) t"
+)
+QUERIES["knn_ivf_kmeans_append"] = knn_ivf_kmeans_append
 
 
 # per-method certified recall floors over the 25 true (query, neighbor)
@@ -14510,6 +14616,7 @@ _CHECK_FIRST = [
     # (standing stalest-first rule). (0) new this round — never
     # driver-certified:
     "knn_ivf_kmeans_indexed",
+    "knn_ivf_kmeans_append",
     "quality_score_docs",
     "streaming_ewma_user_wm",
     "streaming_dedup_index_probe_wm",

@@ -282,3 +282,31 @@ def test_streaming_probe_wm_finalization_subset(spark):
     }
     assert 0 < len(wm) < len(base)
     assert wm < base  # same candidate counts, tail windows withheld
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_kmeans_append — incremental inverted-file maintenance: appended
+# index content must equal the full rebuild, gates green, and the append
+# lands as extra files inside the base cell directories (no rewrite)
+# ---------------------------------------------------------------------------
+def test_knn_ivf_kmeans_append_merge_equals_rebuild(spark):
+    sd = "/root/testdata/sf0.001"
+    out = Q.QUERIES["knn_ivf_kmeans_append"](spark, sd)
+    rows = out.collect()
+    assert len(rows) == 25
+    gates = {(r["recall_ok"], r["merge_equals_rebuild_ok"]) for r in rows}
+    assert gates == {(True, True)}, gates
+    # content identity with the full-corpus index, checked directly too
+    app = {
+        (r["vec_id"], r["cell"])
+        for r in spark.table(Q._kmeans_ivf_index_appended(spark, sd))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    full = {
+        (r["vec_id"], r["cell"])
+        for r in spark.table(Q._kmeans_ivf_index(spark, sd))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert app == full and len(app) > 0

@@ -132,6 +132,7 @@ DEFAULT_QUERIES = [
     # logistic scorer's n-gram explode and exact-root sigmoid meet empty/
     # whitespace/unicode/5000-char-token docs
     "knn_ivf_kmeans_indexed",
+    "knn_ivf_kmeans_append",
     "quality_score_docs",
     "approx_top_terms",
     "fuzzy_pairs_symdelete",

@@ -172,6 +172,9 @@ BNL_OK: set[str] = {
     # query-side K-row centroid crossJoin is the same bounded-build class
     # (plus the per-method 1-row hit-count scalars it always had)
     "knn_recall_report",
+    # r12 — incremental index append: same probe machinery + exact twin +
+    # 1-row hit scalar as knn_ivf_kmeans_indexed
+    "knn_ivf_kmeans_append",
     # heavy hitters: the 1-row sketch aggregate cross-joined onto the k-row
     # exact table — bounded scalar, same class as q11's threshold
     "approx_top_terms",
