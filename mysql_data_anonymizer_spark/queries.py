@@ -11198,6 +11198,31 @@ def _stage_stream_src(sf_dir: str, name: str, prefix: str) -> str:
     return stage
 
 
+def _spread_stream(stream_df: DataFrame, src_path: str) -> DataFrame:
+    """Stream-side twin of ``_spread`` (guide §2.2/§6): a FileStreamSource
+    micro-batch over ONE sub-split file is ONE task, so per-row map work
+    (here: shingle explosion over the document increment — measured 4.6 s
+    of the probe's 5.3 s running serially on a single core) executes with
+    zero parallelism inside the batch. Same size arithmetic and condition
+    as ``_spread``: only a source smaller than the scan split size is
+    repartitioned; at production scale the source is a multi-file
+    directory (est_splits >= parallelism) and this is a no-op — the
+    shuffle moves only the raw increment rows, before the explode
+    multiplies them."""
+    spark = stream_df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = re.match(r"(\d+)", raw)
+    max_split = int(m.group(1)) if m else 134217728
+    try:
+        est_splits = os.path.getsize(src_path) // max_split + 1
+    except OSError:
+        return stream_df
+    if est_splits < min(par, 8):
+        return stream_df.repartition(par)
+    return stream_df
+
+
 def streaming_dedup_index_probe(spark, sf_dir):
     """Streaming ingest probing the PERSISTED near-dup index — the
     crawl-pipeline synthesis of this round's index work with the streaming
@@ -11218,10 +11243,11 @@ def streaming_dedup_index_probe(spark, sf_dir):
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
     post = spark.table(pt)
     with _stream_shuffle(spark):
-        stream = (
+        stream = _spread_stream(
             spark.readStream.schema(batch.schema)
             .parquet(stage)
-            .where(_inc_pred())
+            .where(_inc_pred()),
+            f"{sf_dir}/documents.parquet",
         )
         sh = stream.select(
             "doc_id",
@@ -11308,10 +11334,11 @@ def streaming_dedup_index_probe_wm(spark, sf_dir):
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
     post = spark.table(pt)
     with _stream_shuffle(spark):
-        stream = (
+        stream = _spread_stream(
             spark.readStream.schema(batch.schema)
             .parquet(stage)
-            .where(_inc_pred())
+            .where(_inc_pred()),
+            f"{sf_dir}/documents.parquet",
         )
         sh = (
             stream.select(
