@@ -14250,7 +14250,11 @@ def knn_recall_report(spark, sf_dir):
     )
     cents, books = _ann_models(spark, sf_dir, emb)
     approx = {
-        "matmul": similarity.matmul_topk(emb, queries, k=5),
+        # the exact pair set IS matmul_topk's output (projected to the two
+        # join columns above) — reuse the checkpoint instead of executing
+        # the identical matmul pipeline a second time (guide §1.2: don't
+        # compute things you throw away); hits stay 25/25 by identity
+        "matmul": exact,
         "lsh": similarity.lsh_topk(emb, queries, k=5, score_dim=None),
         "ivf": similarity.ivf_topk(
             emb, queries, k=5, nprobe=8, dim=None, centroids=cents
