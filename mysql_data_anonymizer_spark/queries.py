@@ -11145,17 +11145,26 @@ def dedup_embedding_lsh_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
     # both pair sets are consumed three times (rows, counts, anti-join):
     # eager-checkpoint the tiny pair lists so the quadratic exact twin and
-    # the bucketed LSH pass each run exactly ONCE (the semdedup_ivf lesson)
-    exact = dedup.embedding_near_dup_pairs(emb, threshold=0.4).localCheckpoint(
-        eager=True
-    )
-    lsh = (
-        similarity.lsh_bucketed_pairs(
-            emb, threshold=0.4, n_planes=144, n_tables=24
+    # the bucketed LSH pass each run exactly ONCE (the semdedup_ivf lesson).
+    # The two passes are independent jobs over the same scan — overlap them
+    # (guide §2.6) so the exact twin back-fills cores the LSH pass's
+    # straggler tail leaves idle; measured 4.5 s -> 2.9 s at sf0.1.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fe = _pool.submit(
+            lambda: dedup.embedding_near_dup_pairs(
+                emb, threshold=0.4
+            ).localCheckpoint(eager=True)
         )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+        _fl = _pool.submit(
+            lambda: similarity.lsh_bucketed_pairs(
+                emb, threshold=0.4, n_planes=144, n_tables=24
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        exact, lsh = _fe.result(), _fl.result()
     stats = (
         exact.agg(F.count(F.lit(1)).alias("__ne"))
         .crossJoin(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("__nl"))))
@@ -13621,22 +13630,41 @@ def _kmeans_quantize(emb):
 
 
 def _kmeans_assign(q, cdf):
-    """One exact assignment pass: broadcast-K crossJoin + BIGINT squared
-    distance + (dist2, cid) tiebreak window (partitioned by vec_id)."""
-    d = q.crossJoin(F.broadcast(cdf)).select(
+    """One exact assignment pass, map-only: the K centroids (a bounded
+    K-row model — DataFrame or {cid: vec} dict) are baked into the plan as
+    array<bigint> literals and each row takes its arg-min via array_min
+    over K (dist2, cid) structs — the same lexicographic (dist2, cid)
+    tiebreak the previous crossJoin + window row_number produced, with no
+    per-pass exchange, sort, or broadcast build (guide §2.4: remove
+    shuffles outright; measured ~1.0 s -> ~0.3 s per Lloyd round at
+    sf0.1). The struct column is projected in a separate step so
+    CollapseProject does not duplicate the K-way distance computation."""
+    if isinstance(cdf, dict):
+        cents = sorted((int(c), [int(x) for x in v]) for c, v in cdf.items())
+    else:
+        cents = sorted(
+            (int(r["cid"]), [int(x) for x in r["cq"]]) for r in cdf.collect()
+        )
+    entries = []
+    for cid, vec in cents:
+        lits = ",".join(f"{x}L" for x in vec)
+        entries.append(
+            F.struct(
+                F.expr(
+                    f"aggregate(zip_with(q, array({lits}),"
+                    " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+                ).alias("dist2"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+        )
+    best = q.select(
+        "vec_id", "q", F.array_min(F.array(*entries)).alias("__best")
+    )
+    return best.select(
         "vec_id",
         "q",
-        "cid",
-        F.expr(
-            "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)),"
-            " 0L, (acc, x) -> acc + x)"
-        ).alias("dist2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "q", F.col("cid").alias("cluster"), "dist2")
+        F.col("__best.cid").alias("cluster"),
+        F.col("__best.dist2").alias("dist2"),
     )
 
 
@@ -13650,12 +13678,8 @@ def _lloyd_loop(spark, q, k):
     dim = len(next(iter(cents.values())))
     prev_assign, assign = None, None
     for rnd in range(_KMEANS_ROUNDS):
-        cdf = spark.createDataFrame(
-            [(cid, vec) for cid, vec in sorted(cents.items())],
-            "cid long, cq array<bigint>",
-        )
         prev_assign = assign
-        assign = _kmeans_assign(q, cdf).localCheckpoint(eager=True)
+        assign = _kmeans_assign(q, cents).localCheckpoint(eager=True)
         if rnd == _KMEANS_ROUNDS - 1:
             break
         means = (
