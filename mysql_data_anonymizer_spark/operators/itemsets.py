@@ -22,7 +22,7 @@ map-side-combinable aggregate on the (item, item) key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -47,13 +47,26 @@ def frequent_pairs(
         .select("it")
     )
     pruned = items.join(freq, "it", "left_semi")
-    rn = F.row_number().over(Window.partitionBy("bk").orderBy("it"))
-    capped = pruned.withColumn("rn", rn).where(F.col("rn") <= max_basket).drop("rn")
-    a = capped.select(F.col("bk"), F.col("it").alias("item_1"))
-    b = capped.select(F.col("bk"), F.col("it").alias("item_2"))
-    pairs = a.join(b, "bk").where(F.col("item_1") < F.col("item_2"))
+    # posting-list pair generation: one per-basket aggregate collects the
+    # sorted item set, the cap is a slice of its smallest ids (identical
+    # to the previous row_number <= cap over orderBy it — items is
+    # distinct, so set == list), and ordered pairs explode MAP-SIDE from
+    # each list. Replaces the basket-keyed self-equi-join, whose two
+    # identical capped subtrees (distinct + freq + semi-join + window)
+    # were each evaluated once per join side.
+    lists = pruned.groupBy("bk").agg(
+        F.slice(F.sort_array(F.collect_set("it")), 1, max_basket).alias("its")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(its, (x, i) ->"
+        " transform(slice(its, i + 2, size(its)),"
+        " y -> struct(x AS item_1, y AS item_2))))"
+    )
+    pairs = lists.where(F.size("its") >= 2).select(F.explode(pair_expr).alias("p"))
     return (
-        pairs.groupBy("item_1", "item_2")
+        pairs.groupBy(
+            F.col("p.item_1").alias("item_1"), F.col("p.item_2").alias("item_2")
+        )
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
     )

@@ -12528,9 +12528,18 @@ def cc_incremental_merge(spark, sf_dir):
     instead of O(old-component diameter) — the increment's edges are the
     only new work."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
-    ).select("id_a", "id_b")
+    # the pair pipeline (shingle explode + posting-list join) feeds BOTH
+    # the old-crawl filter and the new-crawl filter; each downstream CC
+    # run checkpoints its own symmetric edge list, so without pinning the
+    # pairs here the whole shingle join executes twice (guide §1.2) —
+    # measured 4.4-4.7 s -> 3.5 s at sf0.1
+    pairs = (
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_df=MAX_SHINGLE_DF
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     old = pairs.where((F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0))
     new = pairs.where((F.col("id_a") % 2 != 0) | (F.col("id_b") % 2 != 0))
     old_cc = dedup.connected_components(old)
