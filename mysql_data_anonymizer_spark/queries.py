@@ -4652,22 +4652,36 @@ def semdedup_ivf(spark, sf_dir):
     tag = _session_tag(sf_dir)
     if tag not in cache:
         cache[tag] = similarity.train_ivf_centroids(emb, n_cells=16)
-    ivf_surv = (
-        # dim=None -> compile-cheap HOF dot for the pair scoring: on this
-        # bounded certification slice Catalyst analysis of the unrolled
-        # 64-term chain (~2 s/plan) dwarfs execution; values bit-identical
-        dedup.semantic_dedup_ivf(
-            emb, threshold=0.4, n_cells=16, dim=None, centroids=cache[tag]
+    # the IVF pass and the exact all-pairs twin are independent jobs over
+    # the same slice — overlap them (guide §2.6, the
+    # dedup_embedding_lsh_pairs pattern) so one back-fills the other's
+    # straggler tail; each is still eager-checkpointed exactly once
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fi = _pool.submit(
+            lambda: (
+                # dim=None -> compile-cheap HOF dot for the pair scoring:
+                # on this bounded certification slice Catalyst analysis of
+                # the unrolled 64-term chain (~2 s/plan) dwarfs execution;
+                # values bit-identical
+                dedup.semantic_dedup_ivf(
+                    emb, threshold=0.4, n_cells=16, dim=None,
+                    centroids=cache[tag],
+                )
+                .select("vec_id")
+                .localCheckpoint(eager=True)
+            )
         )
-        .select("vec_id")
-        .localCheckpoint(eager=True)
-    )
-    exact_dropped = (
-        dedup.embedding_near_dup_pairs(emb, threshold=0.4)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        _fe = _pool.submit(
+            lambda: (
+                dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+                .select(F.col("id_b").alias("vec_id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        )
+        ivf_surv, exact_dropped = _fi.result(), _fe.result()
     exact_surv = (
         emb.select("vec_id")
         .join(exact_dropped, "vec_id", "left_anti")
