@@ -703,21 +703,36 @@ def ivfpq_topk(
     probes = {int(qid): row.astype(np.int64) for qid, row in zip(q_ids, probe)}
     all_cells = sorted({int(c) for row in probe for c in row})
     spark = df.sparkSession
-    b = spark.sparkContext.broadcast((q_ids, books, luts, probes))
+    # the coarse assignment runs INSIDE the candidate scan (one
+    # MapInPandas node instead of ArrowEvalPython + MapInPandas — the
+    # corpus vectors cross the Python boundary once, guide §4.1); the
+    # cell math is the same (batch x dim) @ (dim x cells) argsort top-1
+    # ivf_assign_expr computes, so the candidate set is unchanged. With a
+    # codes table PARTITIONED by cell the storage-pruned variant
+    # (explicit cell column + IN filter) is the right shape instead —
+    # here the cell column is computed on the fly, so no scan pruning was
+    # possible either way.
+    cents_t = cents.T.copy()
+    all_cells_arr = np.array(all_cells, dtype=np.int64)
+    b = spark.sparkContext.broadcast(
+        (q_ids, books, luts, probes, cents_t, all_cells_arr)
+    )
     n_cand = refine * k
-    corp = df.select(
-        id_col, vec_col, F.explode(ivf_assign_expr(vec_col, cents, 1)).alias("__cell")
-    ).where(F.col("__cell").isin(all_cells))
+    corp = df.select(id_col, vec_col)
     out_schema = f"query_id long, {id_col} long"
 
     def part_candidates(batches):
-        q_ids_l, books_l, luts_l, probes_l = b.value
+        q_ids_l, books_l, luts_l, probes_l, cents_t_l, cells_keep = b.value
         best: dict[int, tuple] = {}
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cells = pdf["__cell"].to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = np.argsort(-(mat @ cents_t_l), axis=1)[:, 0].astype(np.int64)
+            keep = np.isin(cells, cells_keep)
+            if not keep.any():
+                continue
+            ids, cells, mat = ids[keep], cells[keep], mat[keep]
             codes = np.empty((len(mat), m), dtype=np.int64)
             for j in range(m):
                 xj = mat[:, j * dsub : (j + 1) * dsub]

@@ -14219,7 +14219,10 @@ def knn_ivf_kmeans_append(spark, sf_dir):
     full_tbl = _kmeans_ivf_index(spark, sf_dir)
     a = spark.table(tbl).select("vec_id", "cell")
     b = spark.table(full_tbl).select("vec_id", "cell")
-    merge_ok = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # one driver action for the multiset-equality gate instead of two
+    # sequential isEmpty() jobs: the symmetric difference is empty iff
+    # both directed exceptAll sets are (guide §1.2 — same check, one job)
+    merge_ok = a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty()
     exact = similarity.matmul_topk(emb, queries, k=5)
     hits = exact.join(
         approx.select("query_id", "neighbor_id"),
