@@ -13880,9 +13880,11 @@ def kmeans_incremental_assign(spark, sf_dir):
     dedup_incremental_indexed / drift_incremental_merge discipline applied
     to k-means): the Lloyd loop trains ONCE on the base half (even
     vec_ids) and its final centroids persist as a K-row parquet model;
-    each increment (odd vec_ids) is assigned with ONE broadcast-K
-    crossJoin pass — the petabytes of base vectors are never re-scanned
-    and the model is never re-trained. This is exactly how SemDeDup-style
+    each increment (odd vec_ids) is assigned in ONE map-only pass (the
+    K-row model baked in as literals, `_kmeans_assign`'s array_min
+    arg-min — r12: previously a broadcast-K crossJoin + window) — the
+    petabytes of base vectors are never re-scanned and the model is
+    never re-trained. This is exactly how SemDeDup-style
     pipelines amortize clustering across crawl snapshots: centroids are a
     model artifact, assignment is the only per-increment cost.
 
