@@ -14223,7 +14223,10 @@ def knn_ivf_kmeans_append(spark, sf_dir):
     b = spark.table(full_tbl).select("vec_id", "cell")
     # one driver action for the multiset-equality gate instead of two
     # sequential isEmpty() jobs: the symmetric difference is empty iff
-    # both directed exceptAll sets are (guide §1.2 — same check, one job)
+    # both directed exceptAll sets are (guide §1.2 — same check, one
+    # job). An in-plan 1-row-crossJoin variant of this gate was measured
+    # SLOWER (noop 2.3 -> 4.2 s: the exceptAll subtree re-executes in
+    # every consuming action instead of once at build) and rejected.
     merge_ok = a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty()
     exact = similarity.matmul_topk(emb, queries, k=5)
     hits = exact.join(
