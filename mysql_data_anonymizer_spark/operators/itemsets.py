@@ -53,7 +53,13 @@ def frequent_pairs(
     # distinct, so set == list), and ordered pairs explode MAP-SIDE from
     # each list. Replaces the basket-keyed self-equi-join, whose two
     # identical capped subtrees (distinct + freq + semi-join + window)
-    # were each evaluated once per join side.
+    # were each evaluated once per join side. Memory honesty: the
+    # collect_set buffer is O(pruned basket items) per group BEFORE the
+    # cap slices it (a 10^6-item bot basket holds a ~16 MB heap buffer;
+    # ObjectHashAggregate falls back to sort-based aggregation under
+    # pressure) — same asymptotic class as the sort the old window paid,
+    # and the a-priori semi-join has already dropped the infrequent tail
+    # before anything is collected.
     lists = pruned.groupBy("bk").agg(
         F.slice(F.sort_array(F.collect_set("it")), 1, max_basket).alias("its")
     )
