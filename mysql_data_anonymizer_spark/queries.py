@@ -11709,7 +11709,13 @@ def triangle_count_copurchase(spark, sf_dir):
     found EXACTLY once (u < v < w in the degree order). The node sample
     (partkey % 10 = 0) bounds fixture density; the plan shape is
     sample-invariant. Every step is an equi-join or hash agg — no
-    windows, no cross joins."""
+    windows, no cross joins. The undirected edge set and the oriented
+    edge table are pinned ONCE (eager localCheckpoint — the
+    pagerank/kcore edge discipline): ``oriented`` is consumed three
+    times (both wedge sides + the closing join) and without the pin the
+    whole lineitem self-join + degree pipeline re-executes per
+    reference (36 parquet scans in the r12 before-plan, zero
+    ReusedExchange)."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .where(F.col("l_partkey") % 10 == 0)
@@ -11722,6 +11728,7 @@ def triangle_count_copurchase(spark, sf_dir):
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.explode(F.array("s", "t")).alias("node"))
@@ -11739,7 +11746,7 @@ def triangle_count_copurchase(spark, sf_dir):
         F.when(fwd, F.col("s")).otherwise(F.col("t")).alias("src"),
         F.when(fwd, F.col("t")).otherwise(F.col("s")).alias("dst"),
         F.when(fwd, F.col("dt")).otherwise(F.col("ds")).alias("ddst"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = (
         o1.join(o2, F.col("o1.src") == F.col("o2.src"))
