@@ -310,3 +310,24 @@ def test_knn_ivf_kmeans_append_merge_equals_rebuild(spark):
         .collect()
     }
     assert app == full and len(app) > 0
+
+
+# ---------------------------------------------------------------------------
+# triangle_count_copurchase — the oriented edge table is consumed three
+# times (both wedge sides + the closing join); the r12 optimization pins it
+# (eager localCheckpoint, the pagerank/kcore edge discipline) so the
+# lineitem self-join + degree pipeline executes exactly once. Without the
+# pin the executed plan carried 36 specialized parquet scans of lineitem
+# and zero ReusedExchange. Guard the shape: the consuming plan must read
+# ONLY pinned RDDs — any FileScan means the pin regressed.
+# ---------------------------------------------------------------------------
+def test_triangle_count_plan_reads_pinned_edges_only(spark):
+    df = Q.QUERIES["triangle_count_copurchase"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    if "== Final Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    assert "FileScan" not in plan, plan[:800]
+    # 3 consumers of the pinned RDD; AQE's final-plan render may fold a
+    # broadcast-side read into a stage reference, so assert >= 2 not == 3
+    assert plan.count("Scan ExistingRDD") >= 2, plan[:800]
