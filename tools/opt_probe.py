@@ -5,11 +5,11 @@ For each named query: builds the DataFrame (plan-construction timed
 separately), times `reps` executions with the noop sink (computes every
 column, no sink cost) AND with the bench's `.count()` consumer (the
 driver-comparable number), and writes `.explain("formatted")` to
-plans/r12/<query>_<tag>.txt.
+plans/<round>/<query>_<tag>.txt (default round: r13).
 
 Usage:
     python tools/opt_probe.py [--sf SF_DIR] [--tag before|after] [--reps N]
-        [--no-plan] query [query ...]
+        [--round rNN] [--no-plan] query [query ...]
 """
 
 from __future__ import annotations
@@ -37,6 +37,7 @@ def main() -> None:
     sf_dir = opt("--sf", "/root/testdata/sf0.1")
     tag = opt("--tag", "probe")
     reps = int(opt("--reps", "3"))
+    rnd = opt("--round", "r13")
     want_plan = "--no-plan" not in argv
     if not want_plan:
         argv.remove("--no-plan")
@@ -47,7 +48,7 @@ def main() -> None:
     import mysql_data_anonymizer_spark.queries as Q
     from bench import _drop_persisted
 
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(plan_dir, exist_ok=True)
 
     for name in names:
