@@ -26,7 +26,7 @@ import sys
 import tempfile
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mysql_data_anonymizer_spark.blueprint import Blueprint
@@ -9847,7 +9847,13 @@ def pagerank_copurchase_parts(spark, sf_dir):
                 + F.coalesce(F.col("cs"), F.lit(0).cast("long"))
             ).alias("r"),
         )
-    return ranks.join(deg.withColumnRenamed("src", "node"), "node").select(
+    # the output degree comes off the PINNED edge table ((src, d) is
+    # functionally dependent on src, so distinct == deg exactly) — joining
+    # the un-pinned `deg` here re-executed the whole lineitem self-join +
+    # distinct a second time in the final action (the triangle duplicate-
+    # subtree class, guide §1.2)
+    degp = ed.select("src", "d").distinct()
+    return ranks.join(degp.withColumnRenamed("src", "node"), "node").select(
         F.col("node").alias("p_partkey"),
         F.col("d").alias("degree"),
         F.col("r").alias("pagerank_millionths"),
@@ -13304,7 +13310,17 @@ def corpus_drift_tvd(spark, sf_dir):
     up front (no provenance -> nothing to monitor), which keeps every
     source join a plain equi-join in both engines."""
     docs = _t(spark, sf_dir, "documents")
-    sc = _drift_token_counts(docs)
+    # the (source, token) count table is consumed FIVE times by
+    # _drift_from_counts (ns / rc / present-terms / absent-grid anti-join /
+    # vocab) and each consumer otherwise re-executes the full text explode
+    # (the triangle pinned-edge class, guide §1.2); the table is vocab-sized
+    # — a bounded artifact — so pin it eagerly. Measured 2.00 -> 1.27 s
+    # median at sf0.1 (interleaved A/B). The incremental twin
+    # (drift_incremental_merge) deliberately does NOT pin its merged
+    # counts: its per-consumer re-execution is a small persisted-parquet
+    # read already ReusedExchange-covered, and the same pin measured
+    # SLOWER there (2.19 -> 2.68 s) — rejected.
+    sc = _drift_token_counts(docs).localCheckpoint(eager=True)
     return _drift_from_counts(sc)
 
 
@@ -13609,12 +13625,17 @@ def _kcore_impl(spark, sf_dir, broadcast_alive=True):
     for _ in range(_KCORE_ROUNDS):
         base = e if alive is None else induced(alive)
         deg = base.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        # the bounded node-set count rides the checkpoint materialization
+        # as an Observation (one job per round, not checkpoint + a second
+        # count job — the connected_components convergence-probe fusion)
+        obs = Observation()
         new_alive = (
             deg.where(F.col("d") >= _KCORE_K)
             .select("src")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_new = new_alive.count()  # bounded node-set action (cc class)
+        n_new = obs.get["n"]
         fixed = n_alive is not None and n_new == n_alive
         alive, n_alive = new_alive, n_new
         if fixed:
