@@ -453,6 +453,14 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
+    # compact headline duplicate on STDERR (r12 verdict item: a truncated
+    # archive must never lose the total again). Deliberately NOT a second
+    # stdout line — the driver contract is ONE stdout JSON line, and a
+    # second line could confuse a last-line parser; stderr is additive.
+    print(
+        "# TOTAL " + json.dumps({"total_sec": total, "n": len(times), "sf": sf}),
+        file=sys.stderr,
+    )
     # "queries" first, headline metric/value LAST: the driver archives only
     # the final 2000 chars of this line, and with 90+ per-query entries a
     # value-first ordering gets the total truncated out of the record.
